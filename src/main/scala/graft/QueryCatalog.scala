@@ -1,0 +1,346 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The correctness-gate catalog: one entry per implemented operator from
+  * SURVEY.md §2, each with a DuckDB-equivalent oracle where SQL can express
+  * the semantics. All queries read the driver-generated parquet tables under
+  * `dir` (TESTDATA.md).
+  *
+  * Crawl-specific operators are exercised over a deterministic URL corpus
+  * synthesized column-wise from the `events` table — the same construction
+  * is replicated in the oracle SQL, so both engines see identical input and
+  * the oracle can state the expected output analytically.
+  */
+object QueryCatalog {
+
+  import graft.expr.UrlFunctions
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ---- deterministic URL corpus from events ------------------------------
+  // Messy URL: scheme case, host from user_id, path from event_id, query
+  // with utm_ noise + unsorted params, fragment on multiples of 3,
+  // trailing slash on multiples of 7.
+  private def messyUrlCol: Column = {
+    val scheme = when(pmod(col("event_id"), lit(5)) === 0, lit("HTTPS")).otherwise(lit("https"))
+    val host = concat(lit("h"), pmod(col("user_id"), lit(7)), lit(".Example.com"))
+    val path = concat(lit("/P/"), pmod(col("event_id"), lit(1000)),
+      when(pmod(col("event_id"), lit(7)) === 0, lit("/")).otherwise(lit("")))
+    val query = when(pmod(col("event_id"), lit(2)) === 0, lit("?b=2&utm_source=x&a=1"))
+      .otherwise(lit("?a=1"))
+    val frag = when(pmod(col("event_id"), lit(3)) === 0, lit("#Sec")).otherwise(lit(""))
+    concat(scheme, lit("://"), host, path, query, frag)
+  }
+
+  /** DuckDB rendering of the same messy URL. */
+  private val messyUrlSql: String =
+    """(CASE WHEN event_id % 5 = 0 THEN 'HTTPS' ELSE 'https' END ||
+      |'://h' || (user_id % 7) || '.Example.com' ||
+      |'/P/' || (event_id % 1000) ||
+      |(CASE WHEN event_id % 7 = 0 THEN '/' ELSE '' END) ||
+      |(CASE WHEN event_id % 2 = 0 THEN '?b=2&utm_source=x&a=1' ELSE '?a=1' END) ||
+      |(CASE WHEN event_id % 3 = 0 THEN '#Sec' ELSE '' END))""".stripMargin.replace("\n", " ")
+
+  /** Analytically-known normalized form of messyUrlCol (oracle side). */
+  private val normalizedUrlSql: String =
+    """('https://h' || (user_id % 7) || '.example.com' ||
+      |'/p/' || (event_id % 1000) ||
+      |(CASE WHEN event_id % 2 = 0 THEN '?a=1&b=2' ELSE '?a=1' END))""".stripMargin.replace("\n", " ")
+
+  // =========================================================================
+  // Queries + oracles. Keys sorted by SURVEY.md §2 operator ids.
+  // =========================================================================
+
+  private val entries = scala.collection.mutable.LinkedHashMap.empty[String, (Q, Option[String])]
+
+  private def register(name: String, oracle: Option[String])(q: Q): Unit =
+    entries(name) = (q, oracle)
+
+  // ---- flagship: statistics aggregation (SURVEY §2.8 A1/A2) over lineitem --
+  register(
+    "q1_agg",
+    Some(
+      """SELECT l_returnflag, l_linestatus,
+        | sum(l_quantity) AS sum_qty,
+        | sum(l_extendedprice) AS sum_base_price,
+        | count(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+    )
+  ) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice")).as("sum_base_price"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  // ---- C1: normalize_url over the synthetic corpus (SURVEY §2.2) ----------
+  register(
+    "c1_normalize_url",
+    Some(
+      s"""SELECT event_id, $normalizedUrlSql AS norm_url
+         |FROM events WHERE event_id % 11 = 0""".stripMargin
+    )
+  ) { (s, dir) =>
+    UrlFunctions.register(s)
+    t(s, dir, "events")
+      .filter(pmod(col("event_id"), lit(11)) === 0)
+      .select(col("event_id"), UrlFunctions.normalizeUrl(messyUrlCol).as("norm_url"))
+  }
+
+  // ---- C2/C5: unique key + short hash (SURVEY §2.2) ------------------------
+  register(
+    "c2_unique_key",
+    Some(
+      s"""SELECT event_id,
+         |  (CASE WHEN event_id % 4 = 0
+         |    THEN 'POST|e3b0c442|' || substr(sha256('payload-' || event_id), 1, 8) || '|' || $normalizedUrlSql
+         |    ELSE $normalizedUrlSql END) AS unique_key
+         |FROM events WHERE event_id % 13 = 0""".stripMargin
+    )
+  ) { (s, dir) =>
+    UrlFunctions.register(s)
+    val payload = concat(lit("payload-"), col("event_id")).cast("binary")
+    val norm = UrlFunctions.normalizeUrl(messyUrlCol)
+    t(s, dir, "events")
+      .filter(pmod(col("event_id"), lit(13)) === 0)
+      .select(
+        col("event_id"),
+        when(
+          pmod(col("event_id"), lit(4)) === 0,
+          concat(lit("POST|e3b0c442|"), substring(sha2(payload, 256), 1, 8), lit("|"), norm)
+        ).otherwise(norm).as("unique_key")
+      )
+  }
+
+  // ---- C9 + F1: scheme gate + same-hostname strategy filter (SURVEY §2.3) --
+  // Corpus: every event yields a (origin, target) pair; targets on multiples
+  // of 2 share the origin host, multiples of 10 get ftp scheme (rejected).
+  register(
+    "f1_strategy_same_hostname",
+    Some(
+      """SELECT event_id,
+        | 'h' || (user_id % 7) || '.example.com' AS origin_host,
+        | CASE WHEN event_id % 10 = 0 THEN 'ftp' ELSE 'https' END AS target_scheme,
+        | CASE WHEN event_id % 2 = 0 THEN 'h' || (user_id % 7) || '.example.com'
+        |      ELSE 'other.org' END AS target_host
+        |FROM events
+        |WHERE event_id % 10 <> 0 AND event_id % 2 = 0""".stripMargin
+    )
+  ) { (s, dir) =>
+    val originHost = concat(lit("h"), pmod(col("user_id"), lit(7)), lit(".example.com"))
+    val targetScheme = when(pmod(col("event_id"), lit(10)) === 0, lit("ftp")).otherwise(lit("https"))
+    val targetHost = when(pmod(col("event_id"), lit(2)) === 0, originHost).otherwise(lit("other.org"))
+    UrlFunctions.register(s)
+    t(s, dir, "events")
+      .select(
+        col("event_id"),
+        originHost.as("origin_host"),
+        targetScheme.as("target_scheme"),
+        targetHost.as("target_host")
+      )
+      // the engine-side filter: scheme gate + same-hostname predicate
+      .filter(
+        UrlFunctions.strategyAllows(
+          concat(col("target_scheme"), lit("://"), col("target_host"), lit("/x")),
+          lit("same-hostname"),
+          concat(lit("https://"), col("origin_host"), lit("/page"))
+        )
+      )
+  }
+
+  // ---- Q1: dedup on add — first add wins (SURVEY §2.4) ---------------------
+  // unique_key collides across events (event_id % 500); the queue keeps the
+  // earliest-added request and drops later duplicates.
+  register(
+    "q1_dedup_first_wins",
+    Some(
+      """SELECT unique_key, event_id AS winner_event_id FROM (
+        |  SELECT 'uk-' || (event_id % 500) AS unique_key, event_id,
+        |         row_number() OVER (PARTITION BY event_id % 500 ORDER BY event_id) AS rn
+        |  FROM events
+        |) WHERE rn = 1""".stripMargin
+    )
+  ) { (s, dir) =>
+    val w = Window.partitionBy(pmod(col("event_id"), lit(500))).orderBy(col("event_id"))
+    t(s, dir, "events")
+      .select(concat(lit("uk-"), pmod(col("event_id"), lit(500))).as("unique_key"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("unique_key"), col("event_id").as("winner_event_id"))
+  }
+
+  // ---- Q3/Q4: FIFO + forefront two-level ordering (SURVEY §2.4) -------------
+  // forefront rows (event_id % 10 == 0) come first in LIFO order; regular
+  // rows follow in FIFO order. claim_rank materializes the total order.
+  register(
+    "q4_claim_ordering",
+    Some(
+      """SELECT event_id, is_forefront, row_number() OVER (
+        |  ORDER BY is_forefront DESC,
+        |           CASE WHEN is_forefront THEN -event_id ELSE event_id END ASC
+        |) AS claim_rank
+        |FROM (
+        |  SELECT event_id, (event_id % 10 = 0) AS is_forefront
+        |  FROM events WHERE event_id <= 1000
+        |)""".stripMargin
+    )
+  ) { (s, dir) =>
+    val base = t(s, dir, "events")
+      .filter(col("event_id") <= 1000)
+      .select(col("event_id"), (pmod(col("event_id"), lit(10)) === 0).as("is_forefront"))
+    val sortKey = when(col("is_forefront"), -col("event_id")).otherwise(col("event_id"))
+    base
+      .withColumn("claim_rank", row_number().over(Window.orderBy(col("is_forefront").desc, sortKey.asc)))
+  }
+
+  // ---- A1-A4: statistics aggregations (SURVEY §2.8) ------------------------
+  register(
+    "a2_duration_stats",
+    Some(
+      """SELECT event_type,
+        | count(*) AS cnt,
+        | min(value) AS min_v,
+        | max(value) AS max_v,
+        | sum(value) AS total_v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    )
+  ) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v"),
+        sum(col("value")).as("total_v")
+      )
+      .orderBy(col("event_type"))
+  }
+
+  register(
+    "a3_retry_histogram",
+    Some(
+      """SELECT CAST(event_id % 4 AS BIGINT) AS retry_count, count(*) AS freq
+        |FROM events GROUP BY event_id % 4 ORDER BY retry_count""".stripMargin
+    )
+  ) { (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(pmod(col("event_id"), lit(4)).cast("long").as("retry_count"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("retry_count"))
+  }
+
+  // ---- R1/F12: retry classification (SURVEY §2.9, _basic_crawler.py:1600-1671)
+  // status synthesized from event_id; classification column routes rows.
+  register(
+    "r1_retry_classification",
+    Some(
+      """SELECT status, outcome, count(*) AS cnt FROM (
+        |  SELECT status,
+        |    CASE WHEN status = 429 THEN 'throttle'
+        |         WHEN status >= 500 THEN 'retry'
+        |         WHEN status >= 400 THEN 'fail_no_retry'
+        |         ELSE 'handled' END AS outcome
+        |  FROM (
+        |    SELECT CASE WHEN event_id % 50 = 0 THEN 429
+        |                WHEN event_id % 23 = 0 THEN 500
+        |                WHEN event_id % 17 = 0 THEN 404
+        |                ELSE 200 END AS status
+        |    FROM events
+        |  )
+        |) GROUP BY status, outcome ORDER BY status""".stripMargin
+    )
+  ) { (s, dir) =>
+    val status = when(pmod(col("event_id"), lit(50)) === 0, 429)
+      .when(pmod(col("event_id"), lit(23)) === 0, 500)
+      .when(pmod(col("event_id"), lit(17)) === 0, 404)
+      .otherwise(200)
+    val outcome = when(col("status") === 429, "throttle")
+      .when(col("status") >= 500, "retry")
+      .when(col("status") >= 400, "fail_no_retry")
+      .otherwise("handled")
+    t(s, dir, "events")
+      .select(status.as("status"))
+      .withColumn("outcome", outcome)
+      .groupBy(col("status"), col("outcome"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("status"))
+  }
+
+  // ---- P3: 429 exponential backoff arithmetic (SURVEY §2.5) -----------------
+  register(
+    "p3_backoff_arithmetic",
+    Some(
+      """SELECT n, LEAST(2.0 * power(2, n - 1), 60.0) AS backoff_secs
+        |FROM (SELECT CAST(event_id % 8 + 1 AS BIGINT) AS n FROM events WHERE event_id <= 64)
+        |ORDER BY n""".stripMargin
+    )
+  ) { (s, dir) =>
+    t(s, dir, "events")
+      .filter(col("event_id") <= 64)
+      .select((pmod(col("event_id"), lit(8)) + 1).cast("long").as("n"))
+      .withColumn("backoff_secs", least(lit(2.0) * pow(lit(2.0), col("n") - 1), lit(60.0)))
+      .orderBy(col("n"))
+  }
+
+  // ---- D2-D9: Dataset relational surface (SURVEY §2.7) ----------------------
+  register(
+    "d2_offset_limit_desc",
+    Some(
+      """SELECT event_id, event_type, value FROM events
+        |ORDER BY event_id DESC LIMIT 100 OFFSET 50""".stripMargin
+    )
+  ) { (s, dir) =>
+    t(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id").desc)
+      .offset(50)
+      .limit(100)
+  }
+
+  register(
+    "d7_unwind",
+    Some(
+      """SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |FROM documents WHERE doc_id % 100 = 0""".stripMargin
+    )
+  ) { (s, dir) =>
+    t(s, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(100)) === 0)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+  }
+
+  // ---- F10 + R6: depth gate + max_requests budget (SURVEY §2.3/2.9) ---------
+  register(
+    "f10_depth_gate",
+    Some(
+      """SELECT CAST(event_id % 12 AS BIGINT) AS crawl_depth, count(*) AS cnt
+        |FROM events WHERE event_id % 12 <= 5
+        |GROUP BY event_id % 12 ORDER BY crawl_depth""".stripMargin
+    )
+  ) { (s, dir) =>
+    t(s, dir, "events")
+      .select(pmod(col("event_id"), lit(12)).cast("long").as("crawl_depth"))
+      .filter(col("crawl_depth") <= 5) // maxCrawlDepth = 5
+      .groupBy(col("crawl_depth"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("crawl_depth"))
+  }
+
+  // -------------------------------------------------------------------------
+
+  lazy val all: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
+  lazy val oracles: Map[String, String] =
+    entries.collect { case (k, (_, Some(sql))) => k -> sql }.toMap
+}
