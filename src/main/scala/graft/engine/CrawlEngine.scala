@@ -1,0 +1,321 @@
+package graft.engine
+
+import graft.canon.{EnqueueStrategy, Globs, RobotsRules, UrlCanon}
+import graft.expr.UrlFunctions
+import graft.oracle.CrawlConfig
+import graft.queue.FrontierStore
+import graft.schema.RequestState
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** The Spark-native crawl loop (SURVEY.md §3.1): an iterative micro-batch
+  * driver loop of claim → fetch → handle → commit over the FrontierStore.
+  *
+  * Stage structure per micro-batch (all executor-parallel Dataset ops):
+  *   1. claim      — FrontierStore.claim (window top-k under per-host quota)
+  *   2. robots gate— broadcast robots-rules probe (F6)
+  *   3. fetch      — join vs the page table (synthetic fetch, S9); one extra
+  *                   join hop resolves redirects (fixture guarantees
+  *                   redirect targets are terminal)
+  *   4. classify   — status → handled / failed / retry / throttle (F12, R1)
+  *   5. handler    — href extraction (regexp generator, L1), absolutize,
+  *                   strategy + pattern + depth + robots filters (F1-F10),
+  *                   per-page limit (F4), dedup + enqueue via addBatch (Q1)
+  *   6. emit       — image ids joined against the payload table land in the
+  *                   output dataset (D1)
+  *   7. commit     — markHandled / reclaim events + stats row
+  *
+  * Politeness (P2-P4) runs on a virtual batch clock: per-host quotas are
+  * computed driver-side from robots crawl-delay + 429 backoff state and
+  * enforced inside the claim window. Disabled for oracle-parity runs
+  * (the oracle models a zero politeness budget).
+  */
+final class CrawlEngine(
+    spark: SparkSession,
+    store: FrontierStore,
+    pages: DataFrame, // PageRow schema
+    robotsByHost: Map[String, RobotsRules],
+    cfg: CrawlConfig,
+    claimBatchSize: Int = 64,
+    enforcePoliteness: Boolean = false,
+    batchPeriodMs: Long = 1000L,
+    statusAtFn: (String, Int) => Int = (_, _) => 200 // (url, attempt) => status
+) extends Serializable {
+
+  import CrawlEngine._
+
+  final case class EngineResult(
+      crawlOrder: Seq[String],
+      seenKeys: Set[String],
+      handledOkKeys: Set[String],
+      failedKeys: Set[String],
+      skippedRobotsKeys: Set[String],
+      emittedImageIds: Seq[String],
+      batches: Int
+  )
+
+  def run(seeds: Seq[String]): EngineResult = {
+    import spark.implicits._
+    UrlFunctions.register(spark)
+
+    val sc = spark.sparkContext
+    val robotsBc = sc.broadcast(robotsByHost)
+    val respectRobots = cfg.respectRobots
+    val robotsAllowedUdf = udf { (url: String) =>
+      if (!respectRobots || url == null) true
+      else {
+        val host = UrlCanon.normalizeHost(UrlCanon.parse(url).host)
+        robotsBc.value.get(host).forall(_.isAllowed(url))
+      }
+    }
+    val statusFn = statusAtFn
+    val statusUdf = udf { (url: String, attempt: Int) => statusFn(url, attempt) }
+
+    val includeP = cfg.includePatterns
+    val excludeP = cfg.excludePatterns
+    val patternsOkUdf = udf { (url: String) =>
+      if (url == null) false
+      else if (excludeP.exists(g => Globs.matches(g, url))) false
+      else includeP.isEmpty || includeP.exists(g => Globs.matches(g, url))
+    }
+
+    val pagesDf = pages
+      .select(
+        col("url").as("p_url"),
+        col("status").as("p_status"),
+        col("redirect_to").as("p_redirect"),
+        col("body").as("p_body"),
+        col("image_ids").as("p_images")
+      )
+      .persist()
+    pagesDf.count()
+
+    // --- seed enqueue (S1 + F7: robots filter before add) -------------------
+    val seedDf = seeds.zipWithIndex
+      .toDF("url", "cand_order")
+      .filter(robotsAllowedUdf(col("url")))
+      .select(
+        UrlFunctions.uniqueKeyCol(col("url")).as("unique_key"),
+        col("url"),
+        UrlFunctions.hostOf(col("url")).as("host"),
+        lit(null).cast("string").as("label"),
+        lit("GET").as("method"),
+        lit(0).as("depth"),
+        lit(false).as("forefront"),
+        col("cand_order").cast("long")
+      )
+    store.addBatch(seedDf)
+
+    val crawlOrder = mutable.ArrayBuffer.empty[String]
+    val handledOk = mutable.HashSet.empty[String]
+    val failedKeys = mutable.HashSet.empty[String]
+    val skippedRobots = mutable.HashSet.empty[String]
+    val emittedImages = mutable.ArrayBuffer.empty[String]
+    var processedTotal = 0L
+    var batchIdx = 0
+    val throttle = new graft.politeness.DomainThrottle(robotsByHost.map { case (h, r) =>
+      h -> r.crawlDelay().getOrElse(0)
+    })
+
+    var done = false
+    while (!done && processedTotal < cfg.maxRequestsPerCrawl) {
+      val nowMs = batchIdx.toLong * batchPeriodMs
+      // R6: never claim more than the remaining budget (reproduces the
+      // concurrency-1 exactness of test_basic_crawler.py:1094-1122)
+      val budget = math.min(claimBatchSize.toLong, cfg.maxRequestsPerCrawl - processedTotal).toInt
+      val quota =
+        if (enforcePoliteness) throttle.quotas(nowMs, batchPeriodMs)
+        else Map.empty[String, Int]
+      val blocked = if (enforcePoliteness) throttle.blockedHosts(nowMs) else Set.empty[String]
+
+      val claimedRows = store.claim(budget, nowMs, hostQuota = quota, blockedHosts = blocked)
+
+      val batch = claimedRows
+        .withColumn("claim_rank", row_number().over(Window.orderBy(col("event_seq").asc)))
+        .select("unique_key", "url", "host", "depth", "retry_count", "forefront", "claim_rank")
+        .persist()
+      val claimedCount = batch.count()
+
+      if (claimedCount == 0) {
+        if (store.isFinished(nowMs)) done = true
+        else if (enforcePoliteness && store.pendingCount(nowMs) > 0) {
+          batchIdx += 1 // all throttled: advance the virtual clock (P2 sleep)
+        } else done = true
+        batch.unpersist(false)
+      } else {
+        // --- robots re-check at fetch time (F6) ------------------------------
+        val withRobots = batch.withColumn("robots_ok", robotsAllowedUdf(col("url")))
+        val robotsSkipped = withRobots.filter(!col("robots_ok"))
+        val allowed = withRobots.filter(col("robots_ok"))
+
+        // --- synthetic fetch: join page table; resolve one redirect hop ------
+        val fetched = allowed
+          .join(pagesDf, allowed("url") === pagesDf("p_url"), "left")
+          .withColumn(
+            "eff_status",
+            when(col("p_url").isNull, lit(404))
+              .otherwise(statusUdf(col("url"), col("retry_count")))
+          )
+        val redirected = fetched.filter(col("eff_status") === 301)
+        val direct = fetched.filter(col("eff_status") =!= 301)
+
+        // redirect hop: re-check strategy vs original url (F8), join target page
+        val redirResolved = redirected
+          .withColumn("loaded_url", col("p_redirect"))
+          .withColumn(
+            "strategy_ok",
+            UrlFunctions.strategyAllows(col("loaded_url"), lit(cfg.strategy), col("url"))
+          )
+        val redirFailed = redirResolved.filter(!col("strategy_ok"))
+        val p2 = pagesDf.select(
+          col("p_url").as("t_url"),
+          col("p_body").as("t_body"),
+          col("p_images").as("t_images")
+        )
+        val redirOk = redirResolved
+          .filter(col("strategy_ok"))
+          .drop("p_url", "p_status", "p_redirect", "p_body", "p_images")
+          .join(p2, col("loaded_url") === col("t_url"), "left")
+          .withColumn("eff_status", statusUdf(col("loaded_url"), col("retry_count")))
+          .withColumn("p_body", col("t_body"))
+          .withColumn("p_images", col("t_images"))
+          .drop("t_url", "t_body", "t_images")
+
+        val directLoaded = direct.withColumn("loaded_url", col("url"))
+        val unioned = directLoaded
+          .select(resultCols: _*)
+          .unionByName(redirOk.select(resultCols: _*))
+          .persist()
+        unioned.count()
+
+        // --- classification (F12 / R1) ---------------------------------------
+        val ok200 = unioned.filter(col("eff_status") === 200)
+        val fail404 = unioned.filter(col("eff_status") === 404)
+        val retryable = unioned.filter(col("eff_status").isin(429, 500))
+        val canRetry = retryable.filter(col("retry_count") < cfg.maxRetries)
+        val exhausted = retryable.filter(col("retry_count") >= cfg.maxRetries)
+
+        // --- handler: link extraction + enqueue pipeline (L1-L4) -------------
+        val maxDepthOk = ok200.filter(col("depth") + 1 <= cfg.maxCrawlDepth)
+        val hrefs = maxDepthOk
+          .withColumn("base_href", regexp_extract(col("p_body"), BaseHrefPattern, 1))
+          .withColumn("base_url", when(length(col("base_href")) > 0, col("base_href")).otherwise(col("loaded_url")))
+          .select(
+            col("unique_key").as("parent_key"),
+            col("url").as("origin_url"),
+            col("depth"),
+            col("claim_rank"),
+            col("base_url"),
+            posexplode(regexp_extract_all(col("p_body"), lit(HrefPattern), lit(1)))
+              .as(Seq("link_idx", "raw_link"))
+          )
+        val resolved = hrefs
+          .withColumn("abs_url", UrlFunctions.resolveUrl(col("base_url"), col("raw_link")))
+          .filter(col("abs_url").isNotNull)
+        val eligible = resolved
+          .withColumn(
+            "strategy_ok",
+            UrlFunctions.strategyAllows(col("abs_url"), lit(cfg.strategy), col("origin_url"))
+          )
+          .filter(col("strategy_ok") && patternsOkUdf(col("abs_url")))
+          .withColumn(
+            "link_rank",
+            row_number().over(Window.partitionBy(col("parent_key")).orderBy(col("link_idx")))
+          )
+          .filter(col("link_rank") <= cfg.linksPerPageLimit)
+          .filter(robotsAllowedUdf(col("abs_url"))) // F5
+        val candidates = eligible.select(
+          UrlFunctions.uniqueKeyCol(col("abs_url")).as("unique_key"),
+          col("abs_url").as("url"),
+          UrlFunctions.hostOf(col("abs_url")).as("host"),
+          lit(null).cast("string").as("label"),
+          lit("GET").as("method"),
+          (col("depth") + 1).as("depth"),
+          lit(false).as("forefront"),
+          (col("claim_rank").cast("long") * 10000 + col("link_idx")).as("cand_order")
+        )
+        store.addBatch(candidates)
+
+        // --- image emission (D1) ---------------------------------------------
+        val images = ok200
+          .select(col("unique_key"), explode_outer(col("p_images")).as("image_id"))
+          .filter(col("image_id").isNotNull)
+
+        // --- commits -----------------------------------------------------------
+        val handledNow = ok200
+          .select(col("unique_key"), lit(true).as("handled_ok"), lit(RequestState.Done).as("state"))
+          .unionByName(fail404.select(col("unique_key"), lit(false).as("handled_ok"), lit(RequestState.Error).as("state")))
+          .unionByName(exhausted.select(col("unique_key"), lit(false).as("handled_ok"), lit(RequestState.Error).as("state")))
+          .unionByName(redirFailed.select(col("unique_key"), lit(false).as("handled_ok"), lit(RequestState.Skipped).as("state")))
+          .unionByName(robotsSkipped.select(col("unique_key"), lit(false).as("handled_ok"), lit(RequestState.Skipped).as("state")))
+        store.markHandled(handledNow)
+        store.reclaim(
+          canRetry.select(col("unique_key"), col("forefront"), (col("retry_count") + 1).as("retry_count"))
+        )
+
+        // --- driver-side bookkeeping ------------------------------------------
+        val orderRows = unioned
+          .select(col("claim_rank"), col("url"), col("unique_key"), col("eff_status"), col("retry_count"), col("host"))
+          .orderBy(col("claim_rank"))
+          .collect()
+        orderRows.foreach { r =>
+          crawlOrder += r.getString(1)
+          val status = r.getInt(3)
+          val key = r.getString(2)
+          if (status == 200) { handledOk += key; processedTotal += 1 }
+          else if (status == 404) { failedKeys += key; processedTotal += 1 }
+          else if (r.getInt(4) >= cfg.maxRetries) { failedKeys += key; processedTotal += 1 }
+        }
+        redirFailed.select(col("unique_key")).collect().foreach { r =>
+          processedTotal += 1
+        }
+        robotsSkipped.select(col("unique_key")).collect().foreach(r => skippedRobots += r.getString(0))
+        emittedImages ++= images.select(col("image_id")).collect().map(_.getString(0))
+        if (enforcePoliteness) {
+          val counts429 = unioned
+            .filter(col("eff_status") === 429)
+            .groupBy(col("host"))
+            .count()
+            .collect()
+            .map(r => r.getString(0) -> r.getLong(1))
+            .toMap
+          val claimedPerHost = batch.groupBy(col("host")).count().collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          throttle.update(nowMs, claimedPerHost, counts429)
+        }
+
+        unioned.unpersist(false)
+        batch.unpersist(false)
+        batchIdx += 1
+      }
+    }
+
+    val seen = store.state().select(col("unique_key")).collect().map(_.getString(0)).toSet
+    pagesDf.unpersist(false)
+    EngineResult(
+      crawlOrder.toSeq,
+      seen,
+      handledOk.toSet,
+      failedKeys.toSet,
+      skippedRobots.toSet,
+      emittedImages.toSeq,
+      batchIdx
+    )
+  }
+}
+
+object CrawlEngine {
+  /** href extractor pattern (the L1 generator). */
+  val HrefPattern: String = "(?i)<a\\s[^>]*href\\s*=\\s*\"([^\"]*)\""
+  val BaseHrefPattern: String = "(?i)<base\\s[^>]*href\\s*=\\s*\"([^\"]*)\""
+
+  import org.apache.spark.sql.functions.col
+  val resultCols: Seq[org.apache.spark.sql.Column] = Seq(
+    col("unique_key"), col("url"), col("host"), col("depth"), col("retry_count"),
+    col("forefront"), col("claim_rank"), col("loaded_url"), col("eff_status"),
+    col("p_body"), col("p_images")
+  )
+}

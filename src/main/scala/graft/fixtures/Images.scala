@@ -1,0 +1,168 @@
+package graft.fixtures
+
+import graft.canon.Hashing
+import graft.schema.ImageRow
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+
+/** Deterministic image+caption payload table (FIXTURES.md §1 — the
+  * BASELINE.json input_hint shape). Pure function of image_id: procedural
+  * sinusoid + hash-colored tiles, encoded PNG (lossless) or JPEG (lossy)
+  * via javax.imageio; 64-bit average-hash phash over the decoded pixels.
+  *
+  * Pure per-row generation ⇒ embarrassingly parallel
+  * (`spark.range(n).mapPartitions`), which is how the table scales to the
+  * bench sizes without a driver-side loop.
+  */
+object Images {
+
+  def idOf(i: Long): String = f"img-$i%08d"
+
+  private def pos(l: Long): Long = l & Long.MaxValue
+
+  def dims(id: String): (Int, Int) = {
+    val w = 16 + (pos(Hashing.xxh64("w" + id)) % 5).toInt * 16
+    val h = 16 + (pos(Hashing.xxh64("h" + id)) % 5).toInt * 16
+    (w, h)
+  }
+
+  def fmtOf(id: String): String =
+    if (pos(Hashing.xxh64("fmt" + id)) % 2 == 0) "png" else "jpeg"
+
+  def captionOf(id: String): String = {
+    val words = Array("crawl", "frontier", "queue", "image", "spark", "bloom",
+      "host", "robots", "depth", "batch", "shard", "lease")
+    val k = pos(Hashing.xxh64("cap" + id))
+    val picks = (0 until 5).map(j => words(((k >> (j * 4)) % words.length).toInt))
+    s"caption of $id: ${picks.mkString(" ")}"
+  }
+
+  /** Procedural pixels: sinusoid field + 8x8 hash-colored tiles. */
+  def renderPixels(id: String, w: Int, h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val seed = Hashing.xxh64("px" + id)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val tile = pos(Hashing.xxh64(s"t$seed:${x / 8}:${y / 8}"))
+        // Detail lives in luma (identical across channels); chroma is a
+        // smooth gradient only — JPEG 4:2:0 chroma subsampling would
+        // otherwise cap PSNR near 31 dB no matter the quality setting.
+        val s = math.sin((x + (seed % 17)) * 0.25) * math.cos((y + (seed % 13)) * 0.2)
+        val luma = ((s + 1) * 70).toInt + (tile % 48).toInt + 40
+        val r = luma + (x * 24 / math.max(w, 1))
+        val g = luma + (y * 24 / math.max(h, 1))
+        val b = luma + ((x + y) * 12 / math.max(w + h, 1))
+        img.setRGB(x, y, ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** JPEG is written at quality 0.95 so the lossy round-trip stays above
+    * the 40 dB PSNR gate of the input_hint invariant (default quality
+    * lands ~35 dB on this pattern).
+    */
+  def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    if (fmt == "jpeg") {
+      val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+      val params = writer.getDefaultWriteParam
+      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(0.95f)
+      val ios = ImageIO.createImageOutputStream(out)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+      ios.close()
+      writer.dispose()
+    } else ImageIO.write(img, fmt, out)
+    out.toByteArray
+  }
+
+  def decode(bytes: Array[Byte]): BufferedImage =
+    ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+
+  /** 64-bit average-hash over an 8x8 grayscale downsample of the pixels. */
+  def phash(img: BufferedImage): Long = {
+    val cell = Array.ofDim[Double](64)
+    val w = img.getWidth
+    val h = img.getHeight
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val gray = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000.0
+        cell((y * 8 / h) * 8 + (x * 8 / w)) += gray
+        x += 1
+      }
+      y += 1
+    }
+    val mean = cell.sum / 64
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (cell(i) > mean) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** PSNR between two same-size images (dB); infinity ⇒ 99.0. */
+  def psnr(a: BufferedImage, b: BufferedImage): Double = {
+    require(a.getWidth == b.getWidth && a.getHeight == b.getHeight, "size mismatch")
+    var mse = 0.0
+    var n = 0
+    var y = 0
+    while (y < a.getHeight) {
+      var x = 0
+      while (x < a.getWidth) {
+        val pa = a.getRGB(x, y)
+        val pb = b.getRGB(x, y)
+        var c = 0
+        while (c < 3) {
+          val d = ((pa >> (8 * c)) & 0xff) - ((pb >> (8 * c)) & 0xff)
+          mse += d.toDouble * d
+          n += 1
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    mse /= n
+    if (mse <= 1e-12) 99.0 else 10.0 * math.log10(255.0 * 255.0 / mse)
+  }
+
+  /** Full deterministic row for image index i. */
+  def rowAt(i: Long): ImageRow = {
+    val id = idOf(i)
+    val (w, h) = dims(id)
+    val fmt = fmtOf(id)
+    val img = renderPixels(id, w, h)
+    val bytes = encode(img, fmt)
+    // phash over the DECODED bytes (post-JPEG-loss), so consumers verifying
+    // phash against the decoded payload agree bit-for-bit.
+    val ph = phash(decode(bytes))
+    ImageRow(id, bytes, w, h, fmt, captionOf(id), ph)
+  }
+
+  /** Per-row validation per BASELINE.json input_hint: lossless formats must
+    * decode bit-identically to the procedural render; lossy must reach
+    * PSNR >= 40 dB; caption must match exactly.
+    */
+  def validate(row: ImageRow): Boolean = {
+    val decoded = decode(row.bytes)
+    if (decoded == null || decoded.getWidth != row.w || decoded.getHeight != row.h) return false
+    val expected = renderPixels(row.image_id, row.w, row.h)
+    val quality =
+      if (row.fmt == "png") psnr(decoded, expected) >= 99.0
+      else psnr(decoded, expected) >= 40.0
+    quality && row.caption == captionOf(row.image_id) && row.phash == phash(decoded)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.politeness
+
+import scala.collection.mutable
+
+/** Per-host politeness state on the engine's virtual batch clock
+  * (SURVEY.md §2.5). Semantics from the reference ThrottlingRequestManager
+  * (/root/reference/src/crawlee/request_loaders/_throttling_request_manager.py):
+  *
+  *   - P3: consecutive-429 exponential backoff, delay = 2s * 2^(n-1) capped
+  *     at 60s (`:78-79,291-337`); success resets the counter.
+  *   - P4: robots `Crawl-delay` locked at first value per domain
+  *     (`:339-354`); each dispatch pushes next-allowed by the delay
+  *     (`:398-405`). The batch analogue: per-host quota =
+  *     floor(batchPeriod / delay), minimum 1 when the host is not throttled.
+  *
+  * Driver-side state, re-broadcast each micro-batch via the claim's quota
+  * map — the Spark form of the reference's in-memory DomainState.
+  */
+final class DomainThrottle(crawlDelaySecs: Map[String, Int]) extends Serializable {
+
+  val BackoffBaseMs = 2000L
+  val BackoffCapMs = 60000L
+
+  private val consecutive429 = mutable.HashMap.empty[String, Int].withDefaultValue(0)
+  private val throttledUntilMs = mutable.HashMap.empty[String, Long].withDefaultValue(0L)
+
+  def backoffMs(n: Int): Long =
+    math.min(BackoffBaseMs * (1L << math.max(0, n - 1)), BackoffCapMs)
+
+  /** Hosts fully blocked at `nowMs` (still inside a 429 backoff window). */
+  def blockedHosts(nowMs: Long): Set[String] =
+    throttledUntilMs.collect { case (h, until) if until > nowMs => h }.toSet
+
+  /** Per-host claim quota for a batch of `batchPeriodMs` starting at nowMs.
+    * Hosts without crawl-delay get no entry (unlimited).
+    */
+  def quotas(nowMs: Long, batchPeriodMs: Long): Map[String, Int] =
+    crawlDelaySecs.collect {
+      case (host, delay) if delay > 0 =>
+        val q =
+          if (throttledUntilMs(host) > nowMs) 0
+          else math.max(1L, batchPeriodMs / (delay * 1000L)).toInt
+        host -> q
+    }
+
+  /** Fold one batch's fetch outcome into the state. */
+  def update(nowMs: Long, claimedPerHost: Map[String, Long], got429PerHost: Map[String, Long]): Unit = {
+    claimedPerHost.foreach { case (host, _) =>
+      if (got429PerHost.getOrElse(host, 0L) > 0) {
+        val n = consecutive429(host) + 1
+        consecutive429(host) = n
+        throttledUntilMs(host) = nowMs + backoffMs(n)
+      } else {
+        consecutive429(host) = 0
+        // crawl-delay dispatch push: next batch naturally rate-limited by quota
+      }
+    }
+  }
+
+  def state: Map[String, (Int, Long)] =
+    (consecutive429.keySet ++ throttledUntilMs.keySet)
+      .map(h => h -> ((consecutive429(h), throttledUntilMs(h)))).toMap
+}

@@ -1,0 +1,494 @@
+package graft.queue
+
+import graft.schema.Status
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** Dataset-native RequestQueue (SURVEY.md §2.4) as an append-only event log
+  * with snapshot-manifest commits — the Iceberg-style status-as-log design
+  * of SURVEY §7.4.5 (no Iceberg jars ship with this image, so the snapshot
+  * semantics are provided by an atomic manifest rename over plain parquet).
+  *
+  * Semantics ported from the reference queue clients:
+  *   - dedup-on-add, first add wins, re-add of pending + forefront
+  *     repositions (memory client `_memory/_request_queue_client.py:141-210`)
+  *   - FIFO `seq` / LIFO `forefront_seq` two-level ordering
+  *     (`_file_system/_request_queue_client.py:42-49,373-381,725-734`)
+  *   - claim with lease; expired leases are auto-reclaimed by the next claim
+  *     (Redis `_BLOCK_REQUEST_TIME` + stale sweep,
+  *     `_redis/_request_queue_client.py:80-87`)
+  *   - markHandled / reclaim only act on in-progress rows
+  *     (`_memory/_request_queue_client.py:232-288`)
+  *
+  * Scale design (10^10 frontier): current state is one row per unique_key,
+  * maintained incrementally — each commit merges the delta into the cached
+  * state with a latest-event-wins window, and persists the delta file; the
+  * manifest lists {snapshot?, deltas}. State is hash-distributed on
+  * unique_key, so the merge window and the dedup anti-join both reuse the
+  * same shuffle partitioning; `host_hash` buckets drive claim locality. At
+  * cluster scale the snapshot would be bucketed by `pmod(host_hash, B)` and
+  * the claim would prune to politeness-eligible buckets.
+  */
+final class FrontierStore(
+    val spark: SparkSession,
+    val root: String,
+    leaseMs: Long = 300000L, // reference claim lease: 300 s
+    compactEvery: Int = 8
+) {
+
+  import FrontierStore._
+
+  private val logDir = s"$root/log"
+  private val manifestPath = Paths.get(s"$root/manifest.json")
+
+  Files.createDirectories(Paths.get(logDir))
+
+  @volatile private var manifest: Manifest =
+    if (Files.exists(manifestPath)) Manifest.read(manifestPath) else Manifest.empty
+
+  /** Cached current state: exactly one row (the latest event) per unique_key. */
+  private var stateDf: DataFrame = _
+  private var stateCached = false
+
+  /** Latest-event-per-key reduction. */
+  private def latestWins(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("unique_key")).orderBy(col("event_seq").desc)
+    events.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Current queue state (one row per key). Reconstructs from the manifest
+    * on first access (resume path), then maintained incrementally.
+    */
+  def state(): DataFrame = synchronized {
+    if (stateDf == null) {
+      val files = manifest.allFiles(root)
+      stateDf =
+        if (files.isEmpty) emptyEvents(spark)
+        else latestWins(spark.read.schema(eventSchema).parquet(files: _*))
+      refreshCache()
+    }
+    stateDf
+  }
+
+  private def refreshCache(): Unit = {
+    val materialized = stateDf.persist(StorageLevel.MEMORY_AND_DISK)
+    materialized.count() // force
+    stateDf = materialized
+    stateCached = true
+  }
+
+  private def swapState(newState: DataFrame): Unit = {
+    val old = if (stateCached) Some(stateDf) else None
+    stateDf = newState
+    refreshCache()
+    old.foreach(_.unpersist(false))
+  }
+
+  // ---- counters -----------------------------------------------------------
+
+  def batchId: Long = manifest.batchId
+  def counters: (Long, Long, Long) = (manifest.maxSeq, manifest.maxForefrontSeq, manifest.maxEventSeq)
+
+  // ---- commit -------------------------------------------------------------
+
+  /** Append `events` as one atomic commit: parquet delta + manifest rename.
+    * Also merges the delta into the cached state.
+    */
+  private def commit(events: DataFrame, newMaxSeq: Long, newMaxFf: Long, newMaxEv: Long): Unit = synchronized {
+    val bid = manifest.batchId + 1
+    val deltaName = f"delta-$bid%06d"
+    val deltaPath = s"$logDir/$deltaName"
+    events.write.mode(SaveMode.Overwrite).parquet(deltaPath)
+    val nextManifest = manifest.copy(
+      batchId = bid,
+      maxSeq = newMaxSeq,
+      maxForefrontSeq = newMaxFf,
+      maxEventSeq = newMaxEv,
+      deltas = manifest.deltas :+ deltaName
+    )
+    // merge delta into cached state
+    val delta = spark.read.schema(eventSchema).parquet(deltaPath)
+    swapState(latestWins(state().unionByName(delta)))
+    val finalManifest =
+      if (nextManifest.deltas.size >= compactEvery) compact(nextManifest)
+      else nextManifest
+    Manifest.writeAtomic(manifestPath, finalManifest)
+    manifest = finalManifest
+  }
+
+  /** Rewrite current state as a snapshot; drop deltas from the manifest. */
+  private def compact(m: Manifest): Manifest = {
+    val snapName = f"snapshot-${m.batchId}%06d"
+    stateDf.write.mode(SaveMode.Overwrite).parquet(s"$logDir/$snapName")
+    // re-point cached state at the written snapshot (cuts lineage)
+    val snap = spark.read.schema(eventSchema).parquet(s"$logDir/$snapName")
+    swapState(snap)
+    m.copy(snapshot = Some(snapName), deltas = Vector.empty)
+  }
+
+  // ---- add (Q1-Q4) ---------------------------------------------------------
+
+  /** Add a batch of candidate requests.
+    *
+    * `candidates` columns: unique_key, url, host, label, method, depth,
+    * forefront (boolean), cand_order (long; deterministic within-batch
+    * insertion order).
+    *
+    * Returns the add-report: (unique_key, was_already_present,
+    * was_already_handled) per the reference's ProcessedRequest.
+    */
+  def addBatch(candidates: DataFrame): DataFrame = synchronized {
+    val (maxSeq, maxFf, maxEv) = counters
+    // in-batch dedup: first occurrence wins (matching per-request loop order)
+    val wIn = Window.partitionBy(col("unique_key")).orderBy(col("cand_order"))
+    val cand = candidates
+      .withColumn("__rn", row_number().over(wIn))
+      .withColumn("__dup_in_batch", col("__rn") > 1)
+    val firsts = cand.filter(!col("__dup_in_batch")).drop("__rn", "__dup_in_batch")
+
+    val st = state().select(
+      col("unique_key").as("ex_key"),
+      col("status").as("ex_status"),
+      col("url").as("ex_url"),
+      col("host").as("ex_host"),
+      col("label").as("ex_label"),
+      col("method").as("ex_method"),
+      col("depth").as("ex_depth"),
+      col("retry_count").as("ex_retry"),
+      col("no_retry").as("ex_no_retry"),
+      col("seq").as("ex_seq"),
+      col("forefront_seq").as("ex_ffseq"),
+      col("state").as("ex_state"),
+      col("handled_ok").as("ex_ok"),
+      col("lock_expires_at").as("ex_lock")
+    )
+
+    val joined = firsts.join(st, firsts("unique_key") === st("ex_key"), "left")
+
+    val isNew = col("ex_key").isNull
+    val wasHandled = !isNew && col("ex_status") === Status.Handled
+    val inProgress = !isNew && col("ex_status") === Status.InProgress
+    val pendingDup = !isNew && col("ex_status") === Status.Pending
+
+    // New inserts: assign seq / forefront_seq by insertion order
+    val newRows = joined.filter(isNew).drop("ex_key", "ex_status", "ex_url", "ex_host",
+      "ex_label", "ex_method", "ex_depth", "ex_retry", "ex_no_retry", "ex_seq", "ex_ffseq",
+      "ex_state", "ex_ok", "ex_lock")
+    val wOrder = Window.orderBy(col("cand_order"))
+    val numbered = newRows.withColumn("__pos", row_number().over(wOrder))
+    val newEvents = numbered.select(
+      col("unique_key"),
+      xxhash64(col("unique_key")).as("key64"),
+      col("url"),
+      col("host"),
+      xxhash64(col("host")).as("host_hash"),
+      col("label"),
+      col("method"),
+      col("depth"),
+      lit(0).as("retry_count"),
+      lit(false).as("no_retry"),
+      col("forefront"),
+      when(col("forefront"), lit(-1L)).otherwise(lit(maxSeq) + col("__pos")).as("seq"),
+      when(col("forefront"), lit(maxFf) + col("__pos")).otherwise(lit(-1L)).as("forefront_seq"),
+      lit(Status.Pending).as("status"),
+      lit(graft.schema.RequestState.Unprocessed).as("state"),
+      lit(false).as("handled_ok"),
+      lit(0L).as("lock_expires_at"),
+      (lit(maxEv) + col("__pos")).as("event_seq"),
+      lit(batchId + 1).as("batch_id")
+    )
+
+    // Forefront re-add of a still-pending request repositions it (keeps the
+    // ORIGINAL request fields — incoming dup loses accumulated state).
+    val repositioned = joined
+      .filter(pendingDup && col("forefront"))
+      .withColumn("__pos", row_number().over(Window.orderBy(col("cand_order"))))
+      .select(
+        col("ex_key").as("unique_key"),
+        xxhash64(col("ex_key")).as("key64"),
+        col("ex_url").as("url"),
+        col("ex_host").as("host"),
+        xxhash64(col("ex_host")).as("host_hash"),
+        col("ex_label").as("label"),
+        col("ex_method").as("method"),
+        col("ex_depth").as("depth"),
+        col("ex_retry").as("retry_count"),
+        col("ex_no_retry").as("no_retry"),
+        lit(true).as("forefront"),
+        lit(-1L).as("seq"),
+        (lit(maxFf + 1000000000L) + col("__pos")).as("forefront_seq"),
+        lit(Status.Pending).as("status"),
+        col("ex_state").as("state"),
+        col("ex_ok").as("handled_ok"),
+        col("ex_lock").as("lock_expires_at"),
+        (lit(maxEv + 1000000000L) + col("__pos")).as("event_seq"),
+        lit(batchId + 1).as("batch_id")
+      )
+
+    val newCount = newEvents.count()
+    val repoCount = repositioned.count()
+    val events = newEvents.unionByName(repositioned)
+
+    if (newCount + repoCount > 0) {
+      // tighten the reposition seq blocks to be contiguous after the new block
+      val fixedRepo = repositioned
+        .withColumn("forefront_seq", col("forefront_seq") - lit(1000000000L) + lit(newCount))
+        .withColumn("event_seq", col("event_seq") - lit(1000000000L) + lit(newCount))
+      val allEvents = newEvents.unionByName(fixedRepo)
+      commit(
+        allEvents,
+        newMaxSeq = maxSeq + newCount,
+        newMaxFf = maxFf + newCount + repoCount, // over-allocates ff range; monotonic is all that matters
+        newMaxEv = maxEv + newCount + repoCount
+      )
+    }
+    val _ = events
+
+    // Add report (for every candidate incl. in-batch duplicates)
+    cand
+      .join(st, cand("unique_key") === st("ex_key"), "left")
+      .select(
+        cand("unique_key"),
+        (col("ex_key").isNotNull || col("__dup_in_batch")).as("was_already_present"),
+        (col("ex_key").isNotNull && col("ex_status") === Status.Handled).as("was_already_handled")
+      )
+  }
+
+  // ---- claim (Q5 + P2/P4) ---------------------------------------------------
+
+  /** Claim up to `maxN` requests, at most `quotaFor(host)` per host, honoring
+    * the two-level forefront/FIFO order. Rows whose lease expired count as
+    * pending (Q8 stale auto-reclaim). Returns the claimed rows.
+    */
+  def claim(
+      maxN: Int,
+      nowMs: Long,
+      hostQuota: Map[String, Int] = Map.empty,
+      defaultQuota: Int = Int.MaxValue,
+      blockedHosts: Set[String] = Set.empty
+  ): DataFrame = synchronized {
+    if (maxN <= 0) return emptyEvents(spark)
+    val (maxSeq, maxFf, maxEv) = counters
+    val eligible = state().filter(
+      (col("status") === Status.Pending) ||
+        (col("status") === Status.InProgress && col("lock_expires_at") <= nowMs)
+    )
+    val notBlocked =
+      if (blockedHosts.isEmpty) eligible
+      else eligible.filter(!col("host").isin(blockedHosts.toSeq: _*))
+
+    val sortKey = when(col("forefront"), -col("forefront_seq")).otherwise(col("seq"))
+    val ordered = notBlocked
+      .withColumn("__sort", sortKey)
+      .withColumn(
+        "__host_rank",
+        row_number().over(Window.partitionBy(col("host")).orderBy(col("forefront").desc, col("__sort").asc))
+      )
+    val quotaUdf = udf((host: String) => hostQuota.getOrElse(host, defaultQuota))
+    val underQuota = ordered.filter(col("__host_rank") <= quotaUdf(col("host")))
+    val picked = underQuota
+      .orderBy(col("forefront").desc, col("__sort").asc)
+      .limit(maxN)
+      .drop("__sort", "__host_rank")
+
+    val claimEvents = picked
+      .withColumn("__pos", row_number().over(Window.orderBy(col("forefront").desc, when(col("forefront"), -col("forefront_seq")).otherwise(col("seq")).asc)))
+      .withColumn("status", lit(Status.InProgress))
+      .withColumn("state", lit(graft.schema.RequestState.BeforeNav))
+      .withColumn("lock_expires_at", lit(nowMs + leaseMs))
+      .withColumn("event_seq", lit(maxEv) + col("__pos"))
+      .withColumn("batch_id", lit(batchId + 1))
+      .drop("__pos")
+
+    val n = claimEvents.count()
+    if (n > 0) {
+      commit(claimEvents, maxSeq, maxFf, maxEv + n)
+      // return the COMMITTED rows (from the refreshed cached state) so
+      // callers never hold lineage onto the pre-commit state
+      state().filter(col("status") === Status.InProgress && col("batch_id") === batchId)
+    } else emptyEvents(spark)
+  }
+
+  // ---- markHandled / reclaim (Q6/Q7) ----------------------------------------
+
+  /** `results` columns: unique_key, handled_ok (bool), state (int).
+    * Marks in-progress rows handled; others ignored (reference returns None).
+    */
+  def markHandled(results: DataFrame): Unit = synchronized {
+    val (maxSeq, maxFf, maxEv) = counters
+    val inProg = state().filter(col("status") === Status.InProgress)
+    val joined = inProg
+      .drop("handled_ok")
+      .join(
+        results.select(
+          col("unique_key").as("r_key"),
+          col("handled_ok"),
+          col("state").as("r_state")
+        ),
+        col("unique_key") === col("r_key"),
+        "inner"
+      )
+      .drop("r_key")
+    val events = joined
+      .withColumn("__pos", row_number().over(Window.orderBy(col("unique_key"))))
+      .withColumn("status", lit(Status.Handled))
+      .withColumn("state", col("r_state"))
+      .withColumn("lock_expires_at", lit(0L))
+      .withColumn("event_seq", lit(maxEv) + col("__pos"))
+      .withColumn("batch_id", lit(batchId + 1))
+      .drop("__pos", "r_state")
+      .select(eventCols: _*)
+    val n = events.count()
+    if (n > 0) commit(events, maxSeq, maxFf, maxEv + n)
+  }
+
+  /** `rows` columns: unique_key, forefront (bool), retry_count (new value).
+    * Returns in-progress rows to pending with fresh ordering position —
+    * reclaimed values supersede stored ones (Q7).
+    */
+  def reclaim(rows: DataFrame): Unit = synchronized {
+    val (maxSeq, maxFf, maxEv) = counters
+    val inProg = state().filter(col("status") === Status.InProgress)
+    val joined = inProg
+      .drop("forefront", "retry_count")
+      .join(
+        rows.select(
+          col("unique_key").as("r_key"),
+          col("forefront"),
+          col("retry_count")
+        ),
+        col("unique_key") === col("r_key"),
+        "inner"
+      )
+      .drop("r_key")
+    val numbered = joined.withColumn("__pos", row_number().over(Window.orderBy(col("unique_key"))))
+    val events = numbered
+      .withColumn("status", lit(Status.Pending))
+      .withColumn("seq", when(col("forefront"), lit(-1L)).otherwise(lit(maxSeq) + col("__pos")))
+      .withColumn("forefront_seq", when(col("forefront"), lit(maxFf) + col("__pos")).otherwise(lit(-1L)))
+      .withColumn("lock_expires_at", lit(0L))
+      .withColumn("event_seq", lit(maxEv) + col("__pos"))
+      .withColumn("batch_id", lit(batchId + 1))
+      .drop("__pos")
+      .select(eventCols: _*)
+    val n = events.count()
+    if (n > 0) commit(events, maxSeq + n, maxFf + n, maxEv + n)
+  }
+
+  // ---- predicates (Q9) -------------------------------------------------------
+
+  def pendingCount(nowMs: Long): Long =
+    state().filter(
+      (col("status") === Status.Pending) ||
+        (col("status") === Status.InProgress && col("lock_expires_at") <= nowMs)
+    ).count()
+
+  def inProgressCount(nowMs: Long): Long =
+    state().filter(col("status") === Status.InProgress && col("lock_expires_at") > nowMs).count()
+
+  def isEmpty(nowMs: Long): Boolean = pendingCount(nowMs) == 0
+  def isFinished(nowMs: Long): Boolean = isEmpty(nowMs) && inProgressCount(nowMs) == 0
+
+  /** Metadata counters (Q11). */
+  def metadata(): Map[String, Long] = {
+    val byStatus = state().groupBy(col("status")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    Map(
+      "total_request_count" -> byStatus.values.sum,
+      "pending_request_count" -> byStatus.getOrElse(Status.Pending, 0L),
+      "in_progress_request_count" -> byStatus.getOrElse(Status.InProgress, 0L),
+      "handled_request_count" -> byStatus.getOrElse(Status.Handled, 0L)
+    )
+  }
+
+  /** Point lookup (Q12). */
+  def getRequest(uniqueKey: String): Option[org.apache.spark.sql.Row] =
+    state().filter(col("unique_key") === uniqueKey).collect().headOption
+
+  /** Purge: empty the queue but keep the storage (Q13). */
+  def purge(): Unit = synchronized {
+    manifest = Manifest.empty
+    Manifest.writeAtomic(manifestPath, manifest)
+    if (stateCached) stateDf.unpersist(false)
+    stateDf = null
+  }
+}
+
+object FrontierStore {
+
+  import org.apache.spark.sql.types._
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("unique_key", StringType),
+    StructField("key64", LongType),
+    StructField("url", StringType),
+    StructField("host", StringType),
+    StructField("host_hash", LongType),
+    StructField("label", StringType),
+    StructField("method", StringType),
+    StructField("depth", IntegerType),
+    StructField("retry_count", IntegerType),
+    StructField("no_retry", BooleanType),
+    StructField("forefront", BooleanType),
+    StructField("seq", LongType),
+    StructField("forefront_seq", LongType),
+    StructField("status", IntegerType),
+    StructField("state", IntegerType),
+    StructField("handled_ok", BooleanType),
+    StructField("lock_expires_at", LongType),
+    StructField("event_seq", LongType),
+    StructField("batch_id", LongType)
+  ))
+
+  val eventCols: Seq[org.apache.spark.sql.Column] =
+    eventSchema.fieldNames.toSeq.map(col)
+
+  def emptyEvents(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], eventSchema)
+
+  /** Commit manifest: JSON file, atomically replaced via temp+rename. */
+  final case class Manifest(
+      batchId: Long,
+      maxSeq: Long,
+      maxForefrontSeq: Long,
+      maxEventSeq: Long,
+      snapshot: Option[String],
+      deltas: Vector[String]
+  ) {
+    def allFiles(root: String): Seq[String] =
+      (snapshot.toSeq ++ deltas).map(n => s"$root/log/$n")
+  }
+
+  object Manifest {
+    val empty: Manifest = Manifest(0L, 0L, 0L, 0L, None, Vector.empty)
+
+    def writeAtomic(path: Path, m: Manifest): Unit = {
+      val json =
+        s"""{"batchId":${m.batchId},"maxSeq":${m.maxSeq},"maxForefrontSeq":${m.maxForefrontSeq},
+           |"maxEventSeq":${m.maxEventSeq},"snapshot":${m.snapshot.map(s => "\"" + s + "\"").getOrElse("null")},
+           |"deltas":[${m.deltas.map(d => "\"" + d + "\"").mkString(",")}]}""".stripMargin
+      val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+      Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    def read(path: Path): Manifest = {
+      val json = new String(Files.readAllBytes(path), StandardCharsets.UTF_8)
+      def longOf(k: String): Long =
+        s""""$k":\\s*(-?\\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(0L)
+      val snapshot = """"snapshot":\s*"([^"]+)"""".r.findFirstMatchIn(json).map(_.group(1))
+      val deltas = """"deltas":\s*\[([^\]]*)\]""".r
+        .findFirstMatchIn(json)
+        .map(_.group(1))
+        .filter(_.nonEmpty)
+        .map(_.split(",").toVector.map(_.trim.stripPrefix("\"").stripSuffix("\"")))
+        .getOrElse(Vector.empty)
+      Manifest(longOf("batchId"), longOf("maxSeq"), longOf("maxForefrontSeq"), longOf("maxEventSeq"), snapshot, deltas)
+    }
+  }
+}

@@ -1,0 +1,94 @@
+package graft.engine
+
+import graft.SparkSpec
+import graft.canon.Robots
+import graft.fixtures.{SyntheticWeb, WebSpec}
+import graft.oracle.{CrawlConfig, CrawlOracle}
+import graft.queue.FrontierStore
+
+import java.nio.file.Files
+
+/** The north-rule correctness gate: the Spark engine must match the
+  * single-threaded reference oracle (a port of the memory queue + crawler
+  * loop) on crawl ORDER at claim-batch 1 and on the final URL-seen set at
+  * any batch size, under an identical seed list and politeness budget.
+  */
+class CrawlParitySpec extends SparkSpec {
+
+  private def mkEngine(spec: WebSpec, cfg: CrawlConfig, batchSize: Int): CrawlEngine = {
+    import spark.implicits._
+    val pagesDf = spark
+      .createDataset((0L until spec.totalPages.toLong).map(g => SyntheticWeb.pageAt(spec, g)))
+      .toDF()
+    val robots = SyntheticWeb
+      .allRobots(spec)
+      .map(r => r.host -> Robots.fromFetch(s"https://${r.host}", r.status, r.body))
+      .toMap
+    val store = new FrontierStore(spark, Files.createTempDirectory("engine").toString)
+    new CrawlEngine(
+      spark, store, pagesDf, robots, cfg,
+      claimBatchSize = batchSize,
+      statusAtFn = (url, attempt) => {
+        val host = graft.canon.UrlCanon.parse(url).host
+        SyntheticWeb.statusAt(spec, CrawlOracle.hostIdx(spec, host), CrawlOracle.pageIdx(url), attempt)
+      }
+    )
+  }
+
+  val smallSpec: WebSpec = WebSpec(hosts = 2, pagesPerHost = 18, otherOrgPages = 6, subHostPages = 6, nImages = 40)
+  val seeds = Seq("https://h0.example.com/p/0", "https://h1.example.com/p/0")
+
+  test("crawl order parity at concurrency 1 (claim batch = 1)") {
+    val cfg = CrawlConfig(maxRequestsPerCrawl = 30)
+    val oracle = CrawlOracle.run(smallSpec, seeds, cfg)
+    val engine = mkEngine(smallSpec, cfg, batchSize = 1).run(seeds)
+    assert(engine.crawlOrder == oracle.crawlOrder)
+    assert(engine.handledOkKeys == oracle.handledOkKeys)
+    assert(engine.failedKeys == oracle.failedKeys)
+  }
+
+  test("URL-seen set + image emission parity on a full crawl (batch = 16)") {
+    val cfg = CrawlConfig()
+    val oracle = CrawlOracle.run(smallSpec, seeds, cfg)
+    val engine = mkEngine(smallSpec, cfg, batchSize = 16).run(seeds)
+    assert(engine.seenKeys == oracle.seenKeys)
+    assert(engine.handledOkKeys == oracle.handledOkKeys)
+    assert(engine.failedKeys == oracle.failedKeys)
+    assert(engine.emittedImageIds.sorted == oracle.emittedImageIds.sorted)
+  }
+
+  test("max_requests_per_crawl exactness at concurrency 1 (test_basic_crawler.py:1094-1122)") {
+    val cfg = CrawlConfig(maxRequestsPerCrawl = 3)
+    val engine = mkEngine(smallSpec, cfg, batchSize = 1).run(seeds)
+    assert(engine.handledOkKeys.size + engine.failedKeys.size == 3)
+  }
+
+  test("max_crawl_depth gate (test_basic_crawler.py:1125-1150)") {
+    val cfg = CrawlConfig(maxCrawlDepth = 0)
+    val oracle = CrawlOracle.run(smallSpec, seeds, cfg)
+    val engine = mkEngine(smallSpec, cfg, batchSize = 8).run(seeds)
+    // depth 0 only: exactly the (robots-allowed) seeds are crawled
+    assert(engine.seenKeys == oracle.seenKeys)
+    assert(engine.seenKeys.size <= seeds.size)
+  }
+
+  test("include/exclude glob patterns (exclude wins)") {
+    val cfg = CrawlConfig(
+      includePatterns = Seq("https://h0.example.com/**"),
+      excludePatterns = Seq("https://h0.example.com/private/**")
+    )
+    val oracle = CrawlOracle.run(smallSpec, Seq(seeds.head), cfg)
+    val engine = mkEngine(smallSpec, cfg, batchSize = 8).run(Seq(seeds.head))
+    assert(engine.seenKeys == oracle.seenKeys)
+    assert(!engine.seenKeys.exists(_.contains("/private/")))
+  }
+
+  test("same-domain strategy reaches the sub-host, not other.org") {
+    val cfg = CrawlConfig(strategy = graft.canon.EnqueueStrategy.SameDomain)
+    val oracle = CrawlOracle.run(smallSpec, Seq(seeds.head), cfg)
+    val engine = mkEngine(smallSpec, cfg, batchSize = 16).run(Seq(seeds.head))
+    assert(engine.seenKeys == oracle.seenKeys)
+    assert(engine.seenKeys.exists(_.contains("sub.h0.example.com")))
+    assert(!engine.seenKeys.exists(_.contains("other.org")))
+  }
+}

@@ -1,0 +1,172 @@
+package graft.queue
+
+import graft.SparkSpec
+import graft.schema.Status
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Mirrors the reference RequestQueue contract tests
+  * (/root/reference/tests/unit/storages/test_request_queue.py): dedup
+  * (:159-178), mixed-forefront ordering (:387-435), fetch/handle/reclaim
+  * (:437-545), is_empty/is_finished (:547-640), plus our resume semantics
+  * (Q8: expired lease auto-reclaim).
+  */
+class FrontierStoreSpec extends SparkSpec {
+
+  private def newStore(leaseMs: Long = 300000L): FrontierStore = {
+    val dir = Files.createTempDirectory("frontier").toString
+    new FrontierStore(spark, dir, leaseMs = leaseMs)
+  }
+
+  private def cand(urls: Seq[String], forefront: Boolean, orderBase: Long = 0): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    urls.zipWithIndex
+      .map { case (u, i) =>
+        (u, u, "example.com", null.asInstanceOf[String], "GET", 0, forefront, orderBase + i)
+      }
+      .toDF("unique_key", "url", "host", "label", "method", "depth", "forefront", "cand_order")
+  }
+
+  private def drainOrder(store: FrontierStore): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var done = false
+    while (!done) {
+      val claimed = store.claim(1, nowMs = 0L)
+      val rows = claimed.select("unique_key").collect()
+      if (rows.isEmpty) done = true
+      else {
+        val key = rows.head.getString(0)
+        out += key
+        import spark.implicits._
+        store.markHandled(
+          Seq((key, true, graft.schema.RequestState.Done)).toDF("unique_key", "handled_ok", "state")
+        )
+      }
+    }
+    out.toSeq
+  }
+
+  test("mixed forefront ordering contract (test_request_queue.py:387-435)") {
+    val store = newStore()
+    store.addBatch(cand(Seq("normal1"), forefront = false))
+    store.addBatch(cand(Seq("normal2"), forefront = false))
+    store.addBatch(cand(Seq("priority1", "priority2"), forefront = true))
+    store.addBatch(cand(Seq("normal3"), forefront = false))
+    store.addBatch(cand(Seq("priority3"), forefront = true))
+
+    val order = drainOrder(store)
+    assert(order.length == 6)
+    assert(order.head == "priority3")
+    assert(Set(order(1), order(2)) == Set("priority1", "priority2"))
+    assert(order.slice(3, 6) == Seq("normal1", "normal2", "normal3"))
+  }
+
+  test("dedup on add: first wins; handled re-add reported") {
+    val store = newStore()
+    val r1 = store.addBatch(cand(Seq("a", "b", "a"), forefront = false)).collect()
+    assert(r1.length == 3)
+    val byKey = r1.map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2)))
+    // in-batch duplicate of 'a' reported present
+    assert(byKey.count(t => t._1 == "a" && t._2) == 1)
+    assert(byKey.count(t => t._1 == "a" && !t._2) == 1)
+
+    // re-add of pending: present, not handled, no new row
+    val r2 = store.addBatch(cand(Seq("a"), forefront = false, orderBase = 100)).collect()
+    assert(r2.head.getBoolean(1) && !r2.head.getBoolean(2))
+    assert(store.metadata()("total_request_count") == 2)
+
+    // handle 'a', then re-add: present + handled
+    val claimed = store.claim(1, 0L).select("unique_key").collect().head.getString(0)
+    assert(claimed == "a")
+    import spark.implicits._
+    store.markHandled(Seq(("a", true, 6)).toDF("unique_key", "handled_ok", "state"))
+    val r3 = store.addBatch(cand(Seq("a"), forefront = false, orderBase = 200)).collect()
+    assert(r3.head.getBoolean(1) && r3.head.getBoolean(2))
+  }
+
+  test("forefront re-add repositions pending request (move_to_end front)") {
+    val store = newStore()
+    store.addBatch(cand(Seq("x", "y", "z"), forefront = false))
+    store.addBatch(cand(Seq("y"), forefront = true, orderBase = 10))
+    assert(drainOrder(store) == Seq("y", "x", "z"))
+  }
+
+  test("reclaim returns to queue; forefront reclaim goes to head") {
+    val store = newStore()
+    store.addBatch(cand(Seq("r1", "r2", "r3"), forefront = false))
+    import spark.implicits._
+    val first = store.claim(1, 0L).select("unique_key").collect().head.getString(0)
+    assert(first == "r1")
+    // tail reclaim: r1 goes behind r2, r3
+    store.reclaim(Seq(("r1", false, 1)).toDF("unique_key", "forefront", "retry_count"))
+    assert(drainOrder(store) == Seq("r2", "r3", "r1"))
+  }
+
+  test("claim respects per-host quota and lease") {
+    val store = newStore(leaseMs = 1000L)
+    import spark.implicits._
+    val c = Seq(
+      ("h1a", "https://h1/a", "h1"), ("h1b", "https://h1/b", "h1"), ("h1c", "https://h1/c", "h1"),
+      ("h2a", "https://h2/a", "h2")
+    ).zipWithIndex.map { case ((k, u, h), i) => (k, u, h, null.asInstanceOf[String], "GET", 0, false, i.toLong) }
+      .toDF("unique_key", "url", "host", "label", "method", "depth", "forefront", "cand_order")
+    store.addBatch(c)
+    val claimed = store.claim(10, nowMs = 0L, hostQuota = Map("h1" -> 1), defaultQuota = 10)
+    val keys = claimed.select("unique_key").collect().map(_.getString(0)).toSet
+    assert(keys == Set("h1a", "h2a")) // one from h1, all of h2
+
+    // before lease expiry: claimed rows are not re-claimable
+    assert(store.claim(10, nowMs = 500L).select("unique_key").collect().map(_.getString(0)).toSet == Set("h1b", "h1c"))
+    // first claim's leases (t=0, 1s) expired at t=1200; second claim's
+    // (t=500 → 1500) still live ⇒ only the stale two come back (Q8)
+    val stale = store.claim(10, nowMs = 1200L).select("unique_key").collect().map(_.getString(0)).toSet
+    assert(stale == Set("h1a", "h2a"))
+  }
+
+  test("is_empty / is_finished and metadata counters") {
+    val store = newStore()
+    assert(store.isEmpty(0) && store.isFinished(0))
+    store.addBatch(cand(Seq("m1", "m2"), forefront = false))
+    assert(!store.isEmpty(0) && !store.isFinished(0))
+    store.claim(1, 0L)
+    import spark.implicits._
+    assert(!store.isFinished(0))
+    store.markHandled(Seq(("m1", true, 6)).toDF("unique_key", "handled_ok", "state"))
+    store.claim(1, 0L)
+    store.markHandled(Seq(("m2", true, 6)).toDF("unique_key", "handled_ok", "state"))
+    assert(store.isEmpty(0) && store.isFinished(0))
+    val md = store.metadata()
+    assert(md("handled_request_count") == 2 && md("total_request_count") == 2)
+  }
+
+  test("resume from manifest: new store instance sees identical state") {
+    val dir = Files.createTempDirectory("frontier-resume").toString
+    val store = new FrontierStore(spark, dir)
+    store.addBatch(cand(Seq("s1", "s2", "s3"), forefront = false))
+    store.claim(1, 0L)
+    import spark.implicits._
+    store.markHandled(Seq(("s1", true, 6)).toDF("unique_key", "handled_ok", "state"))
+
+    // simulate restart
+    val resumed = new FrontierStore(spark, dir)
+    assert(resumed.metadata() == store.metadata())
+    assert(drainOrder(resumed) == Seq("s2", "s3"))
+  }
+
+  test("compaction preserves state across many commits") {
+    val store = newStore()
+    (0 until 12).foreach(i => store.addBatch(cand(Seq(s"k$i"), forefront = false, orderBase = i)))
+    assert(store.metadata()("total_request_count") == 12)
+    assert(drainOrder(store).size == 12)
+  }
+
+  test("purge empties but keeps storage usable") {
+    val store = newStore()
+    store.addBatch(cand(Seq("p1"), forefront = false))
+    store.purge()
+    assert(store.isEmpty(0))
+    store.addBatch(cand(Seq("p2"), forefront = false))
+    assert(drainOrder(store) == Seq("p2"))
+  }
+}
