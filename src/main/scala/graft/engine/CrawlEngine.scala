@@ -42,7 +42,8 @@ final class CrawlEngine(
     claimBatchSize: Int = 64,
     enforcePoliteness: Boolean = false,
     batchPeriodMs: Long = 1000L,
-    statusAtFn: (String, Int) => Int = (_, _) => 200 // (url, attempt) => status
+    statusAtFn: (String, Int) => Int = (_, _) => 200, // (url, attempt) => status
+    trackImages: Boolean = true // false: count images, don't collect ids (bench mode)
 ) extends Serializable {
 
   import CrawlEngine._
@@ -53,7 +54,8 @@ final class CrawlEngine(
       handledOkKeys: Set[String],
       failedKeys: Set[String],
       skippedRobotsKeys: Set[String],
-      emittedImageIds: Seq[String],
+      emittedImageIds: Seq[String], // empty when trackImages = false
+      emittedImageCount: Long,
       batches: Int
   )
 
@@ -114,6 +116,7 @@ final class CrawlEngine(
     val failedKeys = mutable.HashSet.empty[String]
     val skippedRobots = mutable.HashSet.empty[String]
     val emittedImages = mutable.ArrayBuffer.empty[String]
+    var emittedImageCount = 0L
     var processedTotal = 0L
     var batchIdx = 0
     val throttle = new graft.politeness.DomainThrottle(robotsByHost.map { case (h, r) =>
@@ -131,13 +134,20 @@ final class CrawlEngine(
         else Map.empty[String, Int]
       val blocked = if (enforcePoliteness) throttle.blockedHosts(nowMs) else Set.empty[String]
 
-      val claimedRows = store.claim(budget, nowMs, hostQuota = quota, blockedHosts = blocked)
+      def trace[T](label: String)(f: => T): T = {
+        val t0 = System.nanoTime()
+        val r = f
+        if (sys.env.contains("GRAFT_TRACE"))
+          println(f"[trace] batch=$batchIdx $label ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        r
+      }
+      val claimedRows = trace("claim")(store.claim(budget, nowMs, hostQuota = quota, blockedHosts = blocked))
 
       val batch = claimedRows
         .withColumn("claim_rank", row_number().over(Window.orderBy(col("event_seq").asc)))
         .select("unique_key", "url", "host", "depth", "retry_count", "forefront", "claim_rank")
         .persist()
-      val claimedCount = batch.count()
+      val claimedCount = trace("batch-count")(batch.count())
 
       if (claimedCount == 0) {
         if (store.isFinished(nowMs)) done = true
@@ -189,7 +199,7 @@ final class CrawlEngine(
           .select(resultCols: _*)
           .unionByName(redirOk.select(resultCols: _*))
           .persist()
-        unioned.count()
+        trace("fetch-union")(unioned.count())
 
         // --- classification (F12 / R1) ---------------------------------------
         val ok200 = unioned.filter(col("eff_status") === 200)
@@ -237,55 +247,81 @@ final class CrawlEngine(
           lit(false).as("forefront"),
           (col("claim_rank").cast("long") * 10000 + col("link_idx")).as("cand_order")
         )
-        store.addBatch(candidates)
 
         // --- image emission (D1) ---------------------------------------------
         val images = ok200
           .select(col("unique_key"), explode_outer(col("p_images")).as("image_id"))
           .filter(col("image_id").isNotNull)
 
-        // --- commits -----------------------------------------------------------
+        // --- one atomic result commit: enqueue + handled + reclaims ------------
         val handledNow = ok200
           .select(col("unique_key"), lit(true).as("handled_ok"), lit(RequestState.Done).as("state"))
           .unionByName(fail404.select(col("unique_key"), lit(false).as("handled_ok"), lit(RequestState.Error).as("state")))
           .unionByName(exhausted.select(col("unique_key"), lit(false).as("handled_ok"), lit(RequestState.Error).as("state")))
           .unionByName(redirFailed.select(col("unique_key"), lit(false).as("handled_ok"), lit(RequestState.Skipped).as("state")))
           .unionByName(robotsSkipped.select(col("unique_key"), lit(false).as("handled_ok"), lit(RequestState.Skipped).as("state")))
-        store.markHandled(handledNow)
-        store.reclaim(
+        trace("commit-results")(store.commitResults(
+          candidates,
+          handledNow,
           canRetry.select(col("unique_key"), col("forefront"), (col("retry_count") + 1).as("retry_count"))
-        )
+        ))
 
-        // --- driver-side bookkeeping ------------------------------------------
-        val orderRows = unioned
-          .select(col("claim_rank"), col("url"), col("unique_key"), col("eff_status"), col("retry_count"), col("host"))
+        // --- driver-side bookkeeping: ONE collect for the whole batch ----------
+        // outcome codes: 0=ok, 1=fail404, 2=retry, 3=exhausted, 10=redir_fail, 11=robots_skip
+        val disposition = unioned
+          .select(
+            col("claim_rank"),
+            col("url"),
+            col("unique_key"),
+            col("host"),
+            when(col("eff_status") === 200, 0)
+              .when(col("eff_status") === 404, 1)
+              .when(col("retry_count") < cfg.maxRetries, 2)
+              .otherwise(3)
+              .as("outcome"),
+            when(col("eff_status") === 200, coalesce(size(col("p_images")), lit(0)))
+              .otherwise(0)
+              .as("n_images"),
+            (col("eff_status") === 429).as("is429")
+          )
+          .unionByName(
+            redirFailed.select(col("claim_rank"), col("url"), col("unique_key"), col("host"),
+              lit(10).as("outcome"), lit(0).as("n_images"), lit(false).as("is429"))
+          )
+          .unionByName(
+            robotsSkipped.select(col("claim_rank"), col("url"), col("unique_key"), col("host"),
+              lit(11).as("outcome"), lit(0).as("n_images"), lit(false).as("is429"))
+          )
           .orderBy(col("claim_rank"))
-          .collect()
-        orderRows.foreach { r =>
-          crawlOrder += r.getString(1)
-          val status = r.getInt(3)
+        val dispositionRows = trace("disposition")(disposition.collect())
+
+        var images429 = Map.empty[String, Long]
+        var claimedPerHost = Map.empty[String, Long]
+        dispositionRows.foreach { r =>
+          val url = r.getString(1)
           val key = r.getString(2)
-          if (status == 200) { handledOk += key; processedTotal += 1 }
-          else if (status == 404) { failedKeys += key; processedTotal += 1 }
-          else if (r.getInt(4) >= cfg.maxRetries) { failedKeys += key; processedTotal += 1 }
+          val host = r.getString(3)
+          val outcome = r.getInt(4)
+          // robots skips (11) were never fetched; redirect-strategy fails (10)
+          // WERE fetched (the oracle logs them before the re-check)
+          if (outcome != 11) crawlOrder += url
+          outcome match {
+            case 0 => handledOk += key; processedTotal += 1
+            case 1 | 3 => failedKeys += key; processedTotal += 1
+            case 10 => processedTotal += 1
+            case 11 => skippedRobots += key
+            case _ => // retry: not terminal
+          }
+          if (enforcePoliteness) {
+            claimedPerHost = claimedPerHost.updated(host, claimedPerHost.getOrElse(host, 0L) + 1)
+            if (r.getBoolean(6)) images429 = images429.updated(host, images429.getOrElse(host, 0L) + 1)
+          }
         }
-        redirFailed.select(col("unique_key")).collect().foreach { r =>
-          processedTotal += 1
-        }
-        robotsSkipped.select(col("unique_key")).collect().foreach(r => skippedRobots += r.getString(0))
-        emittedImages ++= images.select(col("image_id")).collect().map(_.getString(0))
-        if (enforcePoliteness) {
-          val counts429 = unioned
-            .filter(col("eff_status") === 429)
-            .groupBy(col("host"))
-            .count()
-            .collect()
-            .map(r => r.getString(0) -> r.getLong(1))
-            .toMap
-          val claimedPerHost = batch.groupBy(col("host")).count().collect()
-            .map(r => r.getString(0) -> r.getLong(1)).toMap
-          throttle.update(nowMs, claimedPerHost, counts429)
-        }
+        if (trackImages)
+          emittedImages ++= images.select(col("image_id")).collect().map(_.getString(0))
+        else
+          emittedImageCount += dispositionRows.iterator.map(_.getInt(5).toLong).sum
+        if (enforcePoliteness) throttle.update(nowMs, claimedPerHost, images429)
 
         unioned.unpersist(false)
         batch.unpersist(false)
@@ -302,6 +338,7 @@ final class CrawlEngine(
       failedKeys.toSet,
       skippedRobots.toSet,
       emittedImages.toSeq,
+      if (trackImages) emittedImages.size.toLong else emittedImageCount,
       batchIdx
     )
   }

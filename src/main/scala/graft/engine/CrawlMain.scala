@@ -11,7 +11,7 @@ import java.nio.file.Files
 /** CLI surface for the crawl engine: generates the deterministic synthetic
   * web at the requested size, runs a crawl, prints one JSON summary line.
   *
-  * Usage: runMain graft.engine.CrawlMain [pagesPerHost] [hosts] [batchSize] [maxRequests]
+  * Usage: runMain graft.engine.CrawlMain [pagesPerHost] [hosts] [batchSize] [maxRequests] [seedsPerHost]
   */
 object CrawlMain {
   def main(args: Array[String]): Unit = {
@@ -19,6 +19,7 @@ object CrawlMain {
     val hosts = args.lift(1).map(_.toInt).getOrElse(4)
     val batchSize = args.lift(2).map(_.toInt).getOrElse(64)
     val maxRequests = args.lift(3).map(_.toLong).getOrElse(Long.MaxValue)
+    val seedsPerHost = args.lift(4).map(_.toInt).getOrElse(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
 
     val spark = SparkSession.builder()
@@ -42,12 +43,18 @@ object CrawlMain {
     val cfg = CrawlConfig(maxRequestsPerCrawl = maxRequests)
     val engine = new CrawlEngine(
       spark, store, pagesDf, robots, cfg, claimBatchSize = batchSize,
+      trackImages = false,
       statusAtFn = (url, attempt) => {
         val host = graft.canon.UrlCanon.parse(url).host
         SyntheticWeb.statusAt(spec, CrawlOracle.hostIdx(spec, host), CrawlOracle.pageIdx(url), attempt)
       }
     )
-    val seeds = (0 until hosts).map(h => s"https://h$h.example.com/p/0")
+    // wide seed lists model the production shape (millions of sitemap seeds):
+    // the frontier is immediately wide, so claim batches run full
+    val seeds = for {
+      h <- 0 until hosts
+      i <- 0 until seedsPerHost
+    } yield SyntheticWeb.urlOf(spec, h, i * 3 % pagesPerHost)
     val t0 = System.nanoTime()
     val result = engine.run(seeds)
     val secs = (System.nanoTime() - t0) / 1e9
@@ -55,9 +62,9 @@ object CrawlMain {
     println(
       s"""{"pages":${spec.totalPages},"batch":$batchSize,"cpus":$cpus,""" +
         s""""fetches":${result.crawlOrder.size},"processed":$processed,""" +
-        s""""seen":${result.seenKeys.size},"images":${result.emittedImageIds.size},""" +
+        s""""seen":${result.seenKeys.size},"images":${result.emittedImageCount},""" +
         s""""batches":${result.batches},"secs":$secs,""" +
-        s""""urls_per_sec":${processed / secs},"images_per_sec":${result.emittedImageIds.size / secs}}"""
+        s""""urls_per_sec":${processed / secs},"images_per_sec":${result.emittedImageCount / secs}}"""
     )
     spark.stop()
   }

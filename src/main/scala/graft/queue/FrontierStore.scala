@@ -51,9 +51,13 @@ final class FrontierStore(
   @volatile private var manifest: Manifest =
     if (Files.exists(manifestPath)) Manifest.read(manifestPath) else Manifest.empty
 
-  /** Cached current state: exactly one row (the latest event) per unique_key. */
+  /** Current state: exactly one row (the latest event) per unique_key.
+    * Maintained as a persisted base plus a short lazy chain of broadcast
+    * anti-join merges (one per commit); re-materialized every
+    * `compactEvery` commits together with a parquet snapshot.
+    */
   private var stateDf: DataFrame = _
-  private var stateCached = false
+  private var persistedBase: DataFrame = _ // the persisted ancestor of stateDf
 
   /** Latest-event-per-key reduction. */
   private def latestWins(events: DataFrame): DataFrame = {
@@ -70,23 +74,36 @@ final class FrontierStore(
       stateDf =
         if (files.isEmpty) emptyEvents(spark)
         else latestWins(spark.read.schema(eventSchema).parquet(files: _*))
-      refreshCache()
+      materialize()
     }
     stateDf
   }
 
-  private def refreshCache(): Unit = {
-    val materialized = stateDf.persist(StorageLevel.MEMORY_AND_DISK)
-    materialized.count() // force
-    stateDf = materialized
-    stateCached = true
+  /** Persist + force the current chain; release the previous base. */
+  private def materialize(): Unit = {
+    val newBase = stateDf.persist(StorageLevel.MEMORY_AND_DISK)
+    newBase.count()
+    if (persistedBase != null && (persistedBase ne newBase)) persistedBase.unpersist(false)
+    persistedBase = newBase
+    stateDf = newBase
   }
 
-  private def swapState(newState: DataFrame): Unit = {
-    val old = if (stateCached) Some(stateDf) else None
-    stateDf = newState
-    refreshCache()
-    old.foreach(_.unpersist(false))
+  /** Merge a (small) committed delta into the state WITHOUT shuffling the
+    * base: `base LEFT ANTI broadcast(delta-keys) UNION latest(delta)`.
+    * The anti-join broadcasts the delta side, so the (large) base keeps its
+    * partitioning and is only scanned — per-commit cost is O(delta) + a
+    * cached-base scan, not a full re-shuffle. The chain depth is capped by
+    * `compactEvery`, at which point the state is snapshotted + re-persisted.
+    */
+  private def mergeDelta(delta: DataFrame): Unit = {
+    val deltaLatest = latestWins(delta)
+    stateDf = state()
+      .join(broadcast(deltaLatest.select(col("unique_key"))), Seq("unique_key"), "left_anti")
+      .unionByName(deltaLatest)
+    // Re-materialize immediately: the merge is shuffle-free (broadcast
+    // anti-join over the cached base), and a persisted 1-deep state keeps
+    // every later action this batch from re-evaluating a join chain.
+    materialize()
   }
 
   // ---- counters -----------------------------------------------------------
@@ -96,38 +113,62 @@ final class FrontierStore(
 
   // ---- commit -------------------------------------------------------------
 
-  /** Append `events` as one atomic commit: parquet delta + manifest rename.
-    * Also merges the delta into the cached state.
+  /** Append `events` as one atomic commit: parquet delta write + manifest
+    * rename. New ordering counters are read back from one aggregate over the
+    * committed delta (no pre-write counting). Returns the number of events
+    * committed; an empty delta is dropped and leaves the manifest untouched.
     */
-  private def commit(events: DataFrame, newMaxSeq: Long, newMaxFf: Long, newMaxEv: Long): Unit = synchronized {
+  private def commitEvents(events: DataFrame): Long = synchronized {
     val bid = manifest.batchId + 1
     val deltaName = f"delta-$bid%06d"
     val deltaPath = s"$logDir/$deltaName"
     events.write.mode(SaveMode.Overwrite).parquet(deltaPath)
+    val delta = spark.read.schema(eventSchema).parquet(deltaPath)
+    val aggRow = delta
+      .agg(
+        count(lit(1)),
+        max(col("seq")),
+        max(col("forefront_seq")),
+        max(col("event_seq"))
+      )
+      .head()
+    val n = aggRow.getLong(0)
+    if (n == 0) {
+      deleteRecursively(Paths.get(deltaPath))
+      return 0L
+    }
+    def maxOr(i: Int, old: Long): Long = if (aggRow.isNullAt(i)) old else math.max(old, aggRow.getLong(i))
     val nextManifest = manifest.copy(
       batchId = bid,
-      maxSeq = newMaxSeq,
-      maxForefrontSeq = newMaxFf,
-      maxEventSeq = newMaxEv,
+      maxSeq = maxOr(1, manifest.maxSeq),
+      maxForefrontSeq = maxOr(2, manifest.maxForefrontSeq),
+      maxEventSeq = maxOr(3, manifest.maxEventSeq),
       deltas = manifest.deltas :+ deltaName
     )
-    // merge delta into cached state
-    val delta = spark.read.schema(eventSchema).parquet(deltaPath)
-    swapState(latestWins(state().unionByName(delta)))
+    // merge the committed delta into the state chain (reading it back keeps
+    // the chain's lineage rooted in parquet, never in caller DataFrames)
+    mergeDelta(delta)
     val finalManifest =
       if (nextManifest.deltas.size >= compactEvery) compact(nextManifest)
       else nextManifest
     Manifest.writeAtomic(manifestPath, finalManifest)
     manifest = finalManifest
+    n
   }
 
-  /** Rewrite current state as a snapshot; drop deltas from the manifest. */
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) Files.list(p).forEach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+
+  /** Rewrite current state as a snapshot; drop deltas from the manifest.
+    * Doubles as the chain re-materialization point.
+    */
   private def compact(m: Manifest): Manifest = {
     val snapName = f"snapshot-${m.batchId}%06d"
     stateDf.write.mode(SaveMode.Overwrite).parquet(s"$logDir/$snapName")
-    // re-point cached state at the written snapshot (cuts lineage)
-    val snap = spark.read.schema(eventSchema).parquet(s"$logDir/$snapName")
-    swapState(snap)
+    stateDf = spark.read.schema(eventSchema).parquet(s"$logDir/$snapName")
+    materialize()
     m.copy(snapshot = Some(snapName), deltas = Vector.empty)
   }
 
@@ -142,8 +183,25 @@ final class FrontierStore(
     * Returns the add-report: (unique_key, was_already_present,
     * was_already_handled) per the reference's ProcessedRequest.
     */
-  def addBatch(candidates: DataFrame): DataFrame = synchronized {
+  def addBatch(candidates: DataFrame): DataFrame =
+    commitResults(candidates, emptyHandled(spark), emptyReclaims(spark))
+
+  /** One atomic commit for a whole micro-batch's results: enqueue `adds`
+    * (with dedup + ordering, Q1-Q4), mark `handled` (Q6), `reclaims` back to
+    * pending (Q7) — a single delta write instead of three commits.
+    *
+    * Ordering-id allocation is stride-based (disjoint Long ranges per event
+    * class) so no driver-side count is needed before the write; the new
+    * counter values are read back from one aggregate over the committed
+    * delta. Gaps in seq are harmless — only monotonicity matters.
+    *
+    * Returns the add-report (unique_key, was_already_present,
+    * was_already_handled).
+    */
+  def commitResults(adds: DataFrame, handled: DataFrame, reclaims: DataFrame): DataFrame = synchronized {
     val (maxSeq, maxFf, maxEv) = counters
+    val S = Stride
+    val candidates = adds
     // in-batch dedup: first occurrence wins (matching per-request loop order)
     val wIn = Window.partitionBy(col("unique_key")).orderBy(col("cand_order"))
     val cand = candidates
@@ -179,8 +237,9 @@ final class FrontierStore(
     val newRows = joined.filter(isNew).drop("ex_key", "ex_status", "ex_url", "ex_host",
       "ex_label", "ex_method", "ex_depth", "ex_retry", "ex_no_retry", "ex_seq", "ex_ffseq",
       "ex_state", "ex_ok", "ex_lock")
-    val wOrder = Window.orderBy(col("cand_order"))
-    val numbered = newRows.withColumn("__pos", row_number().over(wOrder))
+    // seq rides directly on cand_order (unique, monotone within the batch):
+    // no global row_number window — gaps are harmless, only order matters
+    val numbered = newRows.withColumn("__pos", col("cand_order") + 1)
     val newEvents = numbered.select(
       col("unique_key"),
       xxhash64(col("unique_key")).as("key64"),
@@ -205,9 +264,11 @@ final class FrontierStore(
 
     // Forefront re-add of a still-pending request repositions it (keeps the
     // ORIGINAL request fields — incoming dup loses accumulated state).
+    // Repositions take the stride above new adds: within one batch they are
+    // "newer" forefront entries than the batch's own new forefront adds.
     val repositioned = joined
       .filter(pendingDup && col("forefront"))
-      .withColumn("__pos", row_number().over(Window.orderBy(col("cand_order"))))
+      .withColumn("__pos", col("cand_order") + 1)
       .select(
         col("ex_key").as("unique_key"),
         xxhash64(col("ex_key")).as("key64"),
@@ -221,33 +282,61 @@ final class FrontierStore(
         col("ex_no_retry").as("no_retry"),
         lit(true).as("forefront"),
         lit(-1L).as("seq"),
-        (lit(maxFf + 1000000000L) + col("__pos")).as("forefront_seq"),
+        (lit(maxFf + S) + col("__pos")).as("forefront_seq"),
         lit(Status.Pending).as("status"),
         col("ex_state").as("state"),
         col("ex_ok").as("handled_ok"),
         col("ex_lock").as("lock_expires_at"),
-        (lit(maxEv + 1000000000L) + col("__pos")).as("event_seq"),
+        (lit(maxEv + S) + col("__pos")).as("event_seq"),
         lit(batchId + 1).as("batch_id")
       )
 
-    val newCount = newEvents.count()
-    val repoCount = repositioned.count()
-    val events = newEvents.unionByName(repositioned)
-
-    if (newCount + repoCount > 0) {
-      // tighten the reposition seq blocks to be contiguous after the new block
-      val fixedRepo = repositioned
-        .withColumn("forefront_seq", col("forefront_seq") - lit(1000000000L) + lit(newCount))
-        .withColumn("event_seq", col("event_seq") - lit(1000000000L) + lit(newCount))
-      val allEvents = newEvents.unionByName(fixedRepo)
-      commit(
-        allEvents,
-        newMaxSeq = maxSeq + newCount,
-        newMaxFf = maxFf + newCount + repoCount, // over-allocates ff range; monotonic is all that matters
-        newMaxEv = maxEv + newCount + repoCount
+    // handled: in-progress rows -> Handled (Q6)
+    val inProg = state().filter(col("status") === Status.InProgress)
+    val handledEvents = inProg
+      .drop("handled_ok")
+      .join(
+        handled.select(col("unique_key").as("r_key"), col("handled_ok"), col("state").as("r_state")),
+        col("unique_key") === col("r_key"),
+        "inner"
       )
-    }
-    val _ = events
+      .drop("r_key")
+      .withColumn("__pos", lit(1L)) // terminal: event_seq only needs to exceed the claim event
+      .withColumn("status", lit(Status.Handled))
+      .withColumn("state", col("r_state"))
+      .withColumn("lock_expires_at", lit(0L))
+      .withColumn("event_seq", lit(maxEv + 2 * S) + col("__pos"))
+      .withColumn("batch_id", lit(batchId + 1))
+      .drop("__pos", "r_state")
+      .select(eventCols: _*)
+
+    // reclaims: in-progress rows -> Pending with fresh tail/head position;
+    // the reclaimed values (retry_count, forefront) supersede stored ones (Q7).
+    // Tail reclaims take the seq stride ABOVE this batch's adds: a request
+    // reclaimed in batch N goes behind links discovered in batch N.
+    val reclaimEvents = inProg
+      .drop("forefront", "retry_count")
+      .join(
+        reclaims.select(col("unique_key").as("r_key"), col("forefront"), col("retry_count")),
+        col("unique_key") === col("r_key"),
+        "inner"
+      )
+      .drop("r_key")
+      .withColumn("__pos", pmod(xxhash64(col("unique_key")), lit(Stride / 2)) + 1)
+      .withColumn("status", lit(Status.Pending))
+      .withColumn("seq", when(col("forefront"), lit(-1L)).otherwise(lit(maxSeq + S) + col("__pos")))
+      .withColumn("forefront_seq", when(col("forefront"), lit(maxFf + 2 * S) + col("__pos")).otherwise(lit(-1L)))
+      .withColumn("lock_expires_at", lit(0L))
+      .withColumn("event_seq", lit(maxEv + 3 * S) + col("__pos"))
+      .withColumn("batch_id", lit(batchId + 1))
+      .drop("__pos")
+      .select(eventCols: _*)
+
+    val allEvents = newEvents.select(eventCols: _*)
+      .unionByName(repositioned.select(eventCols: _*))
+      .unionByName(handledEvents)
+      .unionByName(reclaimEvents)
+    commitEvents(allEvents)
 
     // Add report (for every candidate incl. in-batch duplicates)
     cand
@@ -287,97 +376,48 @@ final class FrontierStore(
       .withColumn("__sort", sortKey)
       .withColumn(
         "__host_rank",
-        row_number().over(Window.partitionBy(col("host")).orderBy(col("forefront").desc, col("__sort").asc))
+        row_number().over(Window.partitionBy(col("host")).orderBy(col("forefront").desc, col("__sort").asc, col("unique_key")))
       )
     val quotaUdf = udf((host: String) => hostQuota.getOrElse(host, defaultQuota))
     val underQuota = ordered.filter(col("__host_rank") <= quotaUdf(col("host")))
     val picked = underQuota
-      .orderBy(col("forefront").desc, col("__sort").asc)
+      .orderBy(col("forefront").desc, col("__sort").asc, col("unique_key"))
       .limit(maxN)
       .drop("__sort", "__host_rank")
 
     val claimEvents = picked
-      .withColumn("__pos", row_number().over(Window.orderBy(col("forefront").desc, when(col("forefront"), -col("forefront_seq")).otherwise(col("seq")).asc)))
+      .withColumn("__pos", row_number().over(Window.orderBy(col("forefront").desc, when(col("forefront"), -col("forefront_seq")).otherwise(col("seq")).asc, col("unique_key"))))
       .withColumn("status", lit(Status.InProgress))
       .withColumn("state", lit(graft.schema.RequestState.BeforeNav))
       .withColumn("lock_expires_at", lit(nowMs + leaseMs))
       .withColumn("event_seq", lit(maxEv) + col("__pos"))
       .withColumn("batch_id", lit(batchId + 1))
       .drop("__pos")
+      .select(eventCols: _*)
 
-    val n = claimEvents.count()
-    if (n > 0) {
-      commit(claimEvents, maxSeq, maxFf, maxEv + n)
-      // return the COMMITTED rows (from the refreshed cached state) so
-      // callers never hold lineage onto the pre-commit state
+    val _ = (maxSeq, maxFf)
+    val n = commitEvents(claimEvents)
+    if (n > 0)
+      // return the COMMITTED rows (from the refreshed state chain) so callers
+      // never hold lineage onto the pre-commit state
       state().filter(col("status") === Status.InProgress && col("batch_id") === batchId)
-    } else emptyEvents(spark)
+    else emptyEvents(spark)
   }
 
-  // ---- markHandled / reclaim (Q6/Q7) ----------------------------------------
+  // ---- markHandled / reclaim (Q6/Q7): single-op wrappers ---------------------
 
   /** `results` columns: unique_key, handled_ok (bool), state (int).
     * Marks in-progress rows handled; others ignored (reference returns None).
     */
-  def markHandled(results: DataFrame): Unit = synchronized {
-    val (maxSeq, maxFf, maxEv) = counters
-    val inProg = state().filter(col("status") === Status.InProgress)
-    val joined = inProg
-      .drop("handled_ok")
-      .join(
-        results.select(
-          col("unique_key").as("r_key"),
-          col("handled_ok"),
-          col("state").as("r_state")
-        ),
-        col("unique_key") === col("r_key"),
-        "inner"
-      )
-      .drop("r_key")
-    val events = joined
-      .withColumn("__pos", row_number().over(Window.orderBy(col("unique_key"))))
-      .withColumn("status", lit(Status.Handled))
-      .withColumn("state", col("r_state"))
-      .withColumn("lock_expires_at", lit(0L))
-      .withColumn("event_seq", lit(maxEv) + col("__pos"))
-      .withColumn("batch_id", lit(batchId + 1))
-      .drop("__pos", "r_state")
-      .select(eventCols: _*)
-    val n = events.count()
-    if (n > 0) commit(events, maxSeq, maxFf, maxEv + n)
+  def markHandled(results: DataFrame): Unit = {
+    commitResults(emptyAdds(spark), results, emptyReclaims(spark))
+    ()
   }
 
-  /** `rows` columns: unique_key, forefront (bool), retry_count (new value).
-    * Returns in-progress rows to pending with fresh ordering position —
-    * reclaimed values supersede stored ones (Q7).
-    */
-  def reclaim(rows: DataFrame): Unit = synchronized {
-    val (maxSeq, maxFf, maxEv) = counters
-    val inProg = state().filter(col("status") === Status.InProgress)
-    val joined = inProg
-      .drop("forefront", "retry_count")
-      .join(
-        rows.select(
-          col("unique_key").as("r_key"),
-          col("forefront"),
-          col("retry_count")
-        ),
-        col("unique_key") === col("r_key"),
-        "inner"
-      )
-      .drop("r_key")
-    val numbered = joined.withColumn("__pos", row_number().over(Window.orderBy(col("unique_key"))))
-    val events = numbered
-      .withColumn("status", lit(Status.Pending))
-      .withColumn("seq", when(col("forefront"), lit(-1L)).otherwise(lit(maxSeq) + col("__pos")))
-      .withColumn("forefront_seq", when(col("forefront"), lit(maxFf) + col("__pos")).otherwise(lit(-1L)))
-      .withColumn("lock_expires_at", lit(0L))
-      .withColumn("event_seq", lit(maxEv) + col("__pos"))
-      .withColumn("batch_id", lit(batchId + 1))
-      .drop("__pos")
-      .select(eventCols: _*)
-    val n = events.count()
-    if (n > 0) commit(events, maxSeq + n, maxFf + n, maxEv + n)
+  /** `rows` columns: unique_key, forefront (bool), retry_count (new value). */
+  def reclaim(rows: DataFrame): Unit = {
+    commitResults(emptyAdds(spark), emptyHandled(spark), rows)
+    ()
   }
 
   // ---- predicates (Q9) -------------------------------------------------------
@@ -414,7 +454,7 @@ final class FrontierStore(
   def purge(): Unit = synchronized {
     manifest = Manifest.empty
     Manifest.writeAtomic(manifestPath, manifest)
-    if (stateCached) stateDf.unpersist(false)
+    if (persistedBase != null) { persistedBase.unpersist(false); persistedBase = null }
     stateDf = null
   }
 }
@@ -448,8 +488,33 @@ object FrontierStore {
   val eventCols: Seq[org.apache.spark.sql.Column] =
     eventSchema.fieldNames.toSeq.map(col)
 
+  /** Ordering-id stride separating event classes within one commit (must
+    * exceed any single batch's event count; gaps are harmless).
+    */
+  val Stride: Long = 1L << 40
+
   def emptyEvents(spark: SparkSession): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], eventSchema)
+
+  private def emptyOf(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  def emptyAdds(spark: SparkSession): DataFrame = emptyOf(spark, StructType(Seq(
+    StructField("unique_key", StringType), StructField("url", StringType),
+    StructField("host", StringType), StructField("label", StringType),
+    StructField("method", StringType), StructField("depth", IntegerType),
+    StructField("forefront", BooleanType), StructField("cand_order", LongType)
+  )))
+
+  def emptyHandled(spark: SparkSession): DataFrame = emptyOf(spark, StructType(Seq(
+    StructField("unique_key", StringType), StructField("handled_ok", BooleanType),
+    StructField("state", IntegerType)
+  )))
+
+  def emptyReclaims(spark: SparkSession): DataFrame = emptyOf(spark, StructType(Seq(
+    StructField("unique_key", StringType), StructField("forefront", BooleanType),
+    StructField("retry_count", IntegerType)
+  )))
 
   /** Commit manifest: JSON file, atomically replaced via temp+rename. */
   final case class Manifest(
