@@ -39,7 +39,9 @@ object CrawlMain {
     val pagesDf = spark.range(spec.totalPages.toLong).map(g => SyntheticWeb.pageAt(spec, g)).toDF()
     val robots = SyntheticWeb.allRobots(spec)
       .map(r => r.host -> Robots.fromFetch(s"https://${r.host}", r.status, r.body)).toMap
-    val store = new FrontierStore(spark, Files.createTempDirectory("crawl-main").toString)
+    val store = new FrontierStore(
+      spark, Files.createTempDirectory("crawl-main").toString,
+      bloomDedup = sys.env.contains("GRAFT_BLOOM"))
     val cfg = CrawlConfig(maxRequestsPerCrawl = maxRequests)
     val engine = new CrawlEngine(
       spark, store, pagesDf, robots, cfg, claimBatchSize = batchSize,

@@ -38,18 +38,35 @@ final class FrontierStore(
     val spark: SparkSession,
     val root: String,
     leaseMs: Long = 300000L, // reference claim lease: 300 s
-    compactEvery: Int = 8
+    compactEvery: Int = 8,
+    bloomDedup: Boolean = false, // Q2: bloom mode replaces the exact dedup anti-join
+    bloomBuckets: Int = 64,
+    bloomExpectedKeys: Long = 4000000L, // total capacity across buckets
+    bloomFpp: Double = 1e-7 // reference default (_redis/_storage_client.py:45)
 ) {
 
   import FrontierStore._
 
   private val logDir = s"$root/log"
+  private val bloomDir = s"$root/bloom"
   private val manifestPath = Paths.get(s"$root/manifest.json")
 
   Files.createDirectories(Paths.get(logDir))
 
   @volatile private var manifest: Manifest =
     if (Files.exists(manifestPath)) Manifest.read(manifestPath) else Manifest.empty
+
+  /** Bloom seen-set (bloom mode only): keys ever admitted to the queue.
+    * A bloom hit is treated as already-seen — the reference's documented
+    * 1e-7 false-drop semantics — in exchange for O(batch) dedup with no
+    * join against the frontier. Shards persist per commit for resume.
+    */
+  private var bloomSeen: Option[graft.dedup.BloomSeenFilter] =
+    if (bloomDedup)
+      graft.dedup.BloomSeenFilter.load(bloomDir)
+        .orElse(Some(graft.dedup.BloomSeenFilter.create(
+          bloomBuckets, math.max(1L, bloomExpectedKeys / bloomBuckets), bloomFpp)))
+    else None
 
   /** Current state: exactly one row (the latest event) per unique_key.
     * Maintained as a persisted base plus a short lazy chain of broadcast
@@ -147,6 +164,7 @@ final class FrontierStore(
     )
     // merge the committed delta into the state chain (reading it back keeps
     // the chain's lineage rooted in parquet, never in caller DataFrames)
+    lastDeltaPath = deltaPath
     mergeDelta(delta)
     val finalManifest =
       if (nextManifest.deltas.size >= compactEvery) compact(nextManifest)
@@ -233,10 +251,22 @@ final class FrontierStore(
     val inProgress = !isNew && col("ex_status") === Status.InProgress
     val pendingDup = !isNew && col("ex_status") === Status.Pending
 
-    // New inserts: assign seq / forefront_seq by insertion order
-    val newRows = joined.filter(isNew).drop("ex_key", "ex_status", "ex_url", "ex_host",
-      "ex_label", "ex_method", "ex_depth", "ex_retry", "ex_no_retry", "ex_seq", "ex_ffseq",
-      "ex_state", "ex_ok", "ex_lock")
+    // New inserts: exact mode decides by anti-join against the frontier;
+    // bloom mode probes the broadcast seen-filter instead (a hit = seen,
+    // accepting the 1e-7 false-drop rate) — NO join against frontier state.
+    val bloomBc = bloomSeen.map(f =>
+      spark.sparkContext.broadcast(graft.dedup.BloomSeenFilter.serialize(f)))
+    val newRows = bloomBc match {
+      case Some(bc) =>
+        val fresh = udf { (key: String) =>
+          !BloomProbeCache.get(bc).mightContain(graft.canon.Hashing.xxh64(key))
+        }
+        firsts.filter(fresh(col("unique_key")))
+      case None =>
+        joined.filter(isNew).drop("ex_key", "ex_status", "ex_url", "ex_host",
+          "ex_label", "ex_method", "ex_depth", "ex_retry", "ex_no_retry", "ex_seq", "ex_ffseq",
+          "ex_state", "ex_ok", "ex_lock")
+    }
     // seq rides directly on cand_order (unique, monotone within the batch):
     // no global row_number window — gaps are harmless, only order matters
     val numbered = newRows.withColumn("__pos", col("cand_order") + 1)
@@ -266,7 +296,10 @@ final class FrontierStore(
     // ORIGINAL request fields — incoming dup loses accumulated state).
     // Repositions take the stride above new adds: within one batch they are
     // "newer" forefront entries than the batch's own new forefront adds.
-    val repositioned = joined
+    // Bloom mode trades this away (a bloom hit carries no stored row to
+    // reposition) — matching the reference's Redis bloom-dedup mode.
+    val repositionSource = if (bloomDedup) joined.limit(0) else joined
+    val repositioned = repositionSource
       .filter(pendingDup && col("forefront"))
       .withColumn("__pos", col("cand_order") + 1)
       .select(
@@ -336,17 +369,53 @@ final class FrontierStore(
       .unionByName(repositioned.select(eventCols: _*))
       .unionByName(handledEvents)
       .unionByName(reclaimEvents)
-    commitEvents(allEvents)
+    val committed = commitEvents(allEvents)
+
+    // Bloom mode: fold this commit's admitted keys into the seen-filter and
+    // persist shards. Keys are collected as a bare Long column (8 bytes/key —
+    // a 10^6-row enqueue is 8 MB); at cluster scale the fold would instead
+    // tree-reduce per-bucket partials so no driver hop grows with the batch.
+    if (bloomDedup && committed > 0) {
+      bloomSeen.foreach { f =>
+        import spark.implicits._
+        latestDelta()
+          .filter(col("status") === Status.Pending && col("retry_count") === 0)
+          .select(col("key64"))
+          .as[Long]
+          .collect()
+          .foreach(f.put)
+        f.save(bloomDir)
+      }
+    }
 
     // Add report (for every candidate incl. in-batch duplicates)
-    cand
-      .join(st, cand("unique_key") === st("ex_key"), "left")
-      .select(
+    if (bloomDedup) {
+      val bc = bloomBc.get
+      val hit = udf { (key: String) =>
+        BloomProbeCache.get(bc).mightContain(graft.canon.Hashing.xxh64(key))
+      }
+      cand.select(
         cand("unique_key"),
-        (col("ex_key").isNotNull || col("__dup_in_batch")).as("was_already_present"),
-        (col("ex_key").isNotNull && col("ex_status") === Status.Handled).as("was_already_handled")
+        (hit(col("unique_key")) || col("__dup_in_batch")).as("was_already_present"),
+        lit(false).as("was_already_handled") // single seen-filter: handled state not separable
       )
+    } else
+      cand
+        .join(st, cand("unique_key") === st("ex_key"), "left")
+        .select(
+          cand("unique_key"),
+          (col("ex_key").isNotNull || col("__dup_in_batch")).as("was_already_present"),
+          (col("ex_key").isNotNull && col("ex_status") === Status.Handled).as("was_already_handled")
+        )
   }
+
+  /** Re-read the most recently committed delta file (tracked separately
+    * from the manifest because compaction clears the manifest's delta list).
+    */
+  private var lastDeltaPath: String = _
+  private def latestDelta(): DataFrame =
+    if (lastDeltaPath == null) emptyEvents(spark)
+    else spark.read.schema(eventSchema).parquet(lastDeltaPath)
 
   // ---- claim (Q5 + P2/P4) ---------------------------------------------------
 
@@ -457,6 +526,15 @@ final class FrontierStore(
     if (persistedBase != null) { persistedBase.unpersist(false); persistedBase = null }
     stateDf = null
   }
+}
+
+/** Executor-side cache: deserialize a broadcast bloom once per executor,
+  * not once per row/task.
+  */
+object BloomProbeCache {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[Long, graft.dedup.BloomSeenFilter]()
+  def get(bc: org.apache.spark.broadcast.Broadcast[Array[Byte]]): graft.dedup.BloomSeenFilter =
+    cache.computeIfAbsent(bc.id, _ => graft.dedup.BloomSeenFilter.deserialize(bc.value))
 }
 
 object FrontierStore {

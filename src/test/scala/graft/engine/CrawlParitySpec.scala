@@ -15,7 +15,7 @@ import java.nio.file.Files
   */
 class CrawlParitySpec extends SparkSpec {
 
-  private def mkEngine(spec: WebSpec, cfg: CrawlConfig, batchSize: Int): CrawlEngine = {
+  private def mkEngine(spec: WebSpec, cfg: CrawlConfig, batchSize: Int, bloom: Boolean = false): CrawlEngine = {
     import spark.implicits._
     val pagesDf = spark
       .createDataset((0L until spec.totalPages.toLong).map(g => SyntheticWeb.pageAt(spec, g)))
@@ -24,7 +24,9 @@ class CrawlParitySpec extends SparkSpec {
       .allRobots(spec)
       .map(r => r.host -> Robots.fromFetch(s"https://${r.host}", r.status, r.body))
       .toMap
-    val store = new FrontierStore(spark, Files.createTempDirectory("engine").toString)
+    val store = new FrontierStore(
+      spark, Files.createTempDirectory("engine").toString,
+      bloomDedup = bloom, bloomBuckets = 8)
     new CrawlEngine(
       spark, store, pagesDf, robots, cfg,
       claimBatchSize = batchSize,
@@ -81,6 +83,14 @@ class CrawlParitySpec extends SparkSpec {
     val engine = mkEngine(smallSpec, cfg, batchSize = 8).run(Seq(seeds.head))
     assert(engine.seenKeys == oracle.seenKeys)
     assert(!engine.seenKeys.exists(_.contains("/private/")))
+  }
+
+  test("bloom-dedup mode reproduces the exact seen-set (fpp 1e-7 at this scale)") {
+    val cfg = CrawlConfig()
+    val oracle = CrawlOracle.run(smallSpec, seeds, cfg)
+    val engine = mkEngine(smallSpec, cfg, batchSize = 16, bloom = true).run(seeds)
+    assert(engine.seenKeys == oracle.seenKeys)
+    assert(engine.handledOkKeys == oracle.handledOkKeys)
   }
 
   test("same-domain strategy reaches the sub-host, not other.org") {
