@@ -338,6 +338,232 @@ object QueryCatalog {
       .orderBy(col("crawl_depth"))
   }
 
+  // =========================================================================
+  // Training-data pipeline operators (builder prompt): dedup suite, ANN,
+  // text analysis, multimodal — over documents / embeddings.
+  // =========================================================================
+
+  import graft.ops.{TextOps, VectorOps}
+
+  /** Shared DuckDB CTE: distinct word 3-gram shingles per document. */
+  private def shinglesSql(n: Int): String =
+    s"""words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |idx AS (
+       |  SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - ${n - 1}, 1))) AS i
+       |  FROM words
+       |),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+${n - 1}], ' ') AS shingle
+       |  FROM idx
+       |  WHERE length(array_to_string(ws[i:i+${n - 1}], ' ')) > 0
+       |)""".stripMargin
+
+  register(
+    "td_dedup_exact",
+    Some(
+      """SELECT sha256(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY sha256(text)""".stripMargin
+    )
+  ) { (s, dir) => TextOps.exactDedup(t(s, dir, "documents"), "doc_id", "text") }
+
+  register(
+    "td_dedup_ngram_jaccard",
+    Some(
+      s"""WITH ${shinglesSql(3)},
+         |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |)
+         |SELECT id_a, id_b,
+         |  round(CAST(common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - common), 6) AS jaccard
+         |FROM common
+         |JOIN sizes sa ON sa.doc_id = id_a
+         |JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE CAST(common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - common) >= 0.2""".stripMargin
+    )
+  ) { (s, dir) =>
+    TextOps.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.2)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+  }
+
+  register(
+    "td_dedup_minhash_lsh",
+    Some(
+      s"""WITH ${shinglesSql(3)},
+         |mh AS (
+         |  SELECT doc_id, i AS hash_idx, min(md5(i || ':' || shingle)) AS minhash
+         |  FROM sh, LATERAL generate_series(0, 15) t(i)
+         |  GROUP BY doc_id, i
+         |),
+         |bands AS (
+         |  SELECT doc_id, hash_idx // 4 AS band,
+         |         string_agg(minhash, '|' ORDER BY minhash) AS band_sig
+         |  FROM mh GROUP BY doc_id, hash_idx // 4
+         |)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+         |WHERE a.doc_id < b.doc_id""".stripMargin
+    )
+  ) { (s, dir) =>
+    TextOps.minhashLshCandidates(t(s, dir, "documents"), "doc_id", "text", 3, bands = 4, rowsPerBand = 4)
+  }
+
+  register(
+    "td_dedup_simhash",
+    Some(
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        |),
+        |h AS (
+        |  SELECT doc_id, CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT) AS whash
+        |  FROM w WHERE length(word) > 0
+        |),
+        |votes AS (
+        |  SELECT doc_id, b.bit,
+        |         sum(CASE WHEN (whash >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+        |  FROM h, LATERAL generate_series(0, 31) b(bit)
+        |  GROUP BY doc_id, b.bit
+        |)
+        |SELECT doc_id, sum(CASE WHEN votes > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS simhash
+        |FROM votes GROUP BY doc_id""".stripMargin
+    )
+  ) { (s, dir) => TextOps.simhash32(t(s, dir, "documents"), "doc_id", "text") }
+
+  private val LangMarkers: Map[String, Seq[String]] = Map(
+    "sqlish" -> Seq("table", "scan", "join", "query", "filter"),
+    "streamish" -> Seq("stream", "window", "batch", "row"),
+    "dataish" -> Seq("data", "vector", "hash", "key", "value")
+  )
+
+  register(
+    "td_lang_id",
+    Some(
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |m(cand_lang, word) AS (VALUES
+        |  ('sqlish','table'),('sqlish','scan'),('sqlish','join'),('sqlish','query'),('sqlish','filter'),
+        |  ('streamish','stream'),('streamish','window'),('streamish','batch'),('streamish','row'),
+        |  ('dataish','data'),('dataish','vector'),('dataish','hash'),('dataish','key'),('dataish','value')),
+        |hits AS (
+        |  SELECT doc_id, cand_lang, count(*) AS hits
+        |  FROM w JOIN m USING (word) GROUP BY doc_id, cand_lang
+        |),
+        |ranked AS (
+        |  SELECT doc_id, cand_lang AS lang_pred, hits,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang ASC) AS rn
+        |  FROM hits
+        |)
+        |SELECT doc_id, lang_pred, hits FROM ranked WHERE rn = 1""".stripMargin
+    )
+  ) { (s, dir) => TextOps.langIdByMarkers(t(s, dir, "documents"), "doc_id", "text", LangMarkers) }
+
+  private val Stopwords = Seq("the", "a", "of", "and", "or")
+
+  register(
+    "td_quality_features",
+    Some(
+      """SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  round(CAST(length(text) AS DOUBLE) / greatest(len(string_split(text,' ')), 1), 6) AS mean_token_len,
+        |  round(CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of','and','or'))) AS DOUBLE)
+        |    / greatest(len(string_split(text,' ')), 1), 6) AS stopword_ratio,
+        |  round(CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+        |    / greatest(length(text), 1), 6) AS punct_ratio,
+        |  round(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+        |    / greatest(len(string_split(text,' ')), 1), 6) AS distinct_token_ratio
+        |FROM documents""".stripMargin
+    )
+  ) { (s, dir) =>
+    TextOps.qualityFeatures(t(s, dir, "documents"), "doc_id", "text", Stopwords)
+      .select(
+        col("doc_id"), col("n_chars"), col("n_tokens"),
+        round(col("mean_token_len"), 6).as("mean_token_len"),
+        round(col("stopword_ratio"), 6).as("stopword_ratio"),
+        round(col("punct_ratio"), 6).as("punct_ratio"),
+        round(col("distinct_token_ratio"), 6).as("distinct_token_ratio")
+      )
+  }
+
+  register(
+    "td_token_counts",
+    Some(
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(text, '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-zA-Z0-9]+')) +
+        |  len(regexp_extract_all(text, '[^a-zA-Z0-9 \t\n]')) AS bpe_ish_tokens
+        |FROM documents""".stripMargin
+    )
+  ) { (s, dir) => TextOps.tokenCounts(t(s, dir, "documents"), "doc_id", "text") }
+
+  register(
+    "td_fingerprint",
+    Some(
+      s"""WITH ${shinglesSql(8)}
+         |SELECT doc_id, min(md5(shingle)) AS fp_min, max(md5(shingle)) AS fp_max,
+         |       count(*) AS n_shingles
+         |FROM sh GROUP BY doc_id""".stripMargin
+    )
+  ) { (s, dir) => TextOps.fingerprints(t(s, dir, "documents"), "doc_id", "text", 8) }
+
+  register(
+    "v_cosine_near_dup",
+    Some(
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35""".stripMargin
+    )
+  ) { (s, dir) =>
+    VectorOps
+      .cosineNearDupPairs(
+        t(s, dir, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
+        "vec_id", "embedding", 0.35)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+  }
+
+  register(
+    "v_ann_brute_topk",
+    Some(
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos
+        |  FROM q CROSS JOIN embeddings c WHERE q.vec_id <> c.vec_id
+        |),
+        |ranked AS (
+        |  SELECT query_id, corpus_id, cos,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, corpus_id, round(cos, 4) AS cos FROM ranked WHERE rank <= 5""".stripMargin
+    )
+  ) { (s, dir) =>
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    VectorOps
+      .bruteForceTopK(emb, "vec_id", "embedding", emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+      .select(col("query_id"), col("rank"), col("corpus_id"), round(col("cos"), 4).as("cos"))
+  }
+
+  // LSH ANN + multimodal: not SQL-expressible in DuckDB -> rows-only check;
+  // recall/behavior pinned by ScalaTest instead (OpsSpec).
+  register("v_ann_lsh_topk", None) { (s, dir) =>
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    VectorOps.lshTopK(emb, "vec_id", "embedding", emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5,
+      tables = 16, bitsPerTable = 4)
+  }
+
+  register("mm_image_features", None) { (s, _) =>
+    graft.ops.Multimodal.imageFeatures(graft.ops.Multimodal.syntheticMediaTable(s, 64)).toDF()
+  }
+
+  register("mm_payload_validate", None) { (s, _) =>
+    import s.implicits._
+    val images = s.range(48).map(i => graft.fixtures.Images.rowAt(i)).toDF()
+    graft.ops.Multimodal.validatePayload(s, images).filter(col("valid"))
+  }
+
   // -------------------------------------------------------------------------
 
   lazy val all: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap

@@ -143,18 +143,18 @@ final class CrawlEngine(
       }
       val claimedRows = trace("claim")(store.claim(budget, nowMs, hostQuota = quota, blockedHosts = blocked))
 
+      // claim() committed the rows and counted them — no extra action needed;
+      // `batch` recomputes from the cached state base (one filter), cheap.
       val batch = claimedRows
         .withColumn("claim_rank", row_number().over(Window.orderBy(col("event_seq").asc)))
         .select("unique_key", "url", "host", "depth", "retry_count", "forefront", "claim_rank")
-        .persist()
-      val claimedCount = trace("batch-count")(batch.count())
+      val claimedCount = store.lastClaimCount
 
       if (claimedCount == 0) {
         if (store.isFinished(nowMs)) done = true
         else if (enforcePoliteness && store.pendingCount(nowMs) > 0) {
           batchIdx += 1 // all throttled: advance the virtual clock (P2 sleep)
         } else done = true
-        batch.unpersist(false)
       } else {
         // --- robots re-check at fetch time (F6) ------------------------------
         val withRobots = batch.withColumn("robots_ok", robotsAllowedUdf(col("url")))
@@ -195,11 +195,11 @@ final class CrawlEngine(
           .drop("t_url", "t_body", "t_images")
 
         val directLoaded = direct.withColumn("loaded_url", col("url"))
+        // persist without forcing: the first downstream action materializes it
         val unioned = directLoaded
           .select(resultCols: _*)
           .unionByName(redirOk.select(resultCols: _*))
           .persist()
-        trace("fetch-union")(unioned.count())
 
         // --- classification (F12 / R1) ---------------------------------------
         val ok200 = unioned.filter(col("eff_status") === 200)
@@ -324,7 +324,6 @@ final class CrawlEngine(
         if (enforcePoliteness) throttle.update(nowMs, claimedPerHost, images429)
 
         unioned.unpersist(false)
-        batch.unpersist(false)
         batchIdx += 1
       }
     }

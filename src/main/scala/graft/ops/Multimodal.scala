@@ -1,0 +1,115 @@
+package graft.ops
+
+import graft.fixtures.Images
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing: opaque `binary` payload
+  * columns with typed metadata, processed by per-partition batch operators
+  * (`mapPartitions` over typed rows — the Scala analogue of `mapInPandas`
+  * batches: one decode context per partition, vectorized within).
+  *
+  * Image decode/resize is REAL (javax.imageio ships with the JVM). Audio
+  * and video decoders are not available in this container, so those paths
+  * are deterministic STUBS behind the same interface — the Spark-side
+  * schema, partitioning, and batch shape are what this module tests.
+  */
+object Multimodal {
+
+  final case class MediaMeta(media_type: String, w: Int, h: Int, fmt: String, duration_ms: Long)
+  final case class MediaRow(id: String, bytes: Array[Byte], meta: MediaMeta)
+  final case class ImageFeatures(id: String, w: Int, h: Int, fmt: String, phash: Long, mean_luma: Double)
+  final case class FrameSample(id: String, frame_idx: Int, ts_ms: Long, frame_phash: Long)
+
+  /** Decode + feature-extract images per partition (real imageio decode).
+    * One decoder context per partition; rows stream through it.
+    */
+  def imageFeatures(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
+    implicit val enc = Encoders.product[ImageFeatures]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val img = Images.decode(r.bytes)
+          if (img == null) None
+          else {
+            var luma = 0.0
+            var n = 0
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                luma += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000.0
+                n += 1
+                x += 1
+              }
+              y += 1
+            }
+            Some(ImageFeatures(r.id, img.getWidth, img.getHeight, r.meta.fmt, Images.phash(img), luma / n))
+          }
+        } catch { case _: Exception => None }
+      }
+    }
+  }
+
+  /** Resize images to (w, h) per partition; re-encodes as PNG. Real. */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val img = Images.decode(r.bytes)
+          if (img == null) None
+          else {
+            val scaled = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = scaled.createGraphics()
+            g.drawImage(img.getScaledInstance(w, h, java.awt.Image.SCALE_SMOOTH), 0, 0, null)
+            g.dispose()
+            Some(r.copy(bytes = Images.encode(scaled, "png"), meta = r.meta.copy(w = w, h = h, fmt = "png")))
+          }
+        } catch { case _: Exception => None }
+      }
+    }
+  }
+
+  /** Video frame sampling — STUB decode (no video codecs in this
+    * container): emits `everyMs`-spaced frames whose phash is a
+    * deterministic function of (id, frame index), preserving the real
+    * operator's schema, row multiplication, and partition batching.
+    */
+  def sampleFrames(media: Dataset[MediaRow], everyMs: Long): Dataset[FrameSample] = {
+    implicit val enc = Encoders.product[FrameSample]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val frames = (r.meta.duration_ms / everyMs).toInt
+        (0 until frames).iterator.map { i =>
+          // ??? real decoder goes here; deterministic fake keeps tests honest
+          FrameSample(r.id, i, i * everyMs, graft.canon.Hashing.xxh64(s"${r.id}#frame$i"))
+        }
+      }
+    }
+  }
+
+  /** Wrap the deterministic image fixture as a media table of `n` rows. */
+  def syntheticMediaTable(spark: org.apache.spark.sql.SparkSession, n: Long): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val row = Images.rowAt(i)
+      MediaRow(row.image_id, row.bytes, MediaMeta("image", row.w, row.h, row.fmt, 0L))
+    }
+  }
+
+  /** Per-row payload validation (BASELINE.json input_hint): PSNR >= 40 dB
+    * for lossy, bit-exact for lossless, caption + phash equality. Returns
+    * (image_id, valid).
+    */
+  def validatePayload(spark: org.apache.spark.sql.SparkSession, images: DataFrame): DataFrame = {
+    import spark.implicits._
+    images
+      .select(col("image_id"), col("bytes"), col("w"), col("h"), col("fmt"), col("caption"), col("phash"))
+      .as[graft.schema.ImageRow]
+      .map(r => (r.image_id, Images.validate(r)))
+      .toDF("image_id", "valid")
+  }
+}

@@ -126,6 +126,9 @@ final class FrontierStore(
   // ---- counters -----------------------------------------------------------
 
   def batchId: Long = manifest.batchId
+
+  /** Row count of the most recent claim() commit (saves callers a count). */
+  @volatile var lastClaimCount: Long = 0L
   def counters: (Long, Long, Long) = (manifest.maxSeq, manifest.maxForefrontSeq, manifest.maxEventSeq)
 
   // ---- commit -------------------------------------------------------------
@@ -466,6 +469,7 @@ final class FrontierStore(
 
     val _ = (maxSeq, maxFf)
     val n = commitEvents(claimEvents)
+    lastClaimCount = n
     if (n > 0)
       // return the COMMITTED rows (from the refreshed state chain) so callers
       // never hold lineage onto the pre-commit state

@@ -1,0 +1,94 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Behavior tests for the operators whose semantics a SQL oracle can't
+  * express: LSH ANN recall vs the brute-force baseline, multimodal
+  * decode/resize/frame plumbing, MinHash-LSH vs exact Jaccard containment.
+  */
+class OpsSpec extends SparkSpec {
+
+  lazy val docs = spark.read.parquet(s"${sf("sf0.01")}/documents.parquet")
+  lazy val emb = spark.read.parquet(s"${sf("sf0.01")}/embeddings.parquet")
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+
+  test("LSH ANN achieves >=60% top-5 recall vs brute force at 16x4 tables") {
+    // This corpus's nearest neighbors sit near cos~0.3 (random-ish vectors):
+    // per-bit agreement p = 1 - acos(0.3)/pi ~ 0.60, so recall needs SHORT
+    // signatures and many tables: 1-(1-0.6^4)^16 ~ 0.9. High-sim corpora
+    // (the production near-dup case) would use longer signatures instead.
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = VectorOps.bruteForceTopK(emb, "vec_id", "embedding", queries, "vec_id", "embedding", 5)
+      .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = VectorOps.lshTopK(emb, "vec_id", "embedding", queries, "vec_id", "embedding", 5,
+      tables = 16, bitsPerTable = 4)
+      .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    info(s"LSH recall: $recall (candidates examined: ${lsh.size})")
+    assert(recall >= 0.6, s"recall $recall too low")
+  }
+
+  test("LSH candidate generation is subquadratic (bucket join, not cross join)") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val plan = VectorOps.lshTopK(emb, "vec_id", "embedding", queries, "vec_id", "embedding", 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "LSH path must not cross-join the corpus")
+  }
+
+  test("MinHash-LSH candidates contain every high-Jaccard pair (recall side)") {
+    val exact = TextOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextOps.minhashLshCandidates(docs, "doc_id", "text", 3, bands = 4, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 4 bands x 4 rows: P(candidate | j=0.5) = 1-(1-0.5^4)^4 ~ 23% per banding
+    // theory, but our near-dup corpus pairs have j >> 0.5 where recall -> 1.
+    val missed = exact -- lsh
+    info(s"exact pairs >=0.5: ${exact.size}, LSH candidates: ${lsh.size}, missed: ${missed.size}")
+    assert(exact.isEmpty || missed.size.toDouble / exact.size <= 0.5)
+  }
+
+  test("multimodal: image features decode real bytes (dims, phash match fixture)") {
+    val media = Multimodal.syntheticMediaTable(spark, 16)
+    val feats = Multimodal.imageFeatures(media).collect()
+    assert(feats.length == 16)
+    feats.foreach { f =>
+      val expected = graft.fixtures.Images.rowAt(f.id.stripPrefix("img-").toLong)
+      assert(f.w == expected.w && f.h == expected.h)
+      assert(f.phash == expected.phash)
+      assert(f.mean_luma > 0 && f.mean_luma < 255)
+    }
+  }
+
+  test("multimodal: resize produces decodable images at the target size") {
+    val media = Multimodal.syntheticMediaTable(spark, 8)
+    val resized = Multimodal.resize(media, 32, 24).collect()
+    assert(resized.length == 8)
+    resized.foreach { r =>
+      val img = graft.fixtures.Images.decode(r.bytes)
+      assert(img.getWidth == 32 && img.getHeight == 24)
+      assert(r.meta.fmt == "png")
+    }
+  }
+
+  test("multimodal: frame sampling multiplies rows deterministically (stubbed decode)") {
+    import spark.implicits._
+    val media = Multimodal.syntheticMediaTable(spark, 4)
+      .map(m => m.copy(meta = m.meta.copy(media_type = "video", duration_ms = 5000)))
+    val frames = Multimodal.sampleFrames(media, everyMs = 1000).collect()
+    assert(frames.length == 4 * 5)
+    val again = Multimodal.sampleFrames(media, everyMs = 1000).collect()
+    assert(frames.map(f => (f.id, f.frame_idx, f.frame_phash)).toSet ==
+      again.map(f => (f.id, f.frame_idx, f.frame_phash)).toSet)
+  }
+
+  test("exact dedup detects injected duplicates") {
+    import spark.implicits._
+    val withDups = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") < 10).select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    val result = TextOps.exactDedup(withDups, "doc_id", "text")
+    assert(result.filter(col("dup_count") === 2).count() == 10)
+    // keep_id is always the lower (original) id
+    assert(result.filter(col("dup_count") === 2).filter(col("keep_id") >= 10000).count() == 0)
+  }
+}
