@@ -43,7 +43,8 @@ final class CrawlEngine(
     enforcePoliteness: Boolean = false,
     batchPeriodMs: Long = 1000L,
     statusAtFn: (String, Int) => Int = (_, _) => 200, // (url, attempt) => status
-    trackImages: Boolean = true // false: count images, don't collect ids (bench mode)
+    trackImages: Boolean = true, // false: count images, don't collect ids (bench mode)
+    trackOrder: Boolean = true // false: per-batch driver bookkeeping is a 6-row aggregate, not an O(batch) collect
 ) extends Serializable {
 
   import CrawlEngine._
@@ -56,6 +57,7 @@ final class CrawlEngine(
       skippedRobotsKeys: Set[String],
       emittedImageIds: Seq[String], // empty when trackImages = false
       emittedImageCount: Long,
+      processedCount: Long,
       batches: Int
   )
 
@@ -118,6 +120,7 @@ final class CrawlEngine(
     val emittedImages = mutable.ArrayBuffer.empty[String]
     var emittedImageCount = 0L
     var processedTotal = 0L
+    seenCount = 0L
     var batchIdx = 0
     val throttle = new graft.politeness.DomainThrottle(robotsByHost.map { case (h, r) =>
       h -> r.crawlDelay().getOrElse(0)
@@ -141,14 +144,13 @@ final class CrawlEngine(
           println(f"[trace] batch=$batchIdx $label ${(System.nanoTime() - t0) / 1e9}%.2fs")
         r
       }
-      val claimedRows = trace("claim")(store.claim(budget, nowMs, hostQuota = quota, blockedHosts = blocked))
-
-      // claim() committed the rows and counted them — no extra action needed;
-      // `batch` recomputes from the cached state base (one filter), cheap.
-      val batch = claimedRows
-        .withColumn("claim_rank", row_number().over(Window.orderBy(col("event_seq").asc)))
-        .select("unique_key", "url", "host", "depth", "retry_count", "forefront", "claim_rank")
-      val claimedCount = store.lastClaimCount
+      // claim selection WITHOUT a commit: the whole batch commits once at the
+      // end (an uncommitted batch replays deterministically on crash, which
+      // preserves exactly-once without the claim round-trip).
+      // localCheckpoint freezes the pick and cuts lineage for all downstream
+      // plans this batch.
+      val batch = store.claimSet(budget, nowMs, hostQuota = quota, blockedHosts = blocked)
+      val claimedCount = trace("claim")(batch.count()) // first action also materializes merged state
 
       if (claimedCount == 0) {
         if (store.isFinished(nowMs)) done = true
@@ -195,11 +197,16 @@ final class CrawlEngine(
           .drop("t_url", "t_body", "t_images")
 
         val directLoaded = direct.withColumn("loaded_url", col("url"))
-        // persist without forcing: the first downstream action materializes it
+        // localCheckpoint: materialize AND truncate lineage, so every
+        // downstream plan this batch (enqueue pipeline, commits, disposition)
+        // is planned over a flat in-memory scan instead of re-carrying the
+        // whole fetch-join tree through Catalyst each time — per-batch
+        // planning time is a serial driver cost that caps scaling.
         val unioned = directLoaded
           .select(resultCols: _*)
           .unionByName(redirOk.select(resultCols: _*))
-          .persist()
+          .drop("p_url", "p_status", "p_redirect")
+          .localCheckpoint(true)
 
         // --- classification (F12 / R1) ---------------------------------------
         val ok200 = unioned.filter(col("eff_status") === 200)
@@ -253,17 +260,22 @@ final class CrawlEngine(
           .select(col("unique_key"), explode_outer(col("p_images")).as("image_id"))
           .filter(col("image_id").isNotNull)
 
-        // --- one atomic result commit: enqueue + handled + reclaims ------------
-        val handledNow = ok200
-          .select(col("unique_key"), lit(true).as("handled_ok"), lit(RequestState.Done).as("state"))
-          .unionByName(fail404.select(col("unique_key"), lit(false).as("handled_ok"), lit(RequestState.Error).as("state")))
-          .unionByName(exhausted.select(col("unique_key"), lit(false).as("handled_ok"), lit(RequestState.Error).as("state")))
-          .unionByName(redirFailed.select(col("unique_key"), lit(false).as("handled_ok"), lit(RequestState.Skipped).as("state")))
-          .unionByName(robotsSkipped.select(col("unique_key"), lit(false).as("handled_ok"), lit(RequestState.Skipped).as("state")))
-        trace("commit-results")(store.commitResults(
+        // --- ONE atomic commit for the whole batch ------------------------------
+        // terminal rows carry full event columns (they came from claimSet),
+        // so the store needs no join against in-progress state
+        def term(df: DataFrame, ok: Boolean, state: Int): DataFrame =
+          df.select(FrontierStore.eventCols: _*)
+            .withColumn("r_ok", lit(ok)).withColumn("r_state", lit(state))
+        val terminal = term(ok200, ok = true, RequestState.Done)
+          .unionByName(term(fail404, ok = false, RequestState.Error))
+          .unionByName(term(exhausted, ok = false, RequestState.Error))
+          .unionByName(term(redirFailed, ok = false, RequestState.Skipped))
+          .unionByName(term(robotsSkipped, ok = false, RequestState.Skipped))
+        trace("commit-results")(store.commitBatch(
           candidates,
-          handledNow,
-          canRetry.select(col("unique_key"), col("forefront"), (col("retry_count") + 1).as("retry_count"))
+          terminal,
+          canRetry.select(FrontierStore.eventCols: _*)
+            .withColumn("retry_count", col("retry_count") + 1)
         ))
 
         // --- driver-side bookkeeping: ONE collect for the whole batch ----------
@@ -292,43 +304,64 @@ final class CrawlEngine(
             robotsSkipped.select(col("claim_rank"), col("url"), col("unique_key"), col("host"),
               lit(11).as("outcome"), lit(0).as("n_images"), lit(false).as("is429"))
           )
-          .orderBy(col("claim_rank"))
-        val dispositionRows = trace("disposition")(disposition.collect())
-
-        var images429 = Map.empty[String, Long]
-        var claimedPerHost = Map.empty[String, Long]
-        dispositionRows.foreach { r =>
-          val url = r.getString(1)
-          val key = r.getString(2)
-          val host = r.getString(3)
-          val outcome = r.getInt(4)
-          // robots skips (11) were never fetched; redirect-strategy fails (10)
-          // WERE fetched (the oracle logs them before the re-check)
-          if (outcome != 11) crawlOrder += url
-          outcome match {
-            case 0 => handledOk += key; processedTotal += 1
-            case 1 | 3 => failedKeys += key; processedTotal += 1
-            case 10 => processedTotal += 1
-            case 11 => skippedRobots += key
-            case _ => // retry: not terminal
+        if (trackOrder) {
+          val dispositionRows = trace("disposition")(disposition.collect().sortBy(_.getInt(0)))
+          var images429 = Map.empty[String, Long]
+          var claimedPerHost = Map.empty[String, Long]
+          dispositionRows.foreach { r =>
+            val url = r.getString(1)
+            val key = r.getString(2)
+            val host = r.getString(3)
+            val outcome = r.getInt(4)
+            // robots skips (11) were never fetched; redirect-strategy fails (10)
+            // WERE fetched (the oracle logs them before the re-check)
+            if (outcome != 11) crawlOrder += url
+            outcome match {
+              case 0 => handledOk += key; processedTotal += 1
+              case 1 | 3 => failedKeys += key; processedTotal += 1
+              case 10 => processedTotal += 1
+              case 11 => skippedRobots += key
+              case _ => // retry: not terminal
+            }
+            if (enforcePoliteness) {
+              claimedPerHost = claimedPerHost.updated(host, claimedPerHost.getOrElse(host, 0L) + 1)
+              if (r.getBoolean(6)) images429 = images429.updated(host, images429.getOrElse(host, 0L) + 1)
+            }
+          }
+          if (trackImages)
+            emittedImages ++= images.select(col("image_id")).collect().map(_.getString(0))
+          else
+            emittedImageCount += dispositionRows.iterator.map(_.getInt(5).toLong).sum
+          if (enforcePoliteness) throttle.update(nowMs, claimedPerHost, images429)
+        } else {
+          // bench path: six aggregate rows instead of an O(batch) collect
+          val aggRows = trace("disposition")(
+            disposition.groupBy(col("outcome"))
+              .agg(count(lit(1)).as("cnt"), sum(col("n_images")).as("imgs"))
+              .collect())
+          aggRows.foreach { r =>
+            val outcome = r.getInt(0)
+            val cnt = r.getLong(1)
+            if (outcome == 0 || outcome == 1 || outcome == 3 || outcome == 10) processedTotal += cnt
+            if (outcome == 0 && !r.isNullAt(2)) emittedImageCount += r.getLong(2)
           }
           if (enforcePoliteness) {
-            claimedPerHost = claimedPerHost.updated(host, claimedPerHost.getOrElse(host, 0L) + 1)
-            if (r.getBoolean(6)) images429 = images429.updated(host, images429.getOrElse(host, 0L) + 1)
+            val hostRows = batch.groupBy(col("host")).count().collect()
+            val claimedPerHost = hostRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+            val rows429 = unioned.filter(col("eff_status") === 429).groupBy(col("host")).count().collect()
+            throttle.update(nowMs, claimedPerHost, rows429.map(r => r.getString(0) -> r.getLong(1)).toMap)
           }
         }
-        if (trackImages)
-          emittedImages ++= images.select(col("image_id")).collect().map(_.getString(0))
-        else
-          emittedImageCount += dispositionRows.iterator.map(_.getInt(5).toLong).sum
-        if (enforcePoliteness) throttle.update(nowMs, claimedPerHost, images429)
 
         unioned.unpersist(false)
         batchIdx += 1
       }
     }
 
-    val seen = store.state().select(col("unique_key")).collect().map(_.getString(0)).toSet
+    val seen =
+      if (trackOrder) store.state().select(col("unique_key")).collect().map(_.getString(0)).toSet
+      else Set.empty[String]
+    seenCount = if (trackOrder) seen.size.toLong else store.state().count()
     pagesDf.unpersist(false)
     EngineResult(
       crawlOrder.toSeq,
@@ -338,9 +371,13 @@ final class CrawlEngine(
       skippedRobots.toSet,
       emittedImages.toSeq,
       if (trackImages) emittedImages.size.toLong else emittedImageCount,
+      processedTotal,
       batchIdx
     )
   }
+
+  /** Row count of the final seen-set (valid in both tracking modes). */
+  @volatile var seenCount: Long = 0L
 }
 
 object CrawlEngine {
@@ -349,9 +386,11 @@ object CrawlEngine {
   val BaseHrefPattern: String = "(?i)<base\\s[^>]*href\\s*=\\s*\"([^\"]*)\""
 
   import org.apache.spark.sql.functions.col
-  val resultCols: Seq[org.apache.spark.sql.Column] = Seq(
-    col("unique_key"), col("url"), col("host"), col("depth"), col("retry_count"),
-    col("forefront"), col("claim_rank"), col("loaded_url"), col("eff_status"),
-    col("p_body"), col("p_images")
-  )
+  /** Batch frame columns: the full frontier event row (so terminal commits
+    * need no state join) plus the fetch-side columns.
+    */
+  val resultCols: Seq[org.apache.spark.sql.Column] =
+    graft.queue.FrontierStore.eventSchema.fieldNames.toSeq.map(col) ++ Seq(
+      col("claim_rank"), col("loaded_url"), col("eff_status"), col("p_body"), col("p_images")
+    )
 }

@@ -35,7 +35,8 @@ object CrawlMain {
 
     val spec = WebSpec(hosts = hosts, pagesPerHost = pagesPerHost,
       otherOrgPages = pagesPerHost / 5, subHostPages = pagesPerHost / 5,
-      nImages = pagesPerHost * 2)
+      nImages = pagesPerHost * 2,
+      linkFactor = sys.env.getOrElse("GRAFT_LINK_FACTOR", "1").toInt)
     val pagesDf = spark.range(spec.totalPages.toLong).map(g => SyntheticWeb.pageAt(spec, g)).toDF()
     val robots = SyntheticWeb.allRobots(spec)
       .map(r => r.host -> Robots.fromFetch(s"https://${r.host}", r.status, r.body)).toMap
@@ -46,6 +47,7 @@ object CrawlMain {
     val engine = new CrawlEngine(
       spark, store, pagesDf, robots, cfg, claimBatchSize = batchSize,
       trackImages = false,
+      trackOrder = false,
       statusAtFn = (url, attempt) => {
         val host = graft.canon.UrlCanon.parse(url).host
         SyntheticWeb.statusAt(spec, CrawlOracle.hostIdx(spec, host), CrawlOracle.pageIdx(url), attempt)
@@ -60,11 +62,11 @@ object CrawlMain {
     val t0 = System.nanoTime()
     val result = engine.run(seeds)
     val secs = (System.nanoTime() - t0) / 1e9
-    val processed = result.handledOkKeys.size + result.failedKeys.size
+    val processed = result.processedCount
     println(
       s"""{"pages":${spec.totalPages},"batch":$batchSize,"cpus":$cpus,""" +
         s""""fetches":${result.crawlOrder.size},"processed":$processed,""" +
-        s""""seen":${result.seenKeys.size},"images":${result.emittedImageCount},""" +
+        s""""seen":${engine.seenCount},"images":${result.emittedImageCount},""" +
         s""""batches":${result.batches},"secs":$secs,""" +
         s""""urls_per_sec":${processed / secs},"images_per_sec":${result.emittedImageCount / secs}}"""
     )

@@ -16,7 +16,8 @@ final case class WebSpec(
     otherOrgPages: Int = 50, // cross-domain host
     subHostPages: Int = 50, // sub.h0.example.com (same-domain, not same-hostname)
     skewHost: Int = -1, // if >=0: this host gets 4x out-degree toward itself (hot-host skew)
-    nImages: Int = 1000
+    nImages: Int = 1000,
+    linkFactor: Int = 1 // out-degree multiplier (bench: real pages carry 50-150 links)
 ) {
   def totalPages: Int = hosts * pagesPerHost + otherOrgPages + subHostPages
 }
@@ -96,7 +97,7 @@ object SyntheticWeb {
   }
 
   def outDegree(spec: WebSpec, h: Int, i: Int): Int = {
-    val base = (pos(h64("deg", h, i)) % 9).toInt
+    val base = (pos(h64("deg", h, i)) % 9).toInt * spec.linkFactor
     if (spec.skewHost >= 0 && h == spec.skewHost) base * 4 else base
   }
 

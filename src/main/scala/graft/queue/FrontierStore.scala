@@ -96,10 +96,13 @@ final class FrontierStore(
     stateDf
   }
 
-  /** Persist + force the current chain; release the previous base. */
+  /** Persist the current chain (lazily — the next consumer materializes
+    * it; skipping the forcing count saves one action per commit) and
+    * release the previous base. Recompute of an evicted chain walks to
+    * parquet roots, so laziness is safe.
+    */
   private def materialize(): Unit = {
     val newBase = stateDf.persist(StorageLevel.MEMORY_AND_DISK)
-    newBase.count()
     if (persistedBase != null && (persistedBase ne newBase)) persistedBase.unpersist(false)
     persistedBase = newBase
     stateDf = newBase
@@ -112,14 +115,22 @@ final class FrontierStore(
     * cached-base scan, not a full re-shuffle. The chain depth is capped by
     * `compactEvery`, at which point the state is snapshotted + re-persisted.
     */
-  private def mergeDelta(delta: DataFrame): Unit = {
+  private def mergeDelta(delta: DataFrame, deltaRows: Long): Unit = {
     val deltaLatest = latestWins(delta)
-    stateDf = state()
-      .join(broadcast(deltaLatest.select(col("unique_key"))), Seq("unique_key"), "left_anti")
-      .unionByName(deltaLatest)
-    // Re-materialize immediately: the merge is shuffle-free (broadcast
-    // anti-join over the cached base), and a persisted 1-deep state keeps
-    // every later action this batch from re-evaluating a join chain.
+    // Small deltas: broadcast anti-join (no shuffle of the base, but the
+    // broadcast build is a DRIVER-side collect — serial). Large deltas
+    // (bulk enqueues): a shuffled anti-join keeps everything parallel.
+    stateDf =
+      if (deltaRows <= 65536)
+        state()
+          .join(broadcast(deltaLatest.select(col("unique_key"))), Seq("unique_key"), "left_anti")
+          .unionByName(deltaLatest)
+      else
+        state()
+          .join(deltaLatest.select(col("unique_key")), Seq("unique_key"), "left_anti")
+          .unionByName(deltaLatest)
+    // Re-materialize immediately: a persisted 1-deep state keeps every later
+    // action this batch from re-evaluating a join chain.
     materialize()
   }
 
@@ -142,16 +153,17 @@ final class FrontierStore(
     val bid = manifest.batchId + 1
     val deltaName = f"delta-$bid%06d"
     val deltaPath = s"$logDir/$deltaName"
-    events.write.mode(SaveMode.Overwrite).parquet(deltaPath)
+    // Observation: the count/max stats ride on the write job itself —
+    // no second read-the-delta-back aggregate action per commit.
+    val obs = new org.apache.spark.sql.Observation(s"commit-$bid")
+    events
+      .observe(obs, count(lit(1)).as("n"), max(col("seq")).as("ms"),
+        max(col("forefront_seq")).as("mf"), max(col("event_seq")).as("me"))
+      .write.mode(SaveMode.Overwrite).parquet(deltaPath)
+    val metrics = obs.get
     val delta = spark.read.schema(eventSchema).parquet(deltaPath)
-    val aggRow = delta
-      .agg(
-        count(lit(1)),
-        max(col("seq")),
-        max(col("forefront_seq")),
-        max(col("event_seq"))
-      )
-      .head()
+    val aggRow = org.apache.spark.sql.Row(
+      metrics("n"), metrics.getOrElse("ms", null), metrics.getOrElse("mf", null), metrics.getOrElse("me", null))
     val n = aggRow.getLong(0)
     if (n == 0) {
       deleteRecursively(Paths.get(deltaPath))
@@ -168,7 +180,7 @@ final class FrontierStore(
     // merge the committed delta into the state chain (reading it back keeps
     // the chain's lineage rooted in parquet, never in caller DataFrames)
     lastDeltaPath = deltaPath
-    mergeDelta(delta)
+    mergeDelta(delta, n)
     val finalManifest =
       if (nextManifest.deltas.size >= compactEvery) compact(nextManifest)
       else nextManifest
@@ -221,6 +233,61 @@ final class FrontierStore(
     */
   def commitResults(adds: DataFrame, handled: DataFrame, reclaims: DataFrame): DataFrame = synchronized {
     val (maxSeq, maxFf, maxEv) = counters
+    val S = Stride
+
+    // handled: in-progress rows -> Handled (Q6)
+    val inProg = state().filter(col("status") === Status.InProgress)
+    val handledEvents0 = inProg
+      .drop("handled_ok")
+      .join(
+        handled.select(col("unique_key").as("r_key"), col("handled_ok"), col("state").as("r_state")),
+        col("unique_key") === col("r_key"),
+        "inner"
+      )
+      .drop("r_key")
+      .withColumn("status", lit(Status.Handled))
+      .withColumn("state", col("r_state"))
+      .withColumn("lock_expires_at", lit(0L))
+      .withColumn("event_seq", lit(maxEv + 2 * S + 1))
+      .withColumn("batch_id", lit(batchId + 1))
+      .drop("r_state")
+      .select(eventCols: _*)
+
+    // reclaims: in-progress rows -> Pending with fresh tail/head position;
+    // the reclaimed values (retry_count, forefront) supersede stored ones
+    // (Q7). Tail reclaims take the seq stride ABOVE this batch's adds.
+    val reclaimEvents0 = inProg
+      .drop("forefront", "retry_count")
+      .join(
+        reclaims.select(col("unique_key").as("r_key"), col("forefront"), col("retry_count")),
+        col("unique_key") === col("r_key"),
+        "inner"
+      )
+      .drop("r_key")
+      .withColumn("__pos", pmod(xxhash64(col("unique_key")), lit(Stride / 2)) + 1)
+      .withColumn("status", lit(Status.Pending))
+      .withColumn("seq", when(col("forefront"), lit(-1L)).otherwise(lit(maxSeq + S) + col("__pos")))
+      .withColumn("forefront_seq", when(col("forefront"), lit(maxFf + 2 * S) + col("__pos")).otherwise(lit(-1L)))
+      .withColumn("lock_expires_at", lit(0L))
+      .withColumn("event_seq", lit(maxEv + 3 * S) + col("__pos"))
+      .withColumn("batch_id", lit(batchId + 1))
+      .drop("__pos")
+      .select(eventCols: _*)
+
+    commitWithAdds(adds, handledEvents0, reclaimEvents0, maxSeq, maxFf, maxEv)
+  }
+
+  /** Shared core: enqueue pipeline (dedup + ordering + report) unioned with
+    * caller-built terminal/reclaim event frames, committed as one delta.
+    */
+  private def commitWithAdds(
+      adds: DataFrame,
+      handledEvents: DataFrame,
+      reclaimEvents: DataFrame,
+      maxSeq: Long,
+      maxFf: Long,
+      maxEv: Long
+  ): DataFrame = {
     val S = Stride
     val candidates = adds
     // in-batch dedup: first occurrence wins (matching per-request loop order)
@@ -327,47 +394,6 @@ final class FrontierStore(
         lit(batchId + 1).as("batch_id")
       )
 
-    // handled: in-progress rows -> Handled (Q6)
-    val inProg = state().filter(col("status") === Status.InProgress)
-    val handledEvents = inProg
-      .drop("handled_ok")
-      .join(
-        handled.select(col("unique_key").as("r_key"), col("handled_ok"), col("state").as("r_state")),
-        col("unique_key") === col("r_key"),
-        "inner"
-      )
-      .drop("r_key")
-      .withColumn("__pos", lit(1L)) // terminal: event_seq only needs to exceed the claim event
-      .withColumn("status", lit(Status.Handled))
-      .withColumn("state", col("r_state"))
-      .withColumn("lock_expires_at", lit(0L))
-      .withColumn("event_seq", lit(maxEv + 2 * S) + col("__pos"))
-      .withColumn("batch_id", lit(batchId + 1))
-      .drop("__pos", "r_state")
-      .select(eventCols: _*)
-
-    // reclaims: in-progress rows -> Pending with fresh tail/head position;
-    // the reclaimed values (retry_count, forefront) supersede stored ones (Q7).
-    // Tail reclaims take the seq stride ABOVE this batch's adds: a request
-    // reclaimed in batch N goes behind links discovered in batch N.
-    val reclaimEvents = inProg
-      .drop("forefront", "retry_count")
-      .join(
-        reclaims.select(col("unique_key").as("r_key"), col("forefront"), col("retry_count")),
-        col("unique_key") === col("r_key"),
-        "inner"
-      )
-      .drop("r_key")
-      .withColumn("__pos", pmod(xxhash64(col("unique_key")), lit(Stride / 2)) + 1)
-      .withColumn("status", lit(Status.Pending))
-      .withColumn("seq", when(col("forefront"), lit(-1L)).otherwise(lit(maxSeq + S) + col("__pos")))
-      .withColumn("forefront_seq", when(col("forefront"), lit(maxFf + 2 * S) + col("__pos")).otherwise(lit(-1L)))
-      .withColumn("lock_expires_at", lit(0L))
-      .withColumn("event_seq", lit(maxEv + 3 * S) + col("__pos"))
-      .withColumn("batch_id", lit(batchId + 1))
-      .drop("__pos")
-      .select(eventCols: _*)
-
     val allEvents = newEvents.select(eventCols: _*)
       .unionByName(repositioned.select(eventCols: _*))
       .unionByName(handledEvents)
@@ -419,6 +445,84 @@ final class FrontierStore(
   private def latestDelta(): DataFrame =
     if (lastDeltaPath == null) emptyEvents(spark)
     else spark.read.schema(eventSchema).parquet(lastDeltaPath)
+
+  // ---- engine fast path: claim-free batch commit ------------------------------
+
+  /** Select (do NOT commit) the next claim set: same ordering/quota logic as
+    * `claim`, returned with a `claim_rank` column. The engine pairs this
+    * with `commitBatch` so a whole micro-batch is ONE commit — a crashed
+    * batch left nothing behind and replays deterministically, which gives
+    * the same exactly-once guarantee the claim lease provides without
+    * paying a second commit round-trip. (`claim`+`markHandled` remain the
+    * multi-writer-shaped contract surface.)
+    */
+  def claimSet(
+      maxN: Int,
+      nowMs: Long,
+      hostQuota: Map[String, Int] = Map.empty,
+      defaultQuota: Int = Int.MaxValue,
+      blockedHosts: Set[String] = Set.empty
+  ): DataFrame = synchronized {
+    if (maxN <= 0) return emptyEvents(spark).withColumn("claim_rank", lit(0))
+    val eligible = state().filter(
+      (col("status") === Status.Pending) ||
+        (col("status") === Status.InProgress && col("lock_expires_at") <= nowMs)
+    )
+    val notBlocked =
+      if (blockedHosts.isEmpty) eligible
+      else eligible.filter(!col("host").isin(blockedHosts.toSeq: _*))
+    val sortKey = when(col("forefront"), -col("forefront_seq")).otherwise(col("seq"))
+    val ordered = notBlocked
+      .withColumn("__sort", sortKey)
+      .withColumn(
+        "__host_rank",
+        row_number().over(Window.partitionBy(col("host")).orderBy(col("forefront").desc, col("__sort").asc, col("unique_key")))
+      )
+    val quotaUdf = udf((host: String) => hostQuota.getOrElse(host, defaultQuota))
+    ordered
+      .filter(col("__host_rank") <= quotaUdf(col("host")))
+      .orderBy(col("forefront").desc, col("__sort").asc, col("unique_key"))
+      .limit(maxN)
+      .withColumn(
+        "claim_rank",
+        row_number().over(Window.orderBy(col("forefront").desc, col("__sort").asc, col("unique_key")))
+      )
+      .drop("__sort", "__host_rank")
+  }
+
+  /** One commit for a whole engine micro-batch: enqueue `adds` (dedup +
+    * ordering, exactly as commitResults), terminal outcomes, and reclaims.
+    *
+    * `terminal` rows: full event columns plus `r_ok` (boolean) and `r_state`
+    * (int). `reclaimRows`: full event columns with retry_count ALREADY
+    * incremented and `forefront` carrying the reclaim flag. Both come from
+    * `claimSet` output, so no join against in-progress state is needed —
+    * the rows were never committed as in-progress at all.
+    */
+  def commitBatch(adds: DataFrame, terminal: DataFrame, reclaimRows: DataFrame): Unit = synchronized {
+    val (maxSeq, maxFf, maxEv) = counters
+    val S = Stride
+    val terminalEvents = terminal
+      .withColumn("status", lit(Status.Handled))
+      .withColumn("state", col("r_state"))
+      .withColumn("handled_ok", col("r_ok"))
+      .withColumn("lock_expires_at", lit(0L))
+      .withColumn("event_seq", lit(maxEv + 2 * S + 1))
+      .withColumn("batch_id", lit(batchId + 1))
+      .select(eventCols: _*)
+    val reclaimEvents = reclaimRows
+      .withColumn("__pos", pmod(xxhash64(col("unique_key")), lit(S / 2)) + 1)
+      .withColumn("status", lit(Status.Pending))
+      .withColumn("seq", when(col("forefront"), lit(-1L)).otherwise(lit(maxSeq + S) + col("__pos")))
+      .withColumn("forefront_seq", when(col("forefront"), lit(maxFf + 2 * S) + col("__pos")).otherwise(lit(-1L)))
+      .withColumn("lock_expires_at", lit(0L))
+      .withColumn("event_seq", lit(maxEv + 3 * S) + col("__pos"))
+      .withColumn("batch_id", lit(batchId + 1))
+      .drop("__pos")
+      .select(eventCols: _*)
+    commitWithAdds(adds, terminalEvents, reclaimEvents, maxSeq, maxFf, maxEv)
+    ()
+  }
 
   // ---- claim (Q5 + P2/P4) ---------------------------------------------------
 
