@@ -1,5 +1,13 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times every catalog query on SPARK_GRAFT_SF_DIR,
+  * plus a synthetic-web crawl (the headline workload: frontier + dedup +
+  * politeness + enqueue, measured as URLs/s and images/s). Prints ONE JSON
+  * line. Scaling-efficiency evidence (pinned 2- vs 8-core runs) lives in
+  * BENCH/BASELINE.md, produced by tools/scaling_bench.sh.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +15,57 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+      results(name) = (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // headline crawl: 88k-page synthetic web, wide seeds, full semantics
+    val crawlStats =
+      try {
+        import graft.fixtures.{SyntheticWeb, WebSpec}
+        import spark.implicits._
+        val spec = WebSpec(hosts = 4, pagesPerHost = 20000, otherOrgPages = 4000,
+          subHostPages = 4000, nImages = 40000)
+        val pagesDf = spark.range(spec.totalPages.toLong).map(g => SyntheticWeb.pageAt(spec, g)).toDF()
+        val robots = SyntheticWeb.allRobots(spec)
+          .map(r => r.host -> graft.canon.Robots.fromFetch(s"https://${r.host}", r.status, r.body)).toMap
+        val store = new graft.queue.FrontierStore(
+          spark, java.nio.file.Files.createTempDirectory("bench-crawl").toString)
+        val engine = new graft.engine.CrawlEngine(
+          spark, store, pagesDf, robots, graft.oracle.CrawlConfig(),
+          claimBatchSize = 32768, trackImages = false, trackOrder = false,
+          statusAtFn = (url, attempt) => {
+            val host = graft.canon.UrlCanon.parse(url).host
+            SyntheticWeb.statusAt(spec, graft.oracle.CrawlOracle.hostIdx(spec, host),
+              graft.oracle.CrawlOracle.pageIdx(url), attempt)
+          })
+        val seeds = for { h <- 0 until 4; i <- 0 until 4000 } yield SyntheticWeb.urlOf(spec, h, i * 3 % 20000)
+        val t0 = System.nanoTime()
+        val r = engine.run(seeds)
+        val secs = (System.nanoTime() - t0) / 1e9
+        results("crawl_88k_pages") = secs
+        Map(
+          "crawl_urls_per_sec" -> r.processedCount / secs,
+          "crawl_images_per_sec" -> r.emittedImageCount / secs,
+          "crawl_processed" -> r.processedCount.toDouble
+        )
+      } catch { case e: Throwable => Map("crawl_error" -> 1.0) }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val extra = crawlStats.map { case (k, v) => "\"" + k + "\":" + v }.mkString(",")
+    val total = results.values.sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$extra,"sf":"$sfDir"}"""
+    )
     spark.stop()
   }
 }

@@ -25,12 +25,22 @@ object VectorOps {
     * Exact O(n^2) — the correctness baseline; cap input size or use
     * `lshNearDupCandidates` beyond ~10^4 vectors.
     */
+  /** Pre-normalize to unit length ONCE per row (n rows) so the O(n^2) pair
+    * stage is a bare dot product — 3x less arithmetic than recomputing both
+    * norms per pair.
+    */
+  def unitNormalized(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("__n", norm(col(vecCol)))
+      .withColumn(vecCol, transform(col(vecCol), x => x / col("__n")))
+      .drop("__n")
+
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    val normed = unitNormalized(df, vecCol)
+    val a = normed.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = normed.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
+      .withColumn("cos", dot(col("vec_a"), col("vec_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
@@ -46,11 +56,10 @@ object VectorOps {
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int
   ): DataFrame = {
-    val scored = queries
-      .select(col(queryId).as("query_id"), col(queryVec).as("qv"))
-      .crossJoin(corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("cv")))
+    val scored = unitNormalized(queries.select(col(queryId).as("query_id"), col(queryVec).as("qv")), "qv")
+      .crossJoin(unitNormalized(corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("cv")), "cv"))
       .filter(col("query_id") =!= col("corpus_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -58,34 +67,41 @@ object VectorOps {
       .select(col("query_id"), col("rank"), col("corpus_id"), col("cos"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
-    * md5-derived value in [-0.5, 0.5). Engine-portable and seed-free.
+  /** Deterministic hyperplane matrix (seed 42): planes x dims, values in
+    * [-0.5, 0.5). Generated once on the driver and shipped in the closure —
+    * one signature pass per row instead of a per-(row,plane,dim) hash.
     */
-  private def planeComponent(p: Column, i: Column): Column =
-    (conv(substring(md5(concat(p, lit(":"), i)), 1, 8), 16, 10).cast("double") / lit(4294967296.0)) - 0.5
+  def planeMatrix(nPlanes: Int, dims: Int): Array[Array[Double]] = {
+    val rnd = new java.util.Random(42)
+    Array.fill(nPlanes)(Array.fill(dims)(rnd.nextDouble() - 0.5))
+  }
 
   /** Random-hyperplane (SimHash) LSH signatures for ANN bucketing:
     * bit p = sign(dot(vec, plane_p)). `tables` independent signatures of
     * `bitsPerTable` planes each. Output: (id, table_idx, signature).
+    * One UDF pass per row computes all tables*bits projections against the
+    * closure-shipped plane matrix (cache-friendly dense loops).
     */
   def lshSignatures(df: DataFrame, idCol: String, vecCol: String, tables: Int, bitsPerTable: Int): DataFrame = {
-    val planes = df.sparkSession.range(tables.toLong * bitsPerTable).select(col("id").as("plane"))
-    val withPlane = df
-      .select(col(idCol), col(vecCol).as("v"))
-      .crossJoin(broadcast(planes))
-    val projected = withPlane.withColumn(
-      "proj",
-      aggregate(
-        zip_with(col("v"), sequence(lit(0), size(col("v")) - 1), (x, i) => x * planeComponent(col("plane"), i)),
-        lit(0.0), (acc, v) => acc + v
-      )
-    )
-    projected
-      .withColumn("table_idx", (col("plane") / bitsPerTable).cast("int"))
-      .withColumn("bit_idx", pmod(col("plane"), lit(bitsPerTable)).cast("int"))
-      .withColumn("bit", when(col("proj") >= 0, expr("shiftleft(CAST(1 AS BIGINT), bit_idx)")).otherwise(0L))
-      .groupBy(col(idCol), col("table_idx"))
-      .agg(sum(col("bit")).as("signature"))
+    val nPlanes = tables * bitsPerTable
+    val dims = df.select(size(col(vecCol))).head().getInt(0)
+    val planes = planeMatrix(nPlanes, dims)
+    val bpt = bitsPerTable
+    val sigUdf = udf { (v: Seq[Double]) =>
+      val sigs = new Array[Long](tables)
+      var p = 0
+      while (p < nPlanes) {
+        val plane = planes(p)
+        var dotV = 0.0
+        var i = 0
+        val n = math.min(v.length, plane.length)
+        while (i < n) { dotV += v(i) * plane(i); i += 1 }
+        if (dotV >= 0) sigs(p / bpt) |= (1L << (p % bpt))
+        p += 1
+      }
+      sigs
+    }
+    df.select(col(idCol), posexplode(sigUdf(col(vecCol))).as(Seq("table_idx", "signature")))
   }
 
   /** LSH-bucketed ANN: candidates = pairs sharing any table signature, then
