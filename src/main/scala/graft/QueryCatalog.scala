@@ -564,6 +564,109 @@ object QueryCatalog {
     graft.ops.Multimodal.validatePayload(s, images).filter(col("valid"))
   }
 
+  // ---- S3: sitemap XML parse (the flatMap generator over documents) --------
+  // XML bodies synthesized from events; the oracle knows the loc list
+  // analytically. The Spark side runs the real SAX parser.
+  register(
+    "s3_sitemap_parse",
+    Some(
+      """SELECT event_id, 'https://h' || (user_id % 7) || '.example.com/p/' ||
+        |       ((event_id + t.i) % 1000) AS loc
+        |FROM events, LATERAL (SELECT unnest(generate_series(0, 2)) AS i) t
+        |WHERE event_id % 37 = 0
+        |ORDER BY event_id, loc""".stripMargin
+    )
+  ) { (s, dir) =>
+    val host = concat(lit("https://h"), pmod(col("user_id"), lit(7)), lit(".example.com/p/"))
+    val xmlBody = concat(
+      lit("<urlset>"),
+      concat_ws("", transform(sequence(lit(0), lit(2)),
+        i => concat(lit("<url><loc>"), host, pmod(col("event_id") + i, lit(1000)), lit("</loc></url>")))),
+      lit("</urlset>")
+    )
+    val parseLocs = udf { (xml: String) => graft.sources.Sitemap.parseXml(xml).urls.map(_.loc) }
+    t(s, dir, "events")
+      .filter(pmod(col("event_id"), lit(37)) === 0)
+      .select(col("event_id"), explode(parseLocs(xmlBody)).as("loc"))
+      .orderBy(col("event_id"), col("loc"))
+  }
+
+  // ---- A5: requests/minute rates (the BASELINE throughput metric shape) ----
+  register(
+    "a5_rates",
+    Some(
+      """SELECT
+        |  count(*) FILTER (WHERE event_id % 23 <> 0 AND event_id % 17 <> 0) AS requests_finished,
+        |  count(*) FILTER (WHERE event_id % 23 = 0 OR event_id % 17 = 0) AS requests_failed,
+        |  round(count(*) FILTER (WHERE event_id % 23 <> 0 AND event_id % 17 <> 0) / 10.0, 6) AS finished_per_minute
+        |FROM events""".stripMargin
+    )
+  ) { (s, dir) =>
+    val failed = pmod(col("event_id"), lit(23)) === 0 || pmod(col("event_id"), lit(17)) === 0
+    t(s, dir, "events")
+      .agg(
+        count(when(!failed, 1)).as("requests_finished"),
+        count(when(failed, 1)).as("requests_failed"),
+        round(count(when(!failed, 1)) / lit(10.0), 6).as("finished_per_minute") // 10-minute run
+      )
+  }
+
+  // ---- A6: error tracker message wildcarding --------------------------------
+  register(
+    "a6_error_groups",
+    Some(
+      """WITH errs AS (
+        |  SELECT CASE WHEN event_id % 3 = 0 THEN 'timeout after ' || (event_id % 50) || ' seconds'
+        |              WHEN event_id % 3 = 1 THEN 'no such host ''h' || (event_id % 9) || '.test'''
+        |              ELSE 'connection reset' END AS message
+        |  FROM events WHERE event_id % 7 = 0
+        |)
+        |SELECT regexp_replace(regexp_replace(regexp_replace(message,
+        |         '''[^'']*''', '''***''', 'g'),
+        |         '\b[0-9a-fA-F]{8,}\b', '***', 'g'),
+        |         '\b\d+\b', '***', 'g') AS error_group,
+        |       count(*) AS occurrences,
+        |       count(DISTINCT message) AS distinct_messages
+        |FROM errs GROUP BY 1 ORDER BY occurrences DESC, error_group""".stripMargin
+    )
+  ) { (s, dir) =>
+    val message = when(pmod(col("event_id"), lit(3)) === 0,
+      concat(lit("timeout after "), pmod(col("event_id"), lit(50)), lit(" seconds")))
+      .when(pmod(col("event_id"), lit(3)) === 1,
+        concat(lit("no such host 'h"), pmod(col("event_id"), lit(9)), lit(".test'")))
+      .otherwise(lit("connection reset"))
+    val errs = t(s, dir, "events").filter(pmod(col("event_id"), lit(7)) === 0).select(message.as("message"))
+    graft.stats.Statistics.errorGroups(errs)
+  }
+
+  // ---- P6: hot-key salting (skew handling pattern) ---------------------------
+  // A hot host owning most rows is split across salt sub-keys; per-host
+  // totals are recovered by a second (tiny) aggregation. The oracle verifies
+  // both levels.
+  register(
+    "p6_skew_salting",
+    Some(
+      """WITH salted AS (
+        |  SELECT CASE WHEN user_id % 10 < 7 THEN 'hot.example.com'
+        |              ELSE 'h' || (user_id % 10) || '.example.com' END AS host,
+        |         event_id % 8 AS salt, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT host, count(*) AS n_salt_buckets, sum(cnt) AS total
+        |FROM salted GROUP BY host ORDER BY host""".stripMargin
+    )
+  ) { (s, dir) =>
+    val host = when(pmod(col("user_id"), lit(10)) < 7, lit("hot.example.com"))
+      .otherwise(concat(lit("h"), pmod(col("user_id"), lit(10)), lit(".example.com")))
+    t(s, dir, "events")
+      .select(host.as("host"), pmod(col("event_id"), lit(8)).as("salt"))
+      .groupBy(col("host"), col("salt"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_salt_buckets"), sum(col("cnt")).as("total"))
+      .orderBy(col("host"))
+  }
+
   // -------------------------------------------------------------------------
 
   lazy val all: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap

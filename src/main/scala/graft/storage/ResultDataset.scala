@@ -1,0 +1,124 @@
+package graft.storage
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Append-only result Dataset with the full get_data relational surface
+  * (SURVEY.md §2.7, D1-D11) — the reference's local clients implement only
+  * a subset and warn on the rest (_memory/_dataset_client.py:152-169);
+  * Spark gives the whole surface natively, so we implement it all:
+  *
+  *   D1 push (append-only, immutable after append), D2 offset/limit,
+  *   D3 desc, D4 skip_empty, D5 fields projection, D6 omit, D7 unwind,
+  *   D8 flatten, D9 skip_hidden/clean, D10 CSV export (first-item columns
+  *   or union-of-all-keys), D11 JSON export.
+  *
+  * Rows carry a monotone `__seq` (insertion order — the reference's
+  * item_id ordering, _sql/_dataset_client.py:276-285).
+  */
+final class ResultDataset(spark: SparkSession, root: String) {
+
+  private val dir = s"$root/data"
+  java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+  private var appendCount: Long = currentDf().count()
+
+  private def currentDf(): DataFrame =
+    try spark.read.parquet(dir)
+    catch { case _: Exception => spark.emptyDataFrame }
+
+  /** D1: append; items are immutable once pushed. */
+  def push(items: DataFrame): Unit = synchronized {
+    val base = appendCount
+    val stamped = items
+      .withColumn("__seq", monotonically_increasing_id() + lit(base))
+    stamped.write.mode(SaveMode.Append).parquet(dir)
+    appendCount += items.count()
+  }
+
+  def itemCount: Long = appendCount
+
+  final case class GetDataOptions(
+      offset: Long = 0,
+      limit: Long = Long.MaxValue,
+      desc: Boolean = false,
+      fields: Seq[String] = Seq.empty,
+      omit: Seq[String] = Seq.empty,
+      unwind: Option[String] = None,
+      flatten: Option[String] = None,
+      skipEmpty: Boolean = false,
+      skipHidden: Boolean = false,
+      clean: Boolean = false // = skipHidden + skipEmpty (reference semantics)
+  )
+
+  /** The D2-D9 surface in reference parameter order. */
+  def getData(opts: GetDataOptions = GetDataOptions()): DataFrame = {
+    var df = currentDf()
+    if (df.columns.isEmpty) return df
+    val skipHidden = opts.skipHidden || opts.clean
+    val skipEmpty = opts.skipEmpty || opts.clean
+
+    // D9: drop '#'-prefixed columns
+    if (skipHidden) {
+      val hidden = df.columns.filter(c => c.startsWith("#"))
+      if (hidden.nonEmpty) df = df.drop(hidden: _*)
+    }
+    // D4: drop rows where every (non-internal) column is null
+    if (skipEmpty) {
+      val dataCols = df.columns.filterNot(_ == "__seq")
+      df = df.filter(dataCols.map(c => col(c).isNotNull).reduce(_ || _))
+    }
+    // D7: explode an array field into one item per element
+    opts.unwind.foreach(f => df = df.withColumn(f, explode(col(f))))
+    // D8: flatten a struct field into top-level columns
+    opts.flatten.foreach { f =>
+      val nested = df.select(s"$f.*").columns
+      nested.foreach(n => df = df.withColumn(n, col(s"$f.$n")))
+      df = df.drop(f)
+    }
+    // D3 + D2: insertion-order pagination
+    df = df.orderBy(if (opts.desc) col("__seq").desc else col("__seq").asc)
+    if (opts.offset > 0) df = df.offset(opts.offset.toInt)
+    if (opts.limit != Long.MaxValue) df = df.limit(opts.limit.toInt)
+    // D5/D6: projection / anti-projection (fields keeps given order)
+    if (opts.fields.nonEmpty) df = df.select(opts.fields.map(col): _*)
+    else {
+      if (opts.omit.nonEmpty) df = df.drop(opts.omit: _*)
+      df = df.drop("__seq")
+    }
+    df
+  }
+
+  /** D10: CSV export. Default column set = first item's non-null fields
+    * (later-introduced keys dropped, matching _utils/file.py:197-250);
+    * `collectAllKeys` exports the union of all keys instead.
+    */
+  def exportCsv(path: String, collectAllKeys: Boolean = false): Seq[String] = {
+    val df = getData()
+    val columns =
+      if (collectAllKeys) df.columns.toSeq
+      else {
+        val first = df.head()
+        df.columns.toSeq.filter(c => first.getAs[Any](c) != null)
+      }
+    // CSV can't carry nested types: structs/arrays/maps are JSON-stringified
+    // (matching the reference's row-as-JSON serialization of nested values)
+    val projected = df.select(columns.map(col): _*)
+    val flatCols = projected.schema.fields.map { f =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.StructType |
+            _: org.apache.spark.sql.types.ArrayType |
+            _: org.apache.spark.sql.types.MapType =>
+          to_json(col(f.name)).as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    projected.select(flatCols.toSeq: _*)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+    columns
+  }
+
+  /** D11: JSON export (array-of-objects stream → JSONL, the columnar form). */
+  def exportJson(path: String): Unit =
+    getData().coalesce(1).write.mode(SaveMode.Overwrite).json(path)
+}
