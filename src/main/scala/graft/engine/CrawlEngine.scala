@@ -126,8 +126,19 @@ final class CrawlEngine(
       h -> r.crawlDelay().getOrElse(0)
     })
 
+    val metricsDir = s"${store.root}/metrics"
+    def appendMetrics(batch: Int, nowMs: Long, claimed: Long, terminal: Long,
+        images: Long, wallMs: Long): Unit = {
+      import spark.implicits._
+      Seq((batch, nowMs, claimed, terminal, images, wallMs, processedTotal))
+        .toDF("batch_id", "virtual_now_ms", "claimed", "terminal", "images", "wall_ms", "processed_total")
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(metricsDir)
+    }
+
     var done = false
     while (!done && processedTotal < cfg.maxRequestsPerCrawl) {
+      val batchT0 = System.nanoTime()
       val nowMs = batchIdx.toLong * batchPeriodMs
       // R6: never claim more than the remaining budget (reproduces the
       // concurrency-1 exactness of test_basic_crawler.py:1094-1122)
@@ -149,8 +160,13 @@ final class CrawlEngine(
       // preserves exactly-once without the claim round-trip).
       // localCheckpoint freezes the pick and cuts lineage for all downstream
       // plans this batch.
-      val batch = store.claimSet(budget, nowMs, hostQuota = quota, blockedHosts = blocked)
-      val claimedCount = trace("claim")(batch.count()) // first action also materializes merged state
+      // localCheckpoint is REQUIRED for correctness, not just speed: batch
+      // feeds frames evaluated both before and after commitBatch swaps the
+      // state; an un-pinned claimSet would re-select against the NEW state
+      // post-commit (phantom/lost robots-skip and redirect-fail rows).
+      val batch = trace("claim")(
+        store.claimSet(budget, nowMs, hostQuota = quota, blockedHosts = blocked).localCheckpoint(true))
+      val claimedCount = batch.count()
 
       if (claimedCount == 0) {
         if (store.isFinished(nowMs)) done = true
@@ -158,6 +174,7 @@ final class CrawlEngine(
           batchIdx += 1 // all throttled: advance the virtual clock (P2 sleep)
         } else done = true
       } else {
+        val processedBefore = processedTotal
         // --- robots re-check at fetch time (F6) ------------------------------
         val withRobots = batch.withColumn("robots_ok", robotsAllowedUdf(col("url")))
         val robotsSkipped = withRobots.filter(!col("robots_ok"))
@@ -271,14 +288,9 @@ final class CrawlEngine(
           .unionByName(term(exhausted, ok = false, RequestState.Error))
           .unionByName(term(redirFailed, ok = false, RequestState.Skipped))
           .unionByName(term(robotsSkipped, ok = false, RequestState.Skipped))
-        trace("commit-results")(store.commitBatch(
-          candidates,
-          terminal,
-          canRetry.select(FrontierStore.eventCols: _*)
-            .withColumn("retry_count", col("retry_count") + 1)
-        ))
 
         // --- driver-side bookkeeping: ONE collect for the whole batch ----------
+        // (collected BEFORE the commit mutates state — see batch checkpoint note)
         // outcome codes: 0=ok, 1=fail404, 2=retry, 3=exhausted, 10=redir_fail, 11=robots_skip
         val disposition = unioned
           .select(
@@ -353,7 +365,16 @@ final class CrawlEngine(
           }
         }
 
+        trace("commit-results")(store.commitBatch(
+          candidates,
+          terminal,
+          canRetry.select(FrontierStore.eventCols: _*)
+            .withColumn("retry_count", col("retry_count") + 1)
+        ))
+
         unioned.unpersist(false)
+        appendMetrics(batchIdx, nowMs, claimedCount,
+          processedTotal - processedBefore, emittedImageCount, (System.nanoTime() - batchT0) / 1000000)
         batchIdx += 1
       }
     }
