@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions (the builder-prompt rubric: filters pushed to
+  * the parquet scan, column pruning, whole-stage codegen coverage,
+  * broadcast joins where a side is small). These pin the plans we WANT,
+  * so a regression that silently de-optimizes fails the suite.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String = {
+    val qe = df.queryExecution
+    qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("filter + projection push down to the parquet scan") {
+    val li = spark.read.parquet(s"${sf("sf0.001")}/lineitem.parquet")
+    val q = li.filter(col("l_orderkey") === 42L).select("l_orderkey", "l_quantity")
+    val f = formatted(q)
+    assert(f.contains("PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,42)]"), f)
+    // column pruning: the scan reads exactly the two projected columns
+    assert(f.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), f)
+  }
+
+  test("catalog aggregation runs inside whole-stage codegen (map-side partial agg)") {
+    val q = QueryCatalog.all("q1_agg")(spark, sf("sf0.001"))
+    q.collect() // finalize the AQE plan
+    val p = plan(q)
+    // '*(n)' prefixes mark whole-stage-codegen stages in the final plan
+    assert(p.contains("*("), p)
+    assert(p.contains("partial_sum"), p) // map-side combine before the shuffle
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("URL expressions stay inside whole-stage codegen (no UDF boxing)") {
+    graft.expr.UrlFunctions.register(spark)
+    val q = QueryCatalog.all("c1_normalize_url")(spark, sf("sf0.001"))
+    val p = plan(q)
+    // the Project containing normalizeurl(...) sits inside codegen stage *(1)
+    assert(p.contains("*(1) Project") && p.contains("normalizeurl"), p)
+  }
+
+  test("frontier dedup anti-join broadcasts the small side") {
+    import spark.implicits._
+    val store = new graft.queue.FrontierStore(
+      spark, java.nio.file.Files.createTempDirectory("plan").toString)
+    store.addBatch(
+      Seq(("k1", "https://a.com/1", "a.com", null.asInstanceOf[String], "GET", 0, false, 0L))
+        .toDF("unique_key", "url", "host", "label", "method", "depth", "forefront", "cand_order"))
+    // small-delta merge path: the state chain uses a broadcast anti-join
+    val p = plan(store.state())
+    assert(p.contains("BroadcastHashJoin") || p.contains("InMemoryTableScan"), p)
+  }
+
+  test("brute-force ANN broadcasts the small query side (no shuffle of the corpus)") {
+    val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val q = graft.ops.VectorOps.bruteForceTopK(
+      emb, "vec_id", "embedding", emb.filter(col("vec_id") < 5), "vec_id", "embedding", 3)
+    val p = plan(q)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("shingle self-join shuffles on the high-cardinality shingle key (no cartesian)") {
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val q = graft.ops.TextOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}
