@@ -667,6 +667,76 @@ object QueryCatalog {
       .orderBy(col("host"))
   }
 
+  // ---- J1: multi-way join with broadcast dims (engine breadth) -------------
+  register(
+    "j1_region_revenue",
+    Some(
+      """SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin
+    )
+  ) { (s, dir) =>
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items")
+      )
+      .orderBy(col("r_name"))
+  }
+
+  // ---- W1: gap-based sessionization over the event stream -------------------
+  // (streaming-semantics shape expressed in batch: lag + cumulative sum)
+  register(
+    "w1_sessionize",
+    Some(
+      """WITH gaps AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              > INTERVAL 1 HOUR THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |),
+        |sessions AS (
+        |  SELECT user_id,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM gaps
+        |)
+        |SELECT user_id, count(DISTINCT session_id) AS n_sessions, count(*) AS n_events
+        |FROM sessions GROUP BY user_id ORDER BY user_id""".stripMargin
+    )
+  ) { (s, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn(
+        "new_session",
+        when(
+          unix_timestamp(col("ts").cast("timestamp")) -
+            unix_timestamp(lag(col("ts"), 1).over(w).cast("timestamp")) > 3600,
+          1
+        ).otherwise(0)
+      )
+      .withColumn("session_id", sum(col("new_session")).over(cum))
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
   // -------------------------------------------------------------------------
 
   lazy val all: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap

@@ -15,8 +15,9 @@ from pathlib import Path
 
 import duckdb
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-OUT = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify")
+ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
+SF = ARGS[0] if len(ARGS) > 0 else "/root/testdata/sf0.01"
+OUT = Path(ARGS[1] if len(ARGS) > 1 else "/tmp/graft_verify")
 
 
 def run_verify():
