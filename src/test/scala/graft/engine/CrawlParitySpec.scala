@@ -93,6 +93,15 @@ class CrawlParitySpec extends SparkSpec {
     assert(engine.handledOkKeys == oracle.handledOkKeys)
   }
 
+  test("hot-host skew: a 4x-degree host crawls to the same parity (P6)") {
+    val skewed = smallSpec.copy(skewHost = 0)
+    val cfg = CrawlConfig()
+    val oracle = CrawlOracle.run(skewed, seeds, cfg)
+    val engine = mkEngine(skewed, cfg, batchSize = 16).run(seeds)
+    assert(engine.seenKeys == oracle.seenKeys)
+    assert(engine.handledOkKeys == oracle.handledOkKeys)
+  }
+
   test("same-domain strategy reaches the sub-host, not other.org") {
     val cfg = CrawlConfig(strategy = graft.canon.EnqueueStrategy.SameDomain)
     val oracle = CrawlOracle.run(smallSpec, Seq(seeds.head), cfg)
