@@ -33,8 +33,10 @@ object Bench {
       try {
         import graft.fixtures.{SyntheticWeb, WebSpec}
         import spark.implicits._
-        val spec = WebSpec(hosts = 4, pagesPerHost = 20000, otherOrgPages = 4000,
-          subHostPages = 4000, nImages = 40000)
+        // sized so the crawl finishes in ~1-2 min even at the driver's 4-core
+        // default; scaling evidence lives in tools/scaling_bench.sh
+        val spec = WebSpec(hosts = 4, pagesPerHost = 10000, otherOrgPages = 2000,
+          subHostPages = 2000, nImages = 20000)
         val pagesDf = spark.range(spec.totalPages.toLong).map(g => SyntheticWeb.pageAt(spec, g)).toDF()
         val robots = SyntheticWeb.allRobots(spec)
           .map(r => r.host -> graft.canon.Robots.fromFetch(s"https://${r.host}", r.status, r.body)).toMap
@@ -48,11 +50,11 @@ object Bench {
             SyntheticWeb.statusAt(spec, graft.oracle.CrawlOracle.hostIdx(spec, host),
               graft.oracle.CrawlOracle.pageIdx(url), attempt)
           })
-        val seeds = for { h <- 0 until 4; i <- 0 until 4000 } yield SyntheticWeb.urlOf(spec, h, i * 3 % 20000)
+        val seeds = for { h <- 0 until 4; i <- 0 until 2000 } yield SyntheticWeb.urlOf(spec, h, i * 3 % 10000)
         val t0 = System.nanoTime()
         val r = engine.run(seeds)
         val secs = (System.nanoTime() - t0) / 1e9
-        results("crawl_88k_pages") = secs
+        results("crawl_44k_pages") = secs
         Map(
           "crawl_urls_per_sec" -> r.processedCount / secs,
           "crawl_images_per_sec" -> r.emittedImageCount / secs,

@@ -249,7 +249,7 @@ final class CrawlEngine(
         val resolved = hrefs
           .withColumn("abs_url", UrlFunctions.resolveUrl(col("base_url"), col("raw_link")))
           .filter(col("abs_url").isNotNull)
-        val eligible = resolved
+        val eligible0 = resolved
           .withColumn(
             "strategy_ok",
             UrlFunctions.strategyAllows(col("abs_url"), lit(cfg.strategy), col("origin_url"))
@@ -260,7 +260,15 @@ final class CrawlEngine(
             row_number().over(Window.partitionBy(col("parent_key")).orderBy(col("link_idx")))
           )
           .filter(col("link_rank") <= cfg.linksPerPageLimit)
-          .filter(robotsAllowedUdf(col("abs_url"))) // F5
+        // F9 user transform: rewrite/drop the request before robots + enqueue
+        val eligible = (cfg.transformRequest match {
+          case Some(fn) =>
+            val tfUrl = udf { (u: String) =>
+              fn(graft.oracle.RequestOptions(u, None)).map(_.url).orNull
+            }
+            eligible0.withColumn("abs_url", tfUrl(col("abs_url"))).filter(col("abs_url").isNotNull)
+          case None => eligible0
+        }).filter(robotsAllowedUdf(col("abs_url"))) // F5
         val candidates = eligible.select(
           UrlFunctions.uniqueKeyCol(col("abs_url")).as("unique_key"),
           col("abs_url").as("url"),

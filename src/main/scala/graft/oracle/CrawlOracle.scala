@@ -81,6 +81,13 @@ final class MemoryQueueOracle {
 }
 
 /** Crawl configuration shared by oracle and Spark engine. */
+/** F9 user hook: rewrite a discovered request before enqueue, tag it with a
+  * label, or drop it (None) — the reference's transform_request_function
+  * (_abstract_http_crawler.py:240-245). Must be a pure function (it runs
+  * inside executors and on the oracle).
+  */
+final case class RequestOptions(url: String, label: Option[String])
+
 final case class CrawlConfig(
     strategy: String = EnqueueStrategy.SameHostname,
     includePatterns: Seq[String] = Seq.empty,
@@ -89,8 +96,9 @@ final case class CrawlConfig(
     maxRequestsPerCrawl: Long = Long.MaxValue,
     maxRetries: Int = 3,
     respectRobots: Boolean = true,
-    linksPerPageLimit: Int = Int.MaxValue
-)
+    linksPerPageLimit: Int = Int.MaxValue,
+    transformRequest: Option[RequestOptions => Option[RequestOptions]] = None
+) extends Serializable
 
 final case class OracleResult(
     crawlOrder: Seq[String], // URLs in fetch order
@@ -210,8 +218,13 @@ object CrawlOracle {
                   val eligible = links.filter { l =>
                     EnqueueStrategy.filterUrl(l, cfg.strategy, req.url)._1 && patternsOk(l)
                   }.take(cfg.linksPerPageLimit)
+                  // F9 user transform: rewrite / drop before robots + enqueue
+                  val transformed = cfg.transformRequest match {
+                    case Some(fn) => eligible.flatMap(l => fn(RequestOptions(l, None)).map(_.url))
+                    case None => eligible
+                  }
                   // robots partition at enqueue (F5)
-                  val (allowedLinks, _) = eligible.partition(robotsAllowed)
+                  val (allowedLinks, _) = transformed.partition(robotsAllowed)
                   val children = allowedLinks
                     .filter(_ => req.depth + 1 <= cfg.maxCrawlDepth) // F10
                     .map(l => OracleRequest(UniqueKey.compute(l), l, req.depth + 1))

@@ -93,6 +93,23 @@ class CrawlParitySpec extends SparkSpec {
     assert(engine.handledOkKeys == oracle.handledOkKeys)
   }
 
+  test("F9 transform_request hook: rewrite + drop, engine matches oracle") {
+    // drop /private links outright; strip fragments-like ?a= suffixes never
+    // occur post-normalize, so rewrite /p/1x -> /p/1 style is the demo
+    val hook: graft.oracle.RequestOptions => Option[graft.oracle.RequestOptions] = { r =>
+      if (r.url.contains("/private/")) None else Some(r)
+    }
+    val cfg = CrawlConfig(transformRequest = Some(hook))
+    val oracle = CrawlOracle.run(smallSpec, seeds, cfg)
+    val engine = mkEngine(smallSpec, cfg, batchSize = 16).run(seeds)
+    assert(engine.seenKeys == oracle.seenKeys)
+    assert(!engine.seenKeys.exists(_.contains("/private/")))
+    // hook actually changed the crawl vs the un-hooked run
+    val unhooked = CrawlOracle.run(smallSpec, seeds, CrawlConfig())
+    assert(unhooked.seenKeys.exists(_.contains("/private/")) ==
+      (unhooked.seenKeys != oracle.seenKeys))
+  }
+
   test("hot-host skew: a 4x-degree host crawls to the same parity (P6)") {
     val skewed = smallSpec.copy(skewHost = 0)
     val cfg = CrawlConfig()
