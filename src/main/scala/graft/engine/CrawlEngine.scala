@@ -324,8 +324,21 @@ final class CrawlEngine(
             robotsSkipped.select(col("claim_rank"), col("url"), col("unique_key"), col("host"),
               lit(11).as("outcome"), lit(0).as("n_images"), lit(false).as("is429"))
           )
+        // the disposition collect and the commit both read only PINNED frames
+        // (batch + unioned are checkpointed) — run them concurrently so the
+        // driver-side decode overlaps the commit's executor work
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
         if (trackOrder) {
-          val dispositionRows = trace("disposition")(disposition.collect().sortBy(_.getInt(0)))
+          val dispositionF = Future(disposition.collect().sortBy(_.getInt(0)))
+          trace("commit-results")(store.commitBatch(
+            candidates,
+            terminal,
+            canRetry.select(FrontierStore.eventCols: _*)
+              .withColumn("retry_count", col("retry_count") + 1)
+          ))
+          val dispositionRows = trace("disposition")(Await.result(dispositionF, Duration.Inf))
           var images429 = Map.empty[String, Long]
           var claimedPerHost = Map.empty[String, Long]
           dispositionRows.foreach { r =>
@@ -354,11 +367,19 @@ final class CrawlEngine(
             emittedImageCount += dispositionRows.iterator.map(_.getInt(5).toLong).sum
           if (enforcePoliteness) throttle.update(nowMs, claimedPerHost, images429)
         } else {
-          // bench path: six aggregate rows instead of an O(batch) collect
-          val aggRows = trace("disposition")(
+          // bench path: six aggregate rows instead of an O(batch) collect,
+          // overlapped with the commit
+          val aggF = Future(
             disposition.groupBy(col("outcome"))
               .agg(count(lit(1)).as("cnt"), sum(col("n_images")).as("imgs"))
               .collect())
+          trace("commit-results")(store.commitBatch(
+            candidates,
+            terminal,
+            canRetry.select(FrontierStore.eventCols: _*)
+              .withColumn("retry_count", col("retry_count") + 1)
+          ))
+          val aggRows = trace("disposition")(Await.result(aggF, Duration.Inf))
           aggRows.foreach { r =>
             val outcome = r.getInt(0)
             val cnt = r.getLong(1)
@@ -372,13 +393,6 @@ final class CrawlEngine(
             throttle.update(nowMs, claimedPerHost, rows429.map(r => r.getString(0) -> r.getLong(1)).toMap)
           }
         }
-
-        trace("commit-results")(store.commitBatch(
-          candidates,
-          terminal,
-          canRetry.select(FrontierStore.eventCols: _*)
-            .withColumn("retry_count", col("retry_count") + 1)
-        ))
 
         unioned.unpersist(false)
         appendMetrics(batchIdx, nowMs, claimedCount,
