@@ -370,10 +370,12 @@ object QueryCatalog {
     "td_dedup_ngram_jaccard",
     Some(
       s"""WITH ${shinglesSql(3)},
-         |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+         |freq AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= ${graft.ops.TextOps.DefaultShingleDfCap}),
+         |cs AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle)),
+         |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM cs GROUP BY doc_id),
          |common AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  FROM cs a JOIN cs b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY a.doc_id, b.doc_id
          |)
          |SELECT id_a, id_b,
@@ -426,7 +428,7 @@ object QueryCatalog {
         |  FROM h, LATERAL generate_series(0, 31) b(bit)
         |  GROUP BY doc_id, b.bit
         |)
-        |SELECT doc_id, sum(CASE WHEN votes > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS simhash
+        |SELECT doc_id, CAST(sum(CASE WHEN votes > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS simhash
         |FROM votes GROUP BY doc_id""".stripMargin
     )
   ) { (s, dir) => TextOps.simhash32(t(s, dir, "documents"), "doc_id", "text") }
@@ -652,7 +654,7 @@ object QueryCatalog {
         |         event_id % 8 AS salt, count(*) AS cnt
         |  FROM events GROUP BY 1, 2
         |)
-        |SELECT host, count(*) AS n_salt_buckets, sum(cnt) AS total
+        |SELECT host, count(*) AS n_salt_buckets, CAST(sum(cnt) AS BIGINT) AS total
         |FROM salted GROUP BY host ORDER BY host""".stripMargin
     )
   ) { (s, dir) =>

@@ -50,25 +50,41 @@ final class CuckooFilter(val numBuckets: Int, maxKicks: Int = 500) extends Seria
     false
   }
 
-  /** Insert; false when the filter is too full (eviction chain exhausted). */
+  /** Insert; false when the filter is too full (eviction chain exhausted).
+    * A failed insert rolls the whole eviction chain back, so every
+    * PREVIOUSLY-stored fingerprint stays queryable — dropping the last
+    * displaced fingerprint (the naive cuckoo failure mode) would silently
+    * re-admit an already-seen URL. A false return is the caller's signal to
+    * rebuild at larger capacity.
+    */
   def add(key: Long): Boolean = {
     val fp = fingerprint(key)
     val b1 = bucketOf(key)
     val b2 = altBucket(b1, fp)
     if (tryInsertAt(b1, fp) || tryInsertAt(b2, fp)) { count += 1; return true }
-    // evict
+    // evict, recording the chain (slot index, displaced fp) for rollback
     var bucket = if (rnd.nextBoolean()) b1 else b2
     var f = fp
     var kicks = 0
+    val chainIdx = new Array[Int](maxKicks)
+    val chainFp = new Array[Short](maxKicks)
     while (kicks < maxKicks) {
       val slot = rnd.nextInt(SlotsPerBucket)
       val idx = bucket * SlotsPerBucket + slot
       val evicted = table(idx)
       table(idx) = f
+      chainIdx(kicks) = idx
+      chainFp(kicks) = evicted
       f = evicted
       bucket = altBucket(bucket, f)
       if (tryInsertAt(bucket, f)) { count += 1; return true }
       kicks += 1
+    }
+    // rollback: undo displacements newest-first, restoring the original table
+    var i = kicks - 1
+    while (i >= 0) {
+      table(chainIdx(i)) = chainFp(i)
+      i -= 1
     }
     false
   }

@@ -2,7 +2,7 @@ package graft.engine
 
 import graft.canon.{EnqueueStrategy, Globs, RobotsRules, UrlCanon}
 import graft.expr.UrlFunctions
-import graft.oracle.CrawlConfig
+import graft.oracle.{CrawlConfig, RequestOptions, SeedRequest}
 import graft.queue.FrontierStore
 import graft.schema.RequestState
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
@@ -44,7 +44,14 @@ final class CrawlEngine(
     batchPeriodMs: Long = 1000L,
     statusAtFn: (String, Int) => Int = (_, _) => 200, // (url, attempt) => status
     trackImages: Boolean = true, // false: count images, don't collect ids (bench mode)
-    trackOrder: Boolean = true // false: per-batch driver bookkeeping is a 6-row aggregate, not an O(batch) collect
+    trackOrder: Boolean = true, // false: per-batch driver bookkeeping is a 6-row aggregate, not an O(batch) collect
+    // Retry-After header surface (P3): (url, attempt) => seconds; when a 429
+    // row carries one, it beats the exponential backoff schedule
+    // (_throttling_request_manager.py:311-326)
+    retryAfterFn: (String, Int) => Option[Int] = (_, _) => None,
+    // X5 keep_alive idle hook: batchIdx => Some(new seeds) keeps the crawl
+    // alive (possibly with no new work this tick); None stops it
+    onIdle: Int => Option[Seq[SeedRequest]] = _ => None
 ) extends Serializable {
 
   import CrawlEngine._
@@ -61,7 +68,9 @@ final class CrawlEngine(
       batches: Int
   )
 
-  def run(seeds: Seq[String]): EngineResult = {
+  def run(seeds: Seq[String]): EngineResult = runRequests(seeds.map(u => SeedRequest(u)))
+
+  def runRequests(seeds: Seq[SeedRequest]): EngineResult = {
     import spark.implicits._
     UrlFunctions.register(spark)
 
@@ -77,6 +86,8 @@ final class CrawlEngine(
     }
     val statusFn = statusAtFn
     val statusUdf = udf { (url: String, attempt: Int) => statusFn(url, attempt) }
+    val raFn = retryAfterFn
+    val retryAfterUdf = udf { (url: String, attempt: Int) => raFn(url, attempt).getOrElse(-1) }
 
     val includeP = cfg.includePatterns
     val excludeP = cfg.excludePatterns
@@ -98,20 +109,38 @@ final class CrawlEngine(
     pagesDf.count()
 
     // --- seed enqueue (S1 + F7: robots filter before add) -------------------
-    val seedDf = seeds.zipWithIndex
-      .toDF("url", "cand_order")
-      .filter(robotsAllowedUdf(col("url")))
-      .select(
-        UrlFunctions.uniqueKeyCol(col("url")).as("unique_key"),
-        col("url"),
-        UrlFunctions.hostOf(col("url")).as("host"),
-        lit(null).cast("string").as("label"),
-        lit("GET").as("method"),
-        lit(0).as("depth"),
-        lit(false).as("forefront"),
-        col("cand_order").cast("long")
-      )
-    store.addBatch(seedDf)
+    // Seeds are driver-provided (small) so the full Request row — method,
+    // payload, headers, user_data, retry overrides — is built driver-side;
+    // the extended unique key (C2) comes straight from SeedRequest.
+    def enqueueSeeds(srs: Seq[SeedRequest]): Unit = {
+      if (srs.isEmpty) return
+      val rows = srs.zipWithIndex.collect {
+        case (sr, i) if !respectRobots || {
+              val host = UrlCanon.normalizeHost(UrlCanon.parse(sr.url).host)
+              robotsByHost.get(host).forall(_.isAllowed(sr.url))
+            } =>
+          org.apache.spark.sql.Row(
+            sr.uniqueKey,
+            sr.url,
+            UrlCanon.normalizeHost(UrlCanon.parse(sr.url).host),
+            sr.label.orNull,
+            sr.method.toUpperCase,
+            sr.payload,
+            if (sr.headers == null) null else sr.headers.toMap,
+            sr.userDataJson.orNull,
+            0,
+            false,
+            sr.noRetry,
+            sr.maxRetries.map(Int.box).orNull,
+            i.toLong
+          )
+      }
+      val seedDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, math.max(1, math.min(rows.size, 4))),
+        CrawlEngine.seedSchema)
+      store.addBatch(seedDf)
+    }
+    enqueueSeeds(seeds)
 
     val crawlOrder = mutable.ArrayBuffer.empty[String]
     val handledOk = mutable.HashSet.empty[String]
@@ -148,6 +177,17 @@ final class CrawlEngine(
         else Map.empty[String, Int]
       val blocked = if (enforcePoliteness) throttle.blockedHosts(nowMs) else Set.empty[String]
 
+      // P3 Retry-After: per-host max header value on this batch's 429 rows
+      // (tiny aggregate — 429 rows are few by construction)
+      def retryAfterByHost(unioned: DataFrame): Map[String, Int] =
+        unioned
+          .filter(col("eff_status") === 429)
+          .groupBy(col("host"))
+          .agg(max(retryAfterUdf(col("url"), col("retry_count"))).as("ra"))
+          .collect()
+          .collect { case r if !r.isNullAt(1) && r.getInt(1) >= 0 => r.getString(0) -> r.getInt(1) }
+          .toMap
+
       def trace[T](label: String)(f: => T): T = {
         val t0 = System.nanoTime()
         val r = f
@@ -169,9 +209,15 @@ final class CrawlEngine(
       val claimedCount = batch.count()
 
       if (claimedCount == 0) {
-        if (store.isFinished(nowMs)) done = true
-        else if (enforcePoliteness && store.pendingCount(nowMs) > 0) {
+        if (enforcePoliteness && !store.isFinished(nowMs) && store.pendingCount(nowMs) > 0) {
           batchIdx += 1 // all throttled: advance the virtual clock (P2 sleep)
+        } else if (cfg.keepAlive) {
+          // X5 keep_alive: idle doesn't stop the crawl; the idle hook may
+          // inject new work (reference test_basic_crawler.py:1681+) or stop it
+          onIdle(batchIdx) match {
+            case Some(newSeeds) => enqueueSeeds(newSeeds); batchIdx += 1
+            case None => done = true
+          }
         } else done = true
       } else {
         val processedBefore = processedTotal
@@ -226,11 +272,39 @@ final class CrawlEngine(
           .localCheckpoint(true)
 
         // --- classification (F12 / R1) ---------------------------------------
+        // retryable = 429 or any 5xx; EVERYTHING else non-200 is a terminal
+        // client error (catch-all — an unexpected status from statusAtFn must
+        // never leave the row Pending to be re-claimed forever).
+        // Retry eligibility honors the per-request no_retry flag and
+        // max_retries override before the crawl default
+        // (_basic_crawler.py:982-997).
+        val isRetryableStatus = col("eff_status") === 429 || col("eff_status") >= 500
+        val retryAllowed =
+          !col("no_retry") && col("retry_count") < coalesce(col("max_retries"), lit(cfg.maxRetries))
         val ok200 = unioned.filter(col("eff_status") === 200)
-        val fail404 = unioned.filter(col("eff_status") === 404)
-        val retryable = unioned.filter(col("eff_status").isin(429, 500))
-        val canRetry = retryable.filter(col("retry_count") < cfg.maxRetries)
-        val exhausted = retryable.filter(col("retry_count") >= cfg.maxRetries)
+        val fail404 = unioned.filter(col("eff_status") =!= 200 && !isRetryableStatus)
+        val retryable = unioned.filter(isRetryableStatus)
+        val canRetry0 = retryable.filter(retryAllowed)
+        val exhausted = retryable.filter(!retryAllowed)
+        // error handler: may replace url/label before the retry (counters
+        // preserved, unique_key kept — prevents retry loops via re-dedup)
+        val canRetry = cfg.errorHandler match {
+          case Some(h) =>
+            val replUdf = udf { (u: String, lbl: String, rc: Int) =>
+              h(RequestOptions(u, Option(lbl)), rc).map(r => Seq(r.url, r.label.orNull)).orNull
+            }
+            canRetry0
+              .withColumn("__repl", replUdf(col("url"), col("label"), col("retry_count")))
+              .withColumn("url",
+                when(col("__repl").isNotNull, element_at(col("__repl"), 1)).otherwise(col("url")))
+              .withColumn("label",
+                when(col("__repl").isNotNull, element_at(col("__repl"), 2)).otherwise(col("label")))
+              .withColumn("host",
+                when(col("__repl").isNotNull, UrlFunctions.hostOf(col("url"))).otherwise(col("host")))
+              .withColumn("host_hash", xxhash64(col("host")))
+              .drop("__repl")
+          case None => canRetry0
+        }
 
         // --- handler: link extraction + enqueue pipeline (L1-L4) -------------
         val maxDepthOk = ok200.filter(col("depth") + 1 <= cfg.maxCrawlDepth)
@@ -260,24 +334,35 @@ final class CrawlEngine(
             row_number().over(Window.partitionBy(col("parent_key")).orderBy(col("link_idx")))
           )
           .filter(col("link_rank") <= cfg.linksPerPageLimit)
-        // F9 user transform: rewrite/drop the request before robots + enqueue
+        // F9 user transform: rewrite/drop/label the request before robots +
+        // enqueue (the label routes per-label handlers, reference router.py)
         val eligible = (cfg.transformRequest match {
           case Some(fn) =>
-            val tfUrl = udf { (u: String) =>
-              fn(graft.oracle.RequestOptions(u, None)).map(_.url).orNull
+            val tf = udf { (u: String) =>
+              fn(RequestOptions(u, None)).map(r => Seq(r.url, r.label.orNull)).orNull
             }
-            eligible0.withColumn("abs_url", tfUrl(col("abs_url"))).filter(col("abs_url").isNotNull)
-          case None => eligible0
+            eligible0
+              .withColumn("__tf", tf(col("abs_url")))
+              .filter(col("__tf").isNotNull)
+              .withColumn("abs_url", element_at(col("__tf"), 1))
+              .withColumn("link_label", element_at(col("__tf"), 2))
+              .drop("__tf")
+          case None => eligible0.withColumn("link_label", lit(null).cast("string"))
         }).filter(robotsAllowedUdf(col("abs_url"))) // F5
+        // cand_order composes (claim_rank, dense per-parent link_rank) with a
+        // collision-free stride: link_rank <= links on one page < 2^20, so
+        // distinct (parent, link) pairs never collide (the round-1 *10000
+        // stride collided past 10k links/page).
         val candidates = eligible.select(
           UrlFunctions.uniqueKeyCol(col("abs_url")).as("unique_key"),
           col("abs_url").as("url"),
           UrlFunctions.hostOf(col("abs_url")).as("host"),
-          lit(null).cast("string").as("label"),
+          col("link_label").as("label"),
           lit("GET").as("method"),
           (col("depth") + 1).as("depth"),
-          lit(false).as("forefront"),
-          (col("claim_rank").cast("long") * 10000 + col("link_idx")).as("cand_order")
+          lit(cfg.enqueueForefront).as("forefront"),
+          (col("claim_rank").cast("long") * FrontierStore.CandOrderStride + col("link_rank"))
+            .as("cand_order")
         )
 
         // --- image emission (D1) ---------------------------------------------
@@ -297,6 +382,18 @@ final class CrawlEngine(
           .unionByName(term(redirFailed, ok = false, RequestState.Skipped))
           .unionByName(term(robotsSkipped, ok = false, RequestState.Skipped))
 
+        // failed-request handler: one driver hop over ONLY the terminally-
+        // failed rows of this batch (few by construction), in claim order —
+        // mirroring the reference's sequential callback
+        // (_basic_crawler.py:1206-1230)
+        cfg.failedRequestHandler.foreach { h =>
+          fail404.select(col("claim_rank"), col("url"), col("label"))
+            .unionByName(exhausted.select(col("claim_rank"), col("url"), col("label")))
+            .collect()
+            .sortBy(_.getInt(0))
+            .foreach(r => h(RequestOptions(r.getString(1), Option(r.getString(2)))))
+        }
+
         // --- driver-side bookkeeping: ONE collect for the whole batch ----------
         // (collected BEFORE the commit mutates state — see batch checkpoint note)
         // outcome codes: 0=ok, 1=fail404, 2=retry, 3=exhausted, 10=redir_fail, 11=robots_skip
@@ -307,8 +404,8 @@ final class CrawlEngine(
             col("unique_key"),
             col("host"),
             when(col("eff_status") === 200, 0)
-              .when(col("eff_status") === 404, 1)
-              .when(col("retry_count") < cfg.maxRetries, 2)
+              .when(!isRetryableStatus, 1)
+              .when(retryAllowed, 2)
               .otherwise(3)
               .as("outcome"),
             when(col("eff_status") === 200, coalesce(size(col("p_images")), lit(0)))
@@ -365,7 +462,8 @@ final class CrawlEngine(
             emittedImages ++= images.select(col("image_id")).collect().map(_.getString(0))
           else
             emittedImageCount += dispositionRows.iterator.map(_.getInt(5).toLong).sum
-          if (enforcePoliteness) throttle.update(nowMs, claimedPerHost, images429)
+          if (enforcePoliteness)
+            throttle.update(nowMs, claimedPerHost, images429, retryAfterByHost(unioned))
         } else {
           // bench path: six aggregate rows instead of an O(batch) collect,
           // overlapped with the commit
@@ -390,7 +488,8 @@ final class CrawlEngine(
             val hostRows = batch.groupBy(col("host")).count().collect()
             val claimedPerHost = hostRows.map(r => r.getString(0) -> r.getLong(1)).toMap
             val rows429 = unioned.filter(col("eff_status") === 429).groupBy(col("host")).count().collect()
-            throttle.update(nowMs, claimedPerHost, rows429.map(r => r.getString(0) -> r.getLong(1)).toMap)
+            throttle.update(nowMs, claimedPerHost,
+              rows429.map(r => r.getString(0) -> r.getLong(1)).toMap, retryAfterByHost(unioned))
           }
         }
 
@@ -436,4 +535,24 @@ object CrawlEngine {
     graft.queue.FrontierStore.eventSchema.fieldNames.toSeq.map(col) ++ Seq(
       col("claim_rank"), col("loaded_url"), col("eff_status"), col("p_body"), col("p_images")
     )
+
+  import org.apache.spark.sql.types._
+  /** Wide adds schema for driver-built seed rows (matches
+    * FrontierStore.normalizeAdds output order).
+    */
+  val seedSchema: StructType = StructType(Seq(
+    StructField("unique_key", StringType),
+    StructField("url", StringType),
+    StructField("host", StringType),
+    StructField("label", StringType),
+    StructField("method", StringType),
+    StructField("payload", BinaryType),
+    StructField("headers", MapType(StringType, StringType)),
+    StructField("user_data_json", StringType),
+    StructField("depth", IntegerType),
+    StructField("forefront", BooleanType),
+    StructField("no_retry", BooleanType),
+    StructField("max_retries", IntegerType),
+    StructField("cand_order", LongType)
+  ))
 }

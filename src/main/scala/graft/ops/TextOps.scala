@@ -56,15 +56,19 @@ object TextOps {
   /** n-gram Jaccard near-duplicate pairs with similarity >= threshold.
     * Exact algorithm: |A∩B| via shingle self-join, |A∪B| = |A|+|B|-|A∩B|.
     * `shingleDfCap` drops shingles appearing in more than that many docs
-    * (stopword-gram protection — caps the join's per-key fan-out).
+    * (stopword-gram protection — a shingle with document frequency d
+    * contributes d² join rows, so the cap is ON by default; pass
+    * Int.MaxValue explicitly for the uncapped exact form).
     */
+  val DefaultShingleDfCap: Int = 256
+
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int,
       threshold: Double,
-      shingleDfCap: Int = Int.MaxValue
+      shingleDfCap: Int = DefaultShingleDfCap
   ): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
     val capped =
@@ -91,22 +95,41 @@ object TextOps {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** MinHash signatures: minhash_i(doc) = min over shingles of
-    * md5(i || ':' || shingle) (string min of hex — engine-portable).
-    * Output: (id, hash_idx, minhash).
+  /** MinHash signature VECTOR per document: one shuffle of the (id, shingle)
+    * rows — each shingle row carries all `numHashes` hashes as ONE array
+    * column, and the per-document signature is `numHashes` element-wise
+    * `min` aggregates in a single groupBy. No ×numHashes row explosion
+    * before the shuffle (the round-1 shape shuffled 16× the rows).
+    * minhash_i(doc) = min over shingles of md5(i || ':' || shingle)
+    * (string min of hex — engine-portable). Output: (id, mh ARRAY<STRING>).
+    */
+  def minhashVectors(df: DataFrame, idCol: String, textCol: String, n: Int, numHashes: Int): DataFrame = {
+    val hashed = shingles(df, idCol, textCol, n)
+      .withColumn(
+        "__hs",
+        transform(sequence(lit(0), lit(numHashes - 1)), i => md5(concat(i, lit(":"), col("shingle"))))
+      )
+    val mins = (0 until numHashes).map(i => min(element_at(col("__hs"), i + 1)).as(s"__mh_$i"))
+    hashed
+      .groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"__mh_$i")): _*).as("mh"))
+  }
+
+  /** MinHash signatures in (id, hash_idx, minhash) long form — a cheap
+    * posexplode of the doc-level vectors (numHashes rows per DOC, not per
+    * shingle).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int, numHashes: Int): DataFrame =
-    shingles(df, idCol, textCol, n)
-      .select(
-        col(idCol),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("hash_idx"),
-        col("shingle")
-      )
-      .groupBy(col(idCol), col("hash_idx"))
-      .agg(min(md5(concat(col("hash_idx"), lit(":"), col("shingle")))).as("minhash"))
+    minhashVectors(df, idCol, textCol, n, numHashes)
+      .select(col(idCol), posexplode(col("mh")).as(Seq("hash_idx", "minhash")))
 
   /** MinHash + LSH banding: docs sharing any band bucket are candidate
-    * pairs. numHashes = bands * rowsPerBand. Output: (id_a, id_b) distinct.
+    * pairs. numHashes = bands * rowsPerBand. Band signatures are sliced
+    * straight out of the doc-level signature vector (sorted within the band,
+    * matching the oracle's string_agg ORDER BY), so the bucket join's input
+    * is `bands` rows per DOC. The join shuffles on (band, band_sig) —
+    * high-cardinality keys, never all-pairs. Output: (id_a, id_b) distinct.
     */
   def minhashLshCandidates(
       df: DataFrame,
@@ -116,11 +139,17 @@ object TextOps {
       bands: Int,
       rowsPerBand: Int
   ): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, n, bands * rowsPerBand)
-    val bandsDf = sigs
-      .withColumn("band", (col("hash_idx") / rowsPerBand).cast("int"))
-      .groupBy(col(idCol), col("band"))
-      .agg(concat_ws("|", sort_array(collect_list(col("minhash")))).as("band_sig"))
+    val vecs = minhashVectors(df, idCol, textCol, n, bands * rowsPerBand)
+    val bandsDf = vecs
+      .select(
+        col(idCol),
+        posexplode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            b => concat_ws("|", sort_array(slice(col("mh"), b * rowsPerBand + 1, lit(rowsPerBand))))
+          )
+        ).as(Seq("band", "band_sig"))
+      )
     val l = bandsDf.select(col(idCol).as("id_a"), col("band"), col("band_sig"))
     val r = bandsDf.select(col(idCol).as("id_b"), col("band"), col("band_sig"))
     l.join(r, Seq("band", "band_sig"))

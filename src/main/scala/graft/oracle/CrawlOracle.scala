@@ -17,10 +17,12 @@ final class MemoryQueueOracle {
 
   final case class OracleRequest(
       uniqueKey: String,
-      url: String,
+      var url: String,
       depth: Int,
       var retryCount: Int = 0,
-      var noRetry: Boolean = false
+      var noRetry: Boolean = false,
+      var maxRetries: Option[Int] = None,
+      var label: Option[String] = None
   )
 
   private val pending = mutable.LinkedHashMap.empty[String, OracleRequest]
@@ -88,6 +90,28 @@ final class MemoryQueueOracle {
   */
 final case class RequestOptions(url: String, label: Option[String])
 
+/** A fully-specified seed request (reference Request.from_url surface,
+  * `_request.py:183-235`): method/payload/headers participate in the
+  * extended unique key (C2) when `useExtendedUniqueKey` is set; `noRetry` /
+  * `maxRetries` override the crawl-level retry policy per request
+  * (`_basic_crawler.py:982-997`).
+  */
+final case class SeedRequest(
+    url: String,
+    method: String = "GET",
+    payload: Array[Byte] = null,
+    headers: Seq[(String, String)] = null,
+    label: Option[String] = None,
+    userDataJson: Option[String] = None,
+    noRetry: Boolean = false,
+    maxRetries: Option[Int] = None,
+    useExtendedUniqueKey: Boolean = false
+) extends Serializable {
+  def uniqueKey: String =
+    UniqueKey.compute(url, method, headers, payload, null, keepUrlFragment = false,
+      useExtendedUniqueKey = useExtendedUniqueKey)
+}
+
 final case class CrawlConfig(
     strategy: String = EnqueueStrategy.SameHostname,
     includePatterns: Seq[String] = Seq.empty,
@@ -97,7 +121,19 @@ final case class CrawlConfig(
     maxRetries: Int = 3,
     respectRobots: Boolean = true,
     linksPerPageLimit: Int = Int.MaxValue,
-    transformRequest: Option[RequestOptions => Option[RequestOptions]] = None
+    transformRequest: Option[RequestOptions => Option[RequestOptions]] = None,
+    // enqueue_links(forefront=...) — discovered links jump the queue
+    // (_basic_crawler.py:1017-1073)
+    enqueueForefront: Boolean = false,
+    // error handler: on a retryable failure, may REPLACE the request's
+    // url/label before the retry; retry counters are preserved to prevent
+    // loops (_basic_crawler.py:1151-1204)
+    errorHandler: Option[(RequestOptions, Int) => Option[RequestOptions]] = None,
+    // failed handler: called once per terminally-failed request
+    // (_basic_crawler.py:1206-1230)
+    failedRequestHandler: Option[RequestOptions => Unit] = None,
+    // X5 keep_alive: don't stop on empty queue (_basic_crawler.py:189-190)
+    keepAlive: Boolean = false
 ) extends Serializable
 
 final case class OracleResult(
@@ -125,7 +161,10 @@ object CrawlOracle {
     BaseRe.findFirstMatchIn(body).map(_.group(1))
 
   /** Run the full reference crawl at concurrency 1 over the synthetic web. */
-  def run(spec: WebSpec, seeds: Seq[String], cfg: CrawlConfig): OracleResult = {
+  def run(spec: WebSpec, seeds: Seq[String], cfg: CrawlConfig): OracleResult =
+    runRequests(spec, seeds.map(u => SeedRequest(u)), cfg)
+
+  def runRequests(spec: WebSpec, seeds: Seq[SeedRequest], cfg: CrawlConfig): OracleResult = {
     val queue = new MemoryQueueOracle
     import queue.OracleRequest
 
@@ -152,9 +191,10 @@ object CrawlOracle {
     }
 
     // seed enqueue (robots-filtered per _basic_crawler.py:841-867)
-    val seedReqs = seeds.flatMap { url =>
-      if (!robotsAllowed(url)) None
-      else Some(OracleRequest(UniqueKey.compute(url), url, depth = 0))
+    val seedReqs = seeds.flatMap { sr =>
+      if (!robotsAllowed(sr.url)) None
+      else Some(OracleRequest(sr.uniqueKey, sr.url, depth = 0,
+        noRetry = sr.noRetry, maxRetries = sr.maxRetries, label = sr.label))
     }
     queue.addBatch(seedReqs)
 
@@ -181,13 +221,17 @@ object CrawlOracle {
             crawlOrder += req.url
 
             // fetch: resolve page (following one redirect hop)
+            def terminalFail(): Unit = {
+              failed += req.uniqueKey
+              cfg.failedRequestHandler.foreach(h => h(RequestOptions(req.url, req.label)))
+              queue.markHandled(req)
+              processedTotal += 1
+            }
             val page0 = pagesByUrl.get(req.url)
             page0 match {
               case None =>
                 // unknown URL = 404 client error: no retry (F12)
-                failed += req.uniqueKey
-                queue.markHandled(req)
-                processedTotal += 1
+                terminalFail()
               case Some(p0) =>
                 var status = SyntheticWeb.statusAt(spec, hostIdx(spec, p0.host), pageIdx(p0.url), attempt)
                 var page = p0
@@ -220,32 +264,39 @@ object CrawlOracle {
                   }.take(cfg.linksPerPageLimit)
                   // F9 user transform: rewrite / drop before robots + enqueue
                   val transformed = cfg.transformRequest match {
-                    case Some(fn) => eligible.flatMap(l => fn(RequestOptions(l, None)).map(_.url))
-                    case None => eligible
+                    case Some(fn) =>
+                      eligible.flatMap(l => fn(RequestOptions(l, None)).map(r => (r.url, r.label)))
+                    case None => eligible.map(l => (l, Option.empty[String]))
                   }
                   // robots partition at enqueue (F5)
-                  val (allowedLinks, _) = transformed.partition(robotsAllowed)
+                  val (allowedLinks, _) = transformed.partition { case (u, _) => robotsAllowed(u) }
                   val children = allowedLinks
                     .filter(_ => req.depth + 1 <= cfg.maxCrawlDepth) // F10
-                    .map(l => OracleRequest(UniqueKey.compute(l), l, req.depth + 1))
-                  queue.addBatch(children)
+                    .map { case (l, lbl) =>
+                      OracleRequest(UniqueKey.compute(l), l, req.depth + 1, label = lbl)
+                    }
+                  queue.addBatch(children, forefront = cfg.enqueueForefront)
                   images ++= page.image_ids
                   handledOk += req.uniqueKey
                   queue.markHandled(req)
                   processedTotal += 1
-                } else if (status == 404) {
-                  failed += req.uniqueKey
-                  queue.markHandled(req)
-                  processedTotal += 1
-                } else { // 429 / 500: retryable (F12, R1)
-                  if (req.retryCount < cfg.maxRetries) {
+                } else if (status == 429 || status >= 500) { // retryable (F12, R1)
+                  // per-request no_retry / max_retries override the crawl
+                  // defaults (_basic_crawler.py:982-997)
+                  val maxR = req.maxRetries.getOrElse(cfg.maxRetries)
+                  if (!req.noRetry && req.retryCount < maxR) {
+                    // error handler may replace url/label before the retry,
+                    // counters preserved (_basic_crawler.py:1151-1204)
+                    cfg.errorHandler
+                      .flatMap(h => h(RequestOptions(req.url, req.label), req.retryCount))
+                      .foreach { repl => req.url = repl.url; req.label = repl.label }
                     req.retryCount += 1
                     queue.reclaim(req)
-                  } else {
-                    failed += req.uniqueKey
-                    queue.markHandled(req)
-                    processedTotal += 1
-                  }
+                  } else terminalFail()
+                } else {
+                  // catch-all: any other status (404, other 4xx, unknown) is
+                  // a terminal client error — never silently re-claimed
+                  terminalFail()
                 }
             }
           }

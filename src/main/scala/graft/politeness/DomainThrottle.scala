@@ -43,13 +43,32 @@ final class DomainThrottle(crawlDelaySecs: Map[String, Int]) extends Serializabl
         host -> q
     }
 
-  /** Fold one batch's fetch outcome into the state. */
-  def update(nowMs: Long, claimedPerHost: Map[String, Long], got429PerHost: Map[String, Long]): Unit = {
+  /** Fold one batch's fetch outcome into the state.
+    *
+    * `retryAfterSecsPerHost`: max Retry-After header seen on this batch's
+    * 429 responses per host. When present it takes PRIORITY over the
+    * exponential schedule (_throttling_request_manager.py:311-326: the
+    * parsed header value is used as the delay; the consecutive-429 counter
+    * still advances so a later header-less 429 resumes the schedule at the
+    * right step).
+    */
+  def update(
+      nowMs: Long,
+      claimedPerHost: Map[String, Long],
+      got429PerHost: Map[String, Long],
+      retryAfterSecsPerHost: Map[String, Int] = Map.empty
+  ): Unit = {
     claimedPerHost.foreach { case (host, _) =>
       if (got429PerHost.getOrElse(host, 0L) > 0) {
         val n = consecutive429(host) + 1
         consecutive429(host) = n
-        throttledUntilMs(host) = nowMs + backoffMs(n)
+        val delayMs = retryAfterSecsPerHost.get(host) match {
+          // header value is still capped at the max delay (reference
+          // _throttling_request_manager.py:311-318 caps either source)
+          case Some(secs) if secs >= 0 => math.min(secs.toLong * 1000L, BackoffCapMs)
+          case _ => backoffMs(n)
+        }
+        throttledUntilMs(host) = nowMs + delayMs
       } else {
         consecutive429(host) = 0
         // crawl-delay dispatch push: next batch naturally rate-limited by quota
@@ -60,4 +79,40 @@ final class DomainThrottle(crawlDelaySecs: Map[String, Int]) extends Serializabl
   def state: Map[String, (Int, Long)] =
     (consecutive429.keySet ++ throttledUntilMs.keySet)
       .map(h => h -> ((consecutive429(h), throttledUntilMs(h)))).toMap
+}
+
+object DomainThrottle {
+
+  /** Parse a Retry-After header value into delay SECONDS — int delay-seconds
+    * (non-negative per RFC 7231; malformed negatives ignored) or an
+    * HTTP-date, with a naive date treated as UTC. Mirrors the reference's
+    * parse_retry_after_header (tests pinned at
+    * tests/unit/test_throttling_request_manager.py:533-575).
+    */
+  def parseRetryAfter(value: String, nowEpochMs: Long): Option[Long] = {
+    if (value == null) return None
+    val t = value.trim
+    if (t.isEmpty) return None
+    t.toLongOption match {
+      case Some(secs) => if (secs >= 0) Some(secs) else None
+      case None =>
+        val fromDate =
+          try {
+            val dt = java.time.ZonedDateTime
+              .parse(t, java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME)
+            Some(dt.toInstant.toEpochMilli)
+          } catch {
+            case _: Exception =>
+              try {
+                val ldt = java.time.LocalDateTime.parse(
+                  t,
+                  java.time.format.DateTimeFormatter
+                    .ofPattern("EEE, dd MMM yyyy HH:mm:ss", java.util.Locale.US)
+                )
+                Some(ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+              } catch { case _: Exception => None }
+          }
+        fromDate.map(epochMs => math.max(0L, (epochMs - nowEpochMs) / 1000L))
+    }
+  }
 }

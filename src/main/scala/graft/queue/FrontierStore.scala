@@ -289,12 +289,18 @@ final class FrontierStore(
       maxEv: Long
   ): DataFrame = {
     val S = Stride
-    val candidates = adds
-    // in-batch dedup: first occurrence wins (matching per-request loop order)
+    val candidates = FrontierStore.normalizeAdds(adds)
+    // in-batch dedup: first occurrence wins the request FIELDS (matching the
+    // reference's add loop — later adds never replace), but the LAST
+    // occurrence's cand_order is kept as the forefront position: every
+    // forefront re-add of a pending key moves it to the front again
+    // (_memory/_request_queue_client.py:141-210), so a dup later in the same
+    // batch repositions the key.
     val wIn = Window.partitionBy(col("unique_key")).orderBy(col("cand_order"))
     val cand = candidates
       .withColumn("__rn", row_number().over(wIn))
       .withColumn("__dup_in_batch", col("__rn") > 1)
+      .withColumn("__last_order", max(col("cand_order")).over(Window.partitionBy(col("unique_key"))))
     val firsts = cand.filter(!col("__dup_in_batch")).drop("__rn", "__dup_in_batch")
 
     val st = state().select(
@@ -304,9 +310,13 @@ final class FrontierStore(
       col("host").as("ex_host"),
       col("label").as("ex_label"),
       col("method").as("ex_method"),
+      col("payload").as("ex_payload"),
+      col("headers").as("ex_headers"),
+      col("user_data_json").as("ex_user_data"),
       col("depth").as("ex_depth"),
       col("retry_count").as("ex_retry"),
       col("no_retry").as("ex_no_retry"),
+      col("max_retries").as("ex_max_retries"),
       col("seq").as("ex_seq"),
       col("forefront_seq").as("ex_ffseq"),
       col("state").as("ex_state"),
@@ -334,12 +344,17 @@ final class FrontierStore(
         firsts.filter(fresh(col("unique_key")))
       case None =>
         joined.filter(isNew).drop("ex_key", "ex_status", "ex_url", "ex_host",
-          "ex_label", "ex_method", "ex_depth", "ex_retry", "ex_no_retry", "ex_seq", "ex_ffseq",
+          "ex_label", "ex_method", "ex_payload", "ex_headers", "ex_user_data",
+          "ex_depth", "ex_retry", "ex_no_retry", "ex_max_retries", "ex_seq", "ex_ffseq",
           "ex_state", "ex_ok", "ex_lock")
     }
     // seq rides directly on cand_order (unique, monotone within the batch):
-    // no global row_number window — gaps are harmless, only order matters
-    val numbered = newRows.withColumn("__pos", col("cand_order") + 1)
+    // no global row_number window — gaps are harmless, only order matters.
+    // FIFO position = first occurrence; forefront position = last occurrence
+    // (see the dedup note above).
+    val numbered = newRows
+      .withColumn("__pos", col("cand_order") + 1)
+      .withColumn("__ffpos", col("__last_order") + 1)
     val newEvents = numbered.select(
       col("unique_key"),
       xxhash64(col("unique_key")).as("key64"),
@@ -348,12 +363,16 @@ final class FrontierStore(
       xxhash64(col("host")).as("host_hash"),
       col("label"),
       col("method"),
+      col("payload"),
+      col("headers"),
+      col("user_data_json"),
       col("depth"),
       lit(0).as("retry_count"),
-      lit(false).as("no_retry"),
+      col("no_retry"),
+      col("max_retries"),
       col("forefront"),
       when(col("forefront"), lit(-1L)).otherwise(lit(maxSeq) + col("__pos")).as("seq"),
-      when(col("forefront"), lit(maxFf) + col("__pos")).otherwise(lit(-1L)).as("forefront_seq"),
+      when(col("forefront"), lit(maxFf) + col("__ffpos")).otherwise(lit(-1L)).as("forefront_seq"),
       lit(Status.Pending).as("status"),
       lit(graft.schema.RequestState.Unprocessed).as("state"),
       lit(false).as("handled_ok"),
@@ -364,14 +383,18 @@ final class FrontierStore(
 
     // Forefront re-add of a still-pending request repositions it (keeps the
     // ORIGINAL request fields — incoming dup loses accumulated state).
-    // Repositions take the stride above new adds: within one batch they are
-    // "newer" forefront entries than the batch's own new forefront adds.
+    // Repositions share the new-adds forefront_seq base so they INTERLEAVE
+    // with the batch's own new forefront adds by cand_order — the reference
+    // moves each request to the front one-by-one in add order
+    // (_memory/_request_queue_client.py:141-210), so a new add issued AFTER
+    // a reposition must land in front of it. (cand_order is unique across
+    // the batch, so the shared base cannot collide.)
     // Bloom mode trades this away (a bloom hit carries no stored row to
     // reposition) — matching the reference's Redis bloom-dedup mode.
     val repositionSource = if (bloomDedup) joined.limit(0) else joined
     val repositioned = repositionSource
       .filter(pendingDup && col("forefront"))
-      .withColumn("__pos", col("cand_order") + 1)
+      .withColumn("__pos", col("__last_order") + 1)
       .select(
         col("ex_key").as("unique_key"),
         xxhash64(col("ex_key")).as("key64"),
@@ -380,12 +403,16 @@ final class FrontierStore(
         xxhash64(col("ex_host")).as("host_hash"),
         col("ex_label").as("label"),
         col("ex_method").as("method"),
+        col("ex_payload").as("payload"),
+        col("ex_headers").as("headers"),
+        col("ex_user_data").as("user_data_json"),
         col("ex_depth").as("depth"),
         col("ex_retry").as("retry_count"),
         col("ex_no_retry").as("no_retry"),
+        col("ex_max_retries").as("max_retries"),
         lit(true).as("forefront"),
         lit(-1L).as("seq"),
-        (lit(maxFf + S) + col("__pos")).as("forefront_seq"),
+        (lit(maxFf) + col("__pos")).as("forefront_seq"),
         lit(Status.Pending).as("status"),
         col("ex_state").as("state"),
         col("ex_ok").as("handled_ok"),
@@ -657,9 +684,13 @@ object FrontierStore {
     StructField("host_hash", LongType),
     StructField("label", StringType),
     StructField("method", StringType),
+    StructField("payload", BinaryType),
+    StructField("headers", MapType(StringType, StringType)),
+    StructField("user_data_json", StringType),
     StructField("depth", IntegerType),
     StructField("retry_count", IntegerType),
     StructField("no_retry", BooleanType),
+    StructField("max_retries", IntegerType),
     StructField("forefront", BooleanType),
     StructField("seq", LongType),
     StructField("forefront_seq", LongType),
@@ -675,9 +706,18 @@ object FrontierStore {
     eventSchema.fieldNames.toSeq.map(col)
 
   /** Ordering-id stride separating event classes within one commit (must
-    * exceed any single batch's event count; gaps are harmless).
+    * exceed any single batch's max cand_order; gaps are harmless). The
+    * engine composes cand_order = claim_rank * CandOrderStride + link_rank,
+    * so with claim batches up to 2^20 rows the max cand_order is 2^40 —
+    * Stride leaves 4× headroom above that.
     */
-  val Stride: Long = 1L << 40
+  val Stride: Long = 1L << 42
+
+  /** Per-parent stride inside cand_order: claim_rank * this + link_rank.
+    * link_rank is the DENSE per-parent rank of kept links (1-based), so a
+    * collision would need >2^20 kept links on one page.
+    */
+  val CandOrderStride: Long = 1L << 20
 
   def emptyEvents(spark: SparkSession): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], eventSchema)
@@ -691,6 +731,22 @@ object FrontierStore {
     StructField("method", StringType), StructField("depth", IntegerType),
     StructField("forefront", BooleanType), StructField("cand_order", LongType)
   )))
+
+  /** Optional request-row columns (reference Request model,
+    * `_request.py:183-235`): callers that don't carry them get nulls /
+    * defaults, so the narrow 8-column adds shape keeps working.
+    */
+  def normalizeAdds(df: DataFrame): DataFrame = {
+    var d = df
+    if (!d.columns.contains("payload")) d = d.withColumn("payload", lit(null).cast(BinaryType))
+    if (!d.columns.contains("headers"))
+      d = d.withColumn("headers", lit(null).cast(MapType(StringType, StringType)))
+    if (!d.columns.contains("user_data_json"))
+      d = d.withColumn("user_data_json", lit(null).cast(StringType))
+    if (!d.columns.contains("no_retry")) d = d.withColumn("no_retry", lit(false))
+    if (!d.columns.contains("max_retries")) d = d.withColumn("max_retries", lit(null).cast(IntegerType))
+    d
+  }
 
   def emptyHandled(spark: SparkSession): DataFrame = emptyOf(spark, StructType(Seq(
     StructField("unique_key", StringType), StructField("handled_ok", BooleanType),

@@ -21,17 +21,35 @@ final class ResultDataset(spark: SparkSession, root: String) {
   private val dir = s"$root/data"
   java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
   private var appendCount: Long = currentDf().count()
+  // resume: next push id = max existing + 1
+  private var pushCount: Long = {
+    val df = currentDf()
+    if (df.columns.contains("__push"))
+      df.agg(max(col("__push"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0) + 1
+      }
+    else 0L
+  }
 
   private def currentDf(): DataFrame =
     try spark.read.parquet(dir)
     catch { case _: Exception => spark.emptyDataFrame }
 
-  /** D1: append; items are immutable once pushed. */
+  /** D1: append; items are immutable once pushed. Insertion order is the
+    * pair (__push, __seq): __push is the push call's running index and
+    * __seq orders rows WITHIN one push (monotonically_increasing_id encodes
+    * the partition id in its upper bits, so it is monotone within a push
+    * but NOT across pushes — sorting on the pair is what preserves the
+    * documented D2/D3 cross-push pagination order without a global
+    * row_number shuffle at write time).
+    */
   def push(items: DataFrame): Unit = synchronized {
-    val base = appendCount
     val stamped = items
-      .withColumn("__seq", monotonically_increasing_id() + lit(base))
+      .withColumn("__push", lit(pushCount))
+      .withColumn("__seq", monotonically_increasing_id())
     stamped.write.mode(SaveMode.Append).parquet(dir)
+    pushCount += 1
     appendCount += items.count()
   }
 
@@ -64,7 +82,7 @@ final class ResultDataset(spark: SparkSession, root: String) {
     }
     // D4: drop rows where every (non-internal) column is null
     if (skipEmpty) {
-      val dataCols = df.columns.filterNot(_ == "__seq")
+      val dataCols = df.columns.filterNot(c => c == "__seq" || c == "__push")
       df = df.filter(dataCols.map(c => col(c).isNotNull).reduce(_ || _))
     }
     // D7: explode an array field into one item per element
@@ -75,15 +93,18 @@ final class ResultDataset(spark: SparkSession, root: String) {
       nested.foreach(n => df = df.withColumn(n, col(s"$f.$n")))
       df = df.drop(f)
     }
-    // D3 + D2: insertion-order pagination
-    df = df.orderBy(if (opts.desc) col("__seq").desc else col("__seq").asc)
+    // D3 + D2: insertion-order pagination on the (__push, __seq) pair
+    val orderCols =
+      if (opts.desc) Seq(col("__push").desc, col("__seq").desc)
+      else Seq(col("__push").asc, col("__seq").asc)
+    df = df.orderBy(orderCols: _*)
     if (opts.offset > 0) df = df.offset(opts.offset.toInt)
     if (opts.limit != Long.MaxValue) df = df.limit(opts.limit.toInt)
     // D5/D6: projection / anti-projection (fields keeps given order)
     if (opts.fields.nonEmpty) df = df.select(opts.fields.map(col): _*)
     else {
       if (opts.omit.nonEmpty) df = df.drop(opts.omit: _*)
-      df = df.drop("__seq")
+      df = df.drop("__seq", "__push")
     }
     df
   }
