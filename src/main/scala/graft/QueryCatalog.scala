@@ -548,8 +548,15 @@ object QueryCatalog {
       .select(col("query_id"), col("rank"), col("corpus_id"), round(col("cos"), 4).as("cos"))
   }
 
-  // LSH ANN + multimodal: not SQL-expressible in DuckDB -> rows-only check;
-  // recall/behavior pinned by ScalaTest instead (OpsSpec).
+  // LSH ANN / LSH near-dup + multimodal: not SQL-expressible in DuckDB ->
+  // rows-only check; recall/behavior pinned by ScalaTest instead (OpsSpec).
+  register("v_cosine_near_dup_lsh", None) { (s, dir) =>
+    VectorOps.cosineNearDupPairsLsh(
+      t(s, dir, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
+      "vec_id", "embedding", 0.35)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+  }
+
   register("v_ann_lsh_topk", None) { (s, dir) =>
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
     VectorOps.lshTopK(emb, "vec_id", "embedding", emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5,

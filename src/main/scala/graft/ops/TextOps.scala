@@ -71,14 +71,14 @@ object TextOps {
       shingleDfCap: Int = DefaultShingleDfCap
   ): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
+    // one shuffle: per-shingle document frequency via a window on the same
+    // key the self-join below shuffles on (not a groupBy + re-join pass)
     val capped =
       if (shingleDfCap == Int.MaxValue) sh
-      else {
-        val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+      else
+        sh.withColumn("__df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
           .filter(col("__df") <= shingleDfCap)
-          .select(col("shingle"))
-        sh.join(dfreq, Seq("shingle"))
-      }
+          .drop("__df")
     val sizes = capped.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
     val a = capped.select(col(idCol).as("id_a"), col("shingle"))
     val b = capped.select(col(idCol).as("id_b"), col("shingle"))

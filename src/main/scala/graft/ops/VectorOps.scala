@@ -8,25 +8,30 @@ import org.apache.spark.sql.functions._
   * brute-force ANN top-k (the exactness baseline) and a random-hyperplane
   * LSH-bucketed variant (the scale path).
   *
-  * Vector math uses `zip_with` + `aggregate` (codegen'd higher-order
-  * functions over ArrayType) — no UDFs, no driver loops.
+  * Vector math runs through the native `VecDot` Catalyst expression
+  * (graft/expr/VectorFunctions.scala) — a primitive loop inside whole-stage
+  * codegen; no Row boxing, no interpreted higher-order lambdas, no driver
+  * loops.
   */
 object VectorOps {
 
-  /** dot(a, b) over ArrayType(Float/Double) columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** dot(a, b) over ArrayType(Double) columns — the native codegen'd
+    * expression (graft.expr.VecDot); bit-identical to the sequential
+    * `aggregate(zip_with(...))` fold it replaces, ~an order of magnitude
+    * faster in the all-pairs stage. Requires `ensureRegistered` (every
+    * public operator below calls it).
+    */
+  def dot(a: Column, b: Column): Column = graft.expr.VectorFunctions.vecDot(a, b)
 
-  def norm(a: Column): Column = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Pairwise cosine near-duplicate pairs (id_a < id_b, cosine >= threshold).
-    * Exact O(n^2) — the correctness baseline; cap input size or use
-    * `lshNearDupCandidates` beyond ~10^4 vectors.
-    */
-  /** Pre-normalize to unit length ONCE per row (n rows) so the O(n^2) pair
-    * stage is a bare dot product — 3x less arithmetic than recomputing both
+  private def ensureRegistered(df: DataFrame): Unit =
+    graft.expr.VectorFunctions.register(df.sparkSession)
+
+  /** Pre-normalize to unit length ONCE per row (n rows) so the pair stage
+    * is a bare dot product — 3x less arithmetic than recomputing both
     * norms per pair.
     */
   def unitNormalized(df: DataFrame, vecCol: String): DataFrame =
@@ -34,12 +39,79 @@ object VectorOps {
       .withColumn(vecCol, transform(col(vecCol), x => x / col("__n")))
       .drop("__n")
 
-  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+  /** Inputs above this size are routed through the LSH-bucketed two-phase
+    * path; below it the exact all-pairs form is both faster (no signature
+    * pass) and recall-1.
+    */
+  val ExactNearDupMaxRows: Long = 10000L
+
+  /** Pairwise cosine near-duplicate pairs (id_a < id_b, cosine >= threshold).
+    *
+    * Exact O(n²) all-pairs up to `maxExactRows` rows — the correctness
+    * baseline. Larger inputs automatically route through
+    * `cosineNearDupPairsLsh` (LSH candidates + exact re-rank): the bucketed
+    * join shuffles on (table, signature) and never materializes all pairs —
+    * the 100 TB shape — at the price of LSH recall (<1 near the threshold).
+    */
+  def cosineNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      maxExactRows: Long = ExactNearDupMaxRows
+  ): DataFrame = {
+    ensureRegistered(df)
+    if (df.count() > maxExactRows)
+      return cosineNearDupPairsLsh(df, idCol, vecCol, threshold)
     val normed = unitNormalized(df, vecCol)
     val a = normed.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
     val b = normed.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", dot(col("vec_a"), col("vec_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** LSH-bucketed near-duplicate CANDIDATES: pairs sharing any
+    * (table, signature) bucket. The self-join shuffles on the bucket key —
+    * high-cardinality, never all-pairs.
+    */
+  def lshNearDupCandidates(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tables: Int = 16,
+      bitsPerTable: Int = 6
+  ): DataFrame = {
+    val sigs = lshSignatures(df, idCol, vecCol, tables, bitsPerTable)
+    val l = sigs.select(col(idCol).as("id_a"), col("table_idx"), col("signature"))
+    val r = sigs.select(col(idCol).as("id_b"), col("table_idx"), col("signature"))
+    l.join(r, Seq("table_idx", "signature"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Two-phase near-dup at scale: LSH candidate generation + exact cosine
+    * re-rank within candidates (the standard shape). Approximate: a pair at
+    * cosine c survives with prob 1-(1-p^b)^T, p = 1-acos(c)/π — size
+    * tables/bitsPerTable for the recall the corpus needs.
+    */
+  def cosineNearDupPairsLsh(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      tables: Int = 16,
+      bitsPerTable: Int = 6
+  ): DataFrame = {
+    ensureRegistered(df)
+    val normed = unitNormalized(df, vecCol)
+    val cands = lshNearDupCandidates(normed, idCol, vecCol, tables, bitsPerTable)
+    cands
+      .join(normed.select(col(idCol).as("id_a"), col(vecCol).as("vec_a")), Seq("id_a"))
+      .join(normed.select(col(idCol).as("id_b"), col(vecCol).as("vec_b")), Seq("id_b"))
       .withColumn("cos", dot(col("vec_a"), col("vec_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
@@ -56,6 +128,7 @@ object VectorOps {
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int
   ): DataFrame = {
+    ensureRegistered(corpus)
     val scored = unitNormalized(queries.select(col(queryId).as("query_id"), col(queryVec).as("qv")), "qv")
       .crossJoin(unitNormalized(corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("cv")), "cv"))
       .filter(col("query_id") =!= col("corpus_id"))
@@ -114,6 +187,7 @@ object VectorOps {
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
       k: Int, tables: Int = 8, bitsPerTable: Int = 12
   ): DataFrame = {
+    ensureRegistered(df)
     val corpusSigs = lshSignatures(df, idCol, vecCol, tables, bitsPerTable)
       .select(col(idCol).as("corpus_id"), col("table_idx"), col("signature"))
     val querySigs = lshSignatures(queries.select(col(queryIdCol).as(idCol), col(queryVecCol).as(vecCol)),

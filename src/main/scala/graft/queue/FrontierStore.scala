@@ -59,14 +59,23 @@ final class FrontierStore(
   /** Bloom seen-set (bloom mode only): keys ever admitted to the queue.
     * A bloom hit is treated as already-seen — the reference's documented
     * 1e-7 false-drop semantics — in exchange for O(batch) dedup with no
-    * join against the frontier. Shards persist per commit for resume.
+    * join against the frontier. Partition-LOCAL shards: the probe and the
+    * per-commit fold repartition on the key bucket and touch only each
+    * task's own shard files — the whole filter is never broadcast and no
+    * key set is ever collected to the driver (SCALE.md §Q2, implemented).
     */
-  private var bloomSeen: Option[graft.dedup.BloomSeenFilter] =
-    if (bloomDedup)
-      graft.dedup.BloomSeenFilter.load(bloomDir)
-        .orElse(Some(graft.dedup.BloomSeenFilter.create(
-          bloomBuckets, math.max(1L, bloomExpectedKeys / bloomBuckets), bloomFpp)))
-    else None
+  private val bloomShards: Option[graft.dedup.BloomShardStore] =
+    if (bloomDedup) {
+      val s = graft.dedup.BloomShardStore.openOrCreate(
+        bloomDir, bloomBuckets, math.max(1L, bloomExpectedKeys / bloomBuckets), bloomFpp)
+      // resume: a crash between the manifest write and the shard fold leaves
+      // the shards behind the log — replay every key committed after the
+      // folded-through batch (bloom puts are idempotent, so the
+      // over-approximation of folding any-status keys is safe)
+      if (s.version < manifest.batchId)
+        s.fold(state().filter(col("batch_id") > s.version).select(col("key64")), manifest.batchId)
+      Some(s)
+    } else None
 
   /** Current state: exactly one row (the latest event) per unique_key.
     * Maintained as a persisted base plus a short lazy chain of broadcast
@@ -332,16 +341,15 @@ final class FrontierStore(
     val pendingDup = !isNew && col("ex_status") === Status.Pending
 
     // New inserts: exact mode decides by anti-join against the frontier;
-    // bloom mode probes the broadcast seen-filter instead (a hit = seen,
-    // accepting the 1e-7 false-drop rate) — NO join against frontier state.
-    val bloomBc = bloomSeen.map(f =>
-      spark.sparkContext.broadcast(graft.dedup.BloomSeenFilter.serialize(f)))
-    val newRows = bloomBc match {
-      case Some(bc) =>
-        val fresh = udf { (key: String) =>
-          !BloomProbeCache.get(bc).mightContain(graft.canon.Hashing.xxh64(key))
-        }
-        firsts.filter(fresh(col("unique_key")))
+    // bloom mode probes the partition-local shard files instead (a hit =
+    // seen, accepting the 1e-7 false-drop rate) — NO join against frontier
+    // state and NO whole-filter broadcast: the probe repartitions the
+    // (small) candidate batch on the key bucket and each task reads only
+    // its own shards.
+    val probed = bloomShards.map(s => s.probe(cand, "unique_key"))
+    val newRows = probed match {
+      case Some(p) =>
+        p.filter(!col("__seen") && !col("__dup_in_batch")).drop("__seen", "__rn", "__dup_in_batch")
       case None =>
         joined.filter(isNew).drop("ex_key", "ex_status", "ex_url", "ex_host",
           "ex_label", "ex_method", "ex_payload", "ex_headers", "ex_user_data",
@@ -427,32 +435,25 @@ final class FrontierStore(
       .unionByName(reclaimEvents)
     val committed = commitEvents(allEvents)
 
-    // Bloom mode: fold this commit's admitted keys into the seen-filter and
-    // persist shards. Keys are collected as a bare Long column (8 bytes/key —
-    // a 10^6-row enqueue is 8 MB); at cluster scale the fold would instead
-    // tree-reduce per-bucket partials so no driver hop grows with the batch.
+    // Bloom mode: fold this commit's admitted keys into the shard files —
+    // fully executor-side (repartition on bucket + per-bucket merge), no
+    // driver hop that grows with the batch. The shard version records the
+    // folded-through batch id for crash-replay on resume.
     if (bloomDedup && committed > 0) {
-      bloomSeen.foreach { f =>
-        import spark.implicits._
-        latestDelta()
-          .filter(col("status") === Status.Pending && col("retry_count") === 0)
-          .select(col("key64"))
-          .as[Long]
-          .collect()
-          .foreach(f.put)
-        f.save(bloomDir)
+      bloomShards.foreach { s =>
+        s.fold(
+          latestDelta()
+            .filter(col("status") === Status.Pending && col("retry_count") === 0)
+            .select(col("key64")),
+          batchId)
       }
     }
 
     // Add report (for every candidate incl. in-batch duplicates)
     if (bloomDedup) {
-      val bc = bloomBc.get
-      val hit = udf { (key: String) =>
-        BloomProbeCache.get(bc).mightContain(graft.canon.Hashing.xxh64(key))
-      }
-      cand.select(
-        cand("unique_key"),
-        (hit(col("unique_key")) || col("__dup_in_batch")).as("was_already_present"),
+      probed.get.select(
+        col("unique_key"),
+        (col("__seen") || col("__dup_in_batch")).as("was_already_present"),
         lit(false).as("was_already_handled") // single seen-filter: handled state not separable
       )
     } else
@@ -661,15 +662,6 @@ final class FrontierStore(
     if (persistedBase != null) { persistedBase.unpersist(false); persistedBase = null }
     stateDf = null
   }
-}
-
-/** Executor-side cache: deserialize a broadcast bloom once per executor,
-  * not once per row/task.
-  */
-object BloomProbeCache {
-  private val cache = new java.util.concurrent.ConcurrentHashMap[Long, graft.dedup.BloomSeenFilter]()
-  def get(bc: org.apache.spark.broadcast.Broadcast[Array[Byte]]): graft.dedup.BloomSeenFilter =
-    cache.computeIfAbsent(bc.id, _ => graft.dedup.BloomSeenFilter.deserialize(bc.value))
 }
 
 object FrontierStore {

@@ -71,4 +71,15 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan(q)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("LSH near-dup plan buckets on (table, signature) — no cartesian product") {
+    val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val q = graft.ops.VectorOps.cosineNearDupPairsLsh(emb, "vec_id", "embedding", 0.35)
+    val p = plan(q)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // above the exact-rows cap the entry point itself must route through LSH
+    val routed = graft.ops.VectorOps.cosineNearDupPairs(emb, "vec_id", "embedding", 0.35, maxExactRows = 10)
+    assert(!plan(routed).contains("CartesianProduct"), plan(routed))
+  }
 }

@@ -39,6 +39,55 @@ class DedupSpec extends SparkSpec {
     assert((0 until 500).forall(i => g.mightContain(Hashing.xxh64(s"s-$i"))))
   }
 
+  test("shard store: executor-side fold + probe, no whole-filter broadcast") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("shards").toString
+    val s = new BloomShardStore(dir, buckets = 16, expectedPerBucket = 10000, fpp = 1e-7)
+    val keys = (0 until 5000).map(i => s"url-$i")
+    s.fold(keys.map(Hashing.xxh64).toDF("key64"), newVersion = 1L)
+    assert(s.version == 1L)
+    // probe: all folded keys seen, fresh keys not (fpp 1e-7)
+    val probeIn = (keys ++ (0 until 5000).map(i => s"fresh-$i")).toDF("unique_key")
+    val out = s.probe(probeIn, "unique_key")
+    // the probe plan repartitions on the key bucket — no broadcast of filter state
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("Broadcast"), plan)
+    val rows = out.collect().map(r => r.getString(0) -> r.getBoolean(r.length - 1)).toMap
+    assert(keys.forall(rows(_)))
+    assert((0 until 5000).forall(i => !rows(s"fresh-$i")))
+    // incremental fold: a second generation adds more keys, old ones persist
+    s.fold(Seq(Hashing.xxh64("late-1")).toDF("key64"), newVersion = 2L)
+    assert(s.mightContain(Hashing.xxh64("late-1")))
+    assert(s.mightContain(Hashing.xxh64("url-17")))
+    // reload from disk (resume)
+    val re = BloomShardStore.openOrCreate(dir, 0, 0, 0)
+    assert(re.buckets == 16 && re.version == 2L)
+    assert(re.mightContain(Hashing.xxh64("url-4999")))
+  }
+
+  test("shard store: frontier crash-replay folds deltas committed after the last fold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("bloomresume").toString
+    def cand(ks: Seq[String]) = ks.zipWithIndex
+      .map { case (k, i) => (k, s"https://x.com/$k", "x.com", null.asInstanceOf[String], "GET", 0, false, i.toLong) }
+      .toDF("unique_key", "url", "host", "label", "method", "depth", "forefront", "cand_order")
+    val store = new graft.queue.FrontierStore(spark, root, bloomDedup = true, bloomBuckets = 8)
+    store.addBatch(cand(Seq("a", "b")))
+    // simulate a crash between the manifest write and the shard fold by
+    // rolling the version file back one batch
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/bloom/version"), "0")
+    // a resumed store replays the missing fold, so re-adding "a" dedups
+    val store2 = new graft.queue.FrontierStore(spark, root, bloomDedup = true, bloomBuckets = 8)
+    val report = store2.addBatch(cand(Seq("a", "c"))).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(report("a") === true) // replayed into the shards
+    assert(report("c") === false)
+    assert(store2.state().filter(col("unique_key") === "a").count() == 1)
+  }
+
   test("cuckoo: insert, lookup, delete") {
     val f = CuckooFilter.forCapacity(10000)
     val keys = (0 until 8000).map(i => Hashing.xxh64(s"c-$i"))

@@ -36,6 +36,21 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "LSH path must not cross-join the corpus")
   }
 
+  test("LSH near-dup two-phase achieves high recall vs the exact all-pairs baseline") {
+    val exact = VectorOps
+      .cosineNearDupPairs(emb, "vec_id", "embedding", 0.5) // 500 rows -> exact path
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = VectorOps
+      .cosineNearDupPairsLsh(emb, "vec_id", "embedding", 0.5, tables = 32, bitsPerTable = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // re-rank is exact, so LSH output ⊆ exact output; recall from candidates
+    assert((lsh -- exact).isEmpty, "LSH re-rank produced a pair the exact path lacks")
+    val recall = if (exact.isEmpty) 1.0 else (exact intersect lsh).size.toDouble / exact.size
+    info(s"near-dup exact pairs >=0.5: ${exact.size}, via LSH: ${lsh.size}, recall: $recall")
+    // cos>=0.5 -> per-bit p >= 2/3; 32 tables x 4 bits -> recall ~ 1-(1-0.2)^32 ~ 0.999
+    assert(recall >= 0.9, s"recall $recall too low")
+  }
+
   test("MinHash-LSH candidates contain every high-Jaccard pair (recall side)") {
     val exact = TextOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
