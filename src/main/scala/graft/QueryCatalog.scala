@@ -339,9 +339,500 @@ object QueryCatalog {
   }
 
   // =========================================================================
-  // Training-data pipeline operators (builder prompt): dedup suite, ANN,
-  // text analysis, multimodal — over documents / embeddings.
+  // Round-2 coverage: driver-checkable entries for the remaining SURVEY §2
+  // operators. Where the operator is a driver-side component (throttle,
+  // session pool, frontier store), the query DRIVES THE REAL OPERATOR over a
+  // deterministic corpus and the oracle states the expected result
+  // analytically — the same pattern as the crawl parity tests, but
+  // checkable by the external DuckDB gate.
   // =========================================================================
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  // ---- Q5 + Q8: claim ordering under leases + stale-lease auto-reclaim -----
+  // Scenario: enqueue k0..k299 FIFO; claim 100 at t=0 (lease 1000ms); mark
+  // the even keys handled; claim 100 more at t=500; claim 200 at t=1200 —
+  // the t=0 leases are stale (odd k0..k99 eligible again) while the t=500
+  // leases still hold, so the third claim returns the 50 stale odd keys
+  // (lowest seq) plus k200..k299.
+  register(
+    "q5_q8_claim_lease_stale",
+    Some(
+      """SELECT 'k' || CAST(event_id AS VARCHAR) AS unique_key FROM events
+        |WHERE (event_id < 100 AND event_id % 2 = 1)
+        |   OR (event_id >= 200 AND event_id < 300)""".stripMargin
+    )
+  ) { (s, dir) =>
+    val store = new graft.queue.FrontierStore(s, tmpDir("q5q8"), leaseMs = 1000L)
+    val adds = t(s, dir, "events")
+      .filter(col("event_id") < 300)
+      .select(
+        concat(lit("k"), col("event_id")).as("unique_key"),
+        concat(lit("https://q.example.com/"), col("event_id")).as("url"),
+        lit("q.example.com").as("host"),
+        lit(null).cast("string").as("label"),
+        lit("GET").as("method"),
+        lit(0).as("depth"),
+        lit(false).as("forefront"),
+        col("event_id").cast("long").as("cand_order")
+      )
+    store.addBatch(adds)
+    val c1 = store.claim(100, nowMs = 0L)
+    val handled = c1
+      .filter(pmod(substring(col("unique_key"), 2, 10).cast("long"), lit(2)) === 0)
+      .select(col("unique_key"), lit(true).as("handled_ok"),
+        lit(graft.schema.RequestState.Done).as("state"))
+    store.markHandled(handled)
+    store.claim(100, nowMs = 500L)
+    store.claim(200, nowMs = 1200L).select(col("unique_key"))
+  }
+
+  // ---- Q6 + Q7: mark-handled / reclaim-supersedes state machine ------------
+  // k%3==0 handled; k%3==1 reclaimed with retry_count=1 (+forefront when
+  // k%2==0); k%3==2 left in progress. A second markHandled of already-
+  // handled keys and a reclaim of handled keys are IGNORED (reference
+  // returns None for both, _memory/_request_queue_client.py:232-288).
+  register(
+    "q6_q7_handled_reclaim",
+    Some(
+      """SELECT 'k' || CAST(event_id AS VARCHAR) AS unique_key,
+        |  CAST(CASE WHEN event_id % 3 = 0 THEN 2
+        |            WHEN event_id % 3 = 1 THEN 0
+        |            ELSE 1 END AS INT) AS status,
+        |  CAST(CASE WHEN event_id % 3 = 1 THEN 1 ELSE 0 END AS INT) AS retry_count,
+        |  (event_id % 3 = 1 AND event_id % 2 = 0) AS forefront
+        |FROM events WHERE event_id < 60""".stripMargin
+    )
+  ) { (s, dir) =>
+    val store = new graft.queue.FrontierStore(s, tmpDir("q6q7"), leaseMs = 100000L)
+    val adds = t(s, dir, "events")
+      .filter(col("event_id") < 60)
+      .select(
+        concat(lit("k"), col("event_id")).as("unique_key"),
+        concat(lit("https://q.example.com/"), col("event_id")).as("url"),
+        lit("q.example.com").as("host"),
+        lit(null).cast("string").as("label"),
+        lit("GET").as("method"),
+        lit(0).as("depth"),
+        lit(false).as("forefront"),
+        col("event_id").cast("long").as("cand_order")
+      )
+    store.addBatch(adds)
+    val claimed = store.claim(60, nowMs = 0L)
+    val key = substring(col("unique_key"), 2, 10).cast("long")
+    store.markHandled(
+      claimed.filter(pmod(key, lit(3)) === 0)
+        .select(col("unique_key"), lit(true).as("handled_ok"),
+          lit(graft.schema.RequestState.Done).as("state")))
+    store.reclaim(
+      claimed.filter(pmod(key, lit(3)) === 1)
+        .select(col("unique_key"), (pmod(key, lit(2)) === 0).as("forefront"),
+          lit(1).as("retry_count")))
+    // both ignored: re-handle + reclaim of already-handled rows
+    store.markHandled(
+      claimed.filter(pmod(key, lit(3)) === 0)
+        .select(col("unique_key"), lit(false).as("handled_ok"),
+          lit(graft.schema.RequestState.Error).as("state")))
+    store.reclaim(
+      claimed.filter(pmod(key, lit(3)) === 0)
+        .select(col("unique_key"), lit(false).as("forefront"), lit(9).as("retry_count")))
+    store.state().select(col("unique_key"), col("status"), col("retry_count"), col("forefront"))
+  }
+
+  // ---- Q2: bloom shard admit/deny (partition-local probe) -------------------
+  register(
+    "q2_bloom_admit",
+    Some(
+      """SELECT event_id, (event_id % 2 = 0) AS seen
+        |FROM events WHERE event_id < 4000""".stripMargin
+    )
+  ) { (s, dir) =>
+    val shards = new graft.dedup.BloomShardStore(tmpDir("q2bloom"), 16, 100000L, 1e-7)
+    val keys = t(s, dir, "events")
+      .filter(col("event_id") < 4000 && pmod(col("event_id"), lit(2)) === 0)
+      .select(xxhash64(concat(lit("k"), col("event_id"))).as("key64"))
+    shards.fold(keys, 1L)
+    shards
+      .probe(
+        t(s, dir, "events").filter(col("event_id") < 4000)
+          .select(col("event_id"), concat(lit("k"), col("event_id")).as("k")),
+        "k")
+      .select(col("event_id"), col("__seen").as("seen"))
+  }
+
+  // ---- P4: robots crawl-delay quota arithmetic (real DomainThrottle) -------
+  register(
+    "p4_crawl_delay_quota",
+    Some(
+      """SELECT 'h' || CAST(d AS VARCHAR) || '.example.com' AS host,
+        |       CAST(greatest(1, 5000 // (d * 1000)) AS BIGINT) AS quota
+        |FROM generate_series(1, 6) t(d)""".stripMargin
+    )
+  ) { (s, _) =>
+    import s.implicits._
+    val delays = (1 to 6).map(d => s"h$d.example.com" -> d).toMap
+    new graft.politeness.DomainThrottle(delays)
+      .quotas(0L, 5000L).toSeq
+      .map { case (h, q) => (h, q.toLong) }
+      .toDF("host", "quota")
+  }
+
+  // ---- P3: Retry-After header beats the exponential schedule (real throttle)
+  register(
+    "p3_retry_after_priority",
+    Some(
+      """SELECT * FROM (VALUES
+        |  (1, 1, CAST(2000 AS BIGINT)),
+        |  (2, 2, CAST(40000 AS BIGINT)),
+        |  (3, 3, CAST(110000 AS BIGINT)),
+        |  (4, 0, CAST(110000 AS BIGINT)),
+        |  (5, 1, CAST(212000 AS BIGINT))
+        |) AS t(step, consecutive_429, throttled_until_ms)""".stripMargin
+    )
+  ) { (s, _) =>
+    import s.implicits._
+    val th = new graft.politeness.DomainThrottle(Map.empty)
+    val host = "a.example.com"
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
+    def rec(step: Int): Unit = {
+      val (c, u) = th.state.getOrElse(host, (0, 0L))
+      out += ((step, c, u))
+    }
+    th.update(0L, Map(host -> 1L), Map(host -> 1L)); rec(1) // exp: 2s
+    th.update(10000L, Map(host -> 1L), Map(host -> 1L), Map(host -> 30)); rec(2) // header 30s wins
+    th.update(50000L, Map(host -> 1L), Map(host -> 1L), Map(host -> 600)); rec(3) // capped at 60s
+    th.update(150000L, Map(host -> 1L), Map.empty); rec(4) // success resets the counter
+    th.update(210000L, Map(host -> 1L), Map(host -> 1L)); rec(5) // schedule restarts at 2s
+    out.toSeq.toDF("step", "consecutive_429", "throttled_until_ms")
+  }
+
+  // ---- R4: session usage-count rotation (real SessionPool, sequential) -----
+  register(
+    "r4_session_rotation",
+    Some(
+      """SELECT event_id AS r,
+        |  'session_' || lpad(CAST(event_id // 10 AS VARCHAR), 6, '0') AS session_id
+        |FROM events WHERE event_id < 200""".stripMargin
+    )
+  ) { (s, dir) =>
+    import s.implicits._
+    val pool = new graft.sessions.SessionPool(maxPoolSize = 1, maxUsageCount = 10)
+    val ids = t(s, dir, "events").filter(col("event_id") < 200)
+      .select(col("event_id")).orderBy(col("event_id"))
+      .as[Long].collect()
+      .map(r => (r, pool.getSession(0L).id))
+    ids.toSeq.toDF("r", "session_id")
+  }
+
+  // ---- F3: include/exclude glob filtering (real Globs) ---------------------
+  register(
+    "f3_glob_filter",
+    Some(
+      """SELECT event_id,
+        |  'https://h' || (user_id % 7) || '.example.com/p/' || event_id AS url
+        |FROM events
+        |WHERE event_id % 9 <> 0 AND event_id % 17 <> 0 AND event_id < 5000""".stripMargin
+    )
+  ) { (s, dir) =>
+    val include = Seq("https://h*.example.com/p/**")
+    val exclude = Seq("https://h*.example.com/private/**")
+    val scheme = when(pmod(col("event_id"), lit(9)) === 0, lit("http")).otherwise(lit("https"))
+    val seg = when(pmod(col("event_id"), lit(17)) === 0, lit("/private/p/")).otherwise(lit("/p/"))
+    val url = concat(scheme, lit("://h"), pmod(col("user_id"), lit(7)), lit(".example.com"), seg, col("event_id"))
+    val passes = udf { (u: String) =>
+      !exclude.exists(g => graft.canon.Globs.matches(g, u)) &&
+        include.exists(g => graft.canon.Globs.matches(g, u))
+    }
+    t(s, dir, "events")
+      .filter(col("event_id") < 5000)
+      .select(col("event_id"), url.as("url"))
+      .filter(passes(col("url")))
+  }
+
+  // ---- C8: RFC 3986 reference resolution (real ResolveUrl expression) ------
+  register(
+    "c8_url_resolution",
+    Some(
+      """SELECT event_id,
+        |  CASE event_id % 5
+        |    WHEN 0 THEN 'https://h' || (user_id % 7) || '.example.com/abs/' || event_id
+        |    WHEN 1 THEN 'https://h' || (user_id % 7) || '.example.com/a/x/' || event_id
+        |    WHEN 2 THEN 'https://h' || (user_id % 7) || '.example.com/up/' || event_id
+        |    WHEN 3 THEN 'https://other.org/f/' || event_id
+        |    ELSE 'https://h' || (user_id % 7) || '.example.com/a/b?q=' || event_id
+        |  END AS resolved
+        |FROM events WHERE event_id < 5000""".stripMargin
+    )
+  ) { (s, dir) =>
+    UrlFunctions.register(s)
+    val base = concat(lit("https://h"), pmod(col("user_id"), lit(7)), lit(".example.com/a/b"))
+    val c = pmod(col("event_id"), lit(5))
+    val rel = when(c === 0, concat(lit("/abs/"), col("event_id")))
+      .when(c === 1, concat(lit("x/"), col("event_id")))
+      .when(c === 2, concat(lit("../up/"), col("event_id")))
+      .when(c === 3, concat(lit("https://other.org/f/"), col("event_id")))
+      .otherwise(concat(lit("?q="), col("event_id")))
+    t(s, dir, "events")
+      .filter(col("event_id") < 5000)
+      .select(col("event_id"), UrlFunctions.resolveUrl(base, rel).as("resolved"))
+  }
+
+  // ---- D4-D9: Dataset get_data surface over a real ResultDataset -----------
+  register(
+    "d4_skip_empty",
+    Some(
+      """SELECT event_id AS a, event_type AS b FROM events
+        |WHERE event_id % 5 <> 0 AND event_id < 3000""".stripMargin
+    )
+  ) { (s, dir) =>
+    val rd = new graft.storage.ResultDataset(s, tmpDir("d4"))
+    val empties = pmod(col("event_id"), lit(5)) === 0
+    rd.push(
+      t(s, dir, "events").filter(col("event_id") < 3000).select(
+        when(empties, lit(null).cast("long")).otherwise(col("event_id")).as("a"),
+        when(empties, lit(null).cast("string")).otherwise(col("event_type")).as("b")))
+    rd.getData(rd.GetDataOptions(skipEmpty = true))
+  }
+
+  register(
+    "d5_fields",
+    Some("SELECT event_id, value FROM events WHERE event_id < 3000")
+  ) { (s, dir) =>
+    val rd = new graft.storage.ResultDataset(s, tmpDir("d5"))
+    rd.push(t(s, dir, "events").filter(col("event_id") < 3000)
+      .select(col("event_id"), col("event_type"), col("value")))
+    rd.getData(rd.GetDataOptions(fields = Seq("event_id", "value")))
+  }
+
+  register(
+    "d6_omit",
+    Some("SELECT event_id, event_type FROM events WHERE event_id < 3000")
+  ) { (s, dir) =>
+    val rd = new graft.storage.ResultDataset(s, tmpDir("d6"))
+    rd.push(t(s, dir, "events").filter(col("event_id") < 3000)
+      .select(col("event_id"), col("event_type"), col("value")))
+    rd.getData(rd.GetDataOptions(omit = Seq("value")))
+  }
+
+  register(
+    "d8_flatten",
+    Some(
+      """SELECT event_id, user_id, CAST(event_id % 7 AS BIGINT) AS mod7
+        |FROM events WHERE event_id < 3000""".stripMargin
+    )
+  ) { (s, dir) =>
+    val rd = new graft.storage.ResultDataset(s, tmpDir("d8"))
+    rd.push(t(s, dir, "events").filter(col("event_id") < 3000)
+      .select(col("event_id"),
+        struct(col("user_id"), pmod(col("event_id"), lit(7)).cast("long").as("mod7")).as("nested")))
+    rd.getData(rd.GetDataOptions(flatten = Some("nested")))
+  }
+
+  register(
+    "d9_clean",
+    Some("SELECT event_id AS x FROM events WHERE event_id % 4 <> 0 AND event_id < 3000")
+  ) { (s, dir) =>
+    val rd = new graft.storage.ResultDataset(s, tmpDir("d9"))
+    val empties = pmod(col("event_id"), lit(4)) === 0
+    rd.push(t(s, dir, "events").filter(col("event_id") < 3000)
+      .select(
+        when(empties, lit(null).cast("long")).otherwise(col("event_id")).as("x"),
+        col("event_id").as("#debug")))
+    rd.getData(rd.GetDataOptions(clean = true))
+  }
+
+  // ---- A4: status-code counts -----------------------------------------------
+  register(
+    "a4_status_counts",
+    Some(
+      """SELECT status_code, count(*) AS cnt FROM (
+        |  SELECT CASE WHEN event_id % 50 = 0 THEN 429
+        |              WHEN event_id % 23 = 0 THEN 500
+        |              WHEN event_id % 17 = 0 THEN 404
+        |              ELSE 200 END AS status_code
+        |  FROM events
+        |) GROUP BY status_code ORDER BY status_code""".stripMargin
+    )
+  ) { (s, dir) =>
+    val status = when(pmod(col("event_id"), lit(50)) === 0, 429)
+      .when(pmod(col("event_id"), lit(23)) === 0, 500)
+      .when(pmod(col("event_id"), lit(17)) === 0, 404)
+      .otherwise(200)
+    graft.stats.Statistics.statusCodeCounts(t(s, dir, "events").select(status.as("status_code")))
+  }
+
+  // ---- R1 extension: no_retry + per-request max_retries override -----------
+  // The same decision expressions the engine classify stage evaluates
+  // (CrawlEngine.scala; _basic_crawler.py:982-997).
+  register(
+    "r1_retry_overrides",
+    Some(
+      """SELECT status, no_retry, outcome, count(*) AS cnt FROM (
+        |  SELECT status, no_retry,
+        |    CASE WHEN status = 200 THEN 'handled'
+        |         WHEN (status = 429 OR status >= 500)
+        |              AND NOT no_retry AND retry_count < coalesce(max_retries, 3) THEN 'retry'
+        |         WHEN (status = 429 OR status >= 500) THEN 'exhausted'
+        |         ELSE 'fail_no_retry' END AS outcome
+        |  FROM (
+        |    SELECT CASE WHEN event_id % 3 = 0 THEN 500
+        |                WHEN event_id % 3 = 1 THEN 429 ELSE 200 END AS status,
+        |           (event_id % 5 = 0) AS no_retry,
+        |           CAST(CASE WHEN event_id % 7 = 0 THEN 1 ELSE NULL END AS INT) AS max_retries,
+        |           CAST(event_id % 4 AS INT) AS retry_count
+        |    FROM events
+        |  )
+        |) GROUP BY status, no_retry, outcome ORDER BY status, no_retry, outcome""".stripMargin
+    )
+  ) { (s, dir) =>
+    val base = t(s, dir, "events").select(
+      when(pmod(col("event_id"), lit(3)) === 0, 500)
+        .when(pmod(col("event_id"), lit(3)) === 1, 429)
+        .otherwise(200).as("status"),
+      (pmod(col("event_id"), lit(5)) === 0).as("no_retry"),
+      when(pmod(col("event_id"), lit(7)) === 0, lit(1)).otherwise(lit(null)).cast("int").as("max_retries"),
+      pmod(col("event_id"), lit(4)).cast("int").as("retry_count")
+    )
+    val isRetryable = col("status") === 429 || col("status") >= 500
+    val retryAllowed = !col("no_retry") && col("retry_count") < coalesce(col("max_retries"), lit(3))
+    base
+      .withColumn("outcome",
+        when(col("status") === 200, "handled")
+          .when(isRetryable && retryAllowed, "retry")
+          .when(isRetryable, "exhausted")
+          .otherwise("fail_no_retry"))
+      .groupBy(col("status"), col("no_retry"), col("outcome"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("status"), col("no_retry"), col("outcome"))
+  }
+
+  // ---- R6: max_requests budget exactness (analytic claim model) ------------
+  register(
+    "r6_budget_exactness",
+    Some(
+      """SELECT event_id FROM (
+        |  SELECT event_id, row_number() OVER (ORDER BY event_id) AS rn FROM events
+        |) WHERE rn <= 500""".stripMargin
+    )
+  ) { (s, dir) =>
+    t(s, dir, "events")
+      .withColumn("rn", row_number().over(Window.orderBy(col("event_id"))))
+      .filter(col("rn") <= 500)
+      .select(col("event_id"))
+  }
+
+  // ---- F11: blocked-content detection (real Blocked hook) ------------------
+  register(
+    "f11_blocked_content",
+    Some(
+      """SELECT event_id,
+        |  CASE WHEN event_id % 19 = 0 THEN 'blocked status 403'
+        |       WHEN event_id % 11 = 0
+        |         THEN 'blocked selector #turnstile-wrapper iframe[src^="https://challenges.cloudflare.com"]'
+        |       WHEN event_id % 13 = 0
+        |         THEN 'blocked selector iframe[src*="_Incapsula_Resource"]'
+        |       ELSE NULL END AS blocked_reason
+        |FROM events WHERE event_id < 3000""".stripMargin
+    )
+  ) { (s, dir) =>
+    val body = when(pmod(col("event_id"), lit(11)) === 0,
+      lit("""<iframe src="https://challenges.cloudflare.com/x"></iframe>"""))
+      .when(pmod(col("event_id"), lit(13)) === 0, lit("frame _Incapsula_Resource here"))
+      .otherwise(lit("<html>ok</html>"))
+    val status = when(pmod(col("event_id"), lit(19)) === 0, 403).otherwise(200)
+    val reason = udf { (st: Int, b: String) => graft.canon.Blocked.blockedReason(st, b).orNull }
+    t(s, dir, "events")
+      .filter(col("event_id") < 3000)
+      .select(col("event_id"), reason(status, body).as("blocked_reason"))
+  }
+
+  // ---- S4: sitemap TXT parse through gzip inflate (real parser path) -------
+  register(
+    "s4_sitemap_txt_gzip",
+    Some(
+      """SELECT event_id, 'https://h' || (user_id % 7) || '.example.com/p/' ||
+        |       ((event_id + t.i) % 1000) AS loc
+        |FROM events, LATERAL (SELECT unnest(generate_series(0, 3)) AS i) t
+        |WHERE event_id % 41 = 0
+        |ORDER BY event_id, loc""".stripMargin
+    )
+  ) { (s, dir) =>
+    val host = concat(lit("https://h"), pmod(col("user_id"), lit(7)), lit(".example.com/p/"))
+    val txtBody = concat_ws("\n",
+      lit(""), // leading blank line (skipped by the parser)
+      concat_ws("\n", transform(sequence(lit(0), lit(3)),
+        i => concat(host, pmod(col("event_id") + i, lit(1000))))),
+      lit("  ")) // trailing whitespace-only line (skipped)
+    val parseGz = udf { (txt: String) =>
+      val raw = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(raw)
+      gz.write(txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      gz.close()
+      graft.sources.Sitemap
+        .parse(graft.sources.Sitemap.inflate(raw.toByteArray), "text/plain", "https://x.example.com/sm.txt")
+        .urls.map(_.loc)
+    }
+    t(s, dir, "events")
+      .filter(pmod(col("event_id"), lit(41)) === 0)
+      .select(col("event_id"), explode(parseGz(txtBody)).as("loc"))
+      .orderBy(col("event_id"), col("loc"))
+  }
+
+  // ---- S5: nested sitemap recursion with depth cap, dedup, strategy filter --
+  register(
+    "s5_sitemap_nested",
+    Some(
+      """SELECT loc FROM (
+        |  SELECT 'https://smtest.example.com/p/0' AS loc
+        |  UNION ALL
+        |  SELECT 'https://smtest.example.com/p/' || CAST(i * 10 + j AS VARCHAR)
+        |  FROM generate_series(0, 2) a(i), generate_series(1, 3) b(j)
+        |  UNION ALL
+        |  SELECT 'https://smtest.example.com/g/' || CAST(j AS VARCHAR)
+        |  FROM generate_series(1, 3) c(j)
+        |) ORDER BY loc""".stripMargin
+    )
+  ) { (s, _) =>
+    import s.implicits._
+    val origin = "https://smtest.example.com"
+    def urlset(ids: Seq[String]): String =
+      "<urlset>" + ids.map(u => s"<url><loc>$u</loc></url>").mkString + "</urlset>"
+    // index -> 3 children (+ self-reference dedup + off-origin child filtered
+    // by same-hostname); child-2 nests a grandchild; the grandchild nests a
+    // great-grandchild that maxDepth=2 must NOT reach. Every child repeats
+    // /p/0 (URL dedup).
+    val docs = Map(
+      s"$origin/index.xml" ->
+        ("<sitemapindex>" +
+          (0 to 2).map(i => s"<sitemap><loc>$origin/child-$i.xml</loc></sitemap>").mkString +
+          s"<sitemap><loc>$origin/index.xml</loc></sitemap>" +
+          "<sitemap><loc>https://other.org/sm.xml</loc></sitemap>" +
+          "</sitemapindex>"),
+      s"$origin/child-0.xml" -> urlset(Seq(s"$origin/p/0") ++ (1 to 3).map(j => s"$origin/p/$j")),
+      s"$origin/child-1.xml" -> urlset(Seq(s"$origin/p/0") ++ (1 to 3).map(j => s"$origin/p/${10 + j}")),
+      s"$origin/child-2.xml" ->
+        ("<sitemapindex>" +
+          s"<sitemap><loc>$origin/grandchild.xml</loc></sitemap>" +
+          s"<sitemap><loc>$origin/deep-index.xml</loc></sitemap>" +
+          "</sitemapindex>"),
+      s"$origin/grandchild.xml" ->
+        (urlset(Seq(s"$origin/p/0") ++ (1 to 3).map(j => s"$origin/p/${20 + j}") ++
+          (1 to 3).map(j => s"$origin/g/$j"))),
+      // depth-cap chain: deep-index sits AT maxDepth (parsed), its leaf is
+      // one past it (never fetched — /p/999 must not appear)
+      s"$origin/deep-index.xml" ->
+        ("<sitemapindex>" + s"<sitemap><loc>$origin/leaf.xml</loc></sitemap>" + "</sitemapindex>"),
+      s"$origin/leaf.xml" -> urlset(Seq(s"$origin/p/999")),
+      "https://other.org/sm.xml" -> urlset(Seq("https://other.org/x/1"))
+    )
+    val fetch: String => Option[(String, Array[Byte])] =
+      u => docs.get(u).map(x => ("application/xml", x.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    val urls = graft.sources.Sitemap.loadRecursive(
+      Seq(s"$origin/index.xml"), fetch,
+      strategy = graft.canon.EnqueueStrategy.SameHostname, maxDepth = 2)
+    urls.map(_.loc).toDF("loc").orderBy(col("loc"))
+  }
 
   import graft.ops.{TextOps, VectorOps}
 

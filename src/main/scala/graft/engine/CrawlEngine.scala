@@ -278,12 +278,25 @@ final class CrawlEngine(
         // Retry eligibility honors the per-request no_retry flag and
         // max_retries override before the crawl default
         // (_basic_crawler.py:982-997).
+        // F11 + R4: blocked content is the SessionError path — rotate the
+        // session and retry WITHOUT consuming a retry, up to
+        // maxSessionRotations (reference _basic_crawler.py:990-991)
+        val blockedUdf = udf { (st: Int, body: String) =>
+          graft.canon.Blocked.blockedReason(st, body).isDefined
+        }
+        val isBlockedRow =
+          if (cfg.detectBlocked) blockedUdf(col("eff_status"), col("p_body")) else lit(false)
+        val blockedRows = unioned.filter(isBlockedRow)
+        val canRotate = blockedRows.filter(col("rotation_count") < cfg.maxSessionRotations)
+        val rotateExhausted = blockedRows.filter(col("rotation_count") >= cfg.maxSessionRotations)
+        val classified = unioned.filter(!isBlockedRow)
+
         val isRetryableStatus = col("eff_status") === 429 || col("eff_status") >= 500
         val retryAllowed =
           !col("no_retry") && col("retry_count") < coalesce(col("max_retries"), lit(cfg.maxRetries))
-        val ok200 = unioned.filter(col("eff_status") === 200)
-        val fail404 = unioned.filter(col("eff_status") =!= 200 && !isRetryableStatus)
-        val retryable = unioned.filter(isRetryableStatus)
+        val ok200 = classified.filter(col("eff_status") === 200)
+        val fail404 = classified.filter(col("eff_status") =!= 200 && !isRetryableStatus)
+        val retryable = classified.filter(isRetryableStatus)
         val canRetry0 = retryable.filter(retryAllowed)
         val exhausted = retryable.filter(!retryAllowed)
         // error handler: may replace url/label before the retry (counters
@@ -379,6 +392,7 @@ final class CrawlEngine(
         val terminal = term(ok200, ok = true, RequestState.Done)
           .unionByName(term(fail404, ok = false, RequestState.Error))
           .unionByName(term(exhausted, ok = false, RequestState.Error))
+          .unionByName(term(rotateExhausted, ok = false, RequestState.Error))
           .unionByName(term(redirFailed, ok = false, RequestState.Skipped))
           .unionByName(term(robotsSkipped, ok = false, RequestState.Skipped))
 
@@ -389,6 +403,7 @@ final class CrawlEngine(
         cfg.failedRequestHandler.foreach { h =>
           fail404.select(col("claim_rank"), col("url"), col("label"))
             .unionByName(exhausted.select(col("claim_rank"), col("url"), col("label")))
+            .unionByName(rotateExhausted.select(col("claim_rank"), col("url"), col("label")))
             .collect()
             .sortBy(_.getInt(0))
             .foreach(r => h(RequestOptions(r.getString(1), Option(r.getString(2)))))
@@ -396,19 +411,22 @@ final class CrawlEngine(
 
         // --- driver-side bookkeeping: ONE collect for the whole batch ----------
         // (collected BEFORE the commit mutates state — see batch checkpoint note)
-        // outcome codes: 0=ok, 1=fail404, 2=retry, 3=exhausted, 10=redir_fail, 11=robots_skip
+        // outcome codes: 0=ok, 1=fail404, 2=retry, 3=exhausted/rotation-exhausted,
+        // 4=blocked-rotate, 10=redir_fail, 11=robots_skip
         val disposition = unioned
           .select(
             col("claim_rank"),
             col("url"),
             col("unique_key"),
             col("host"),
-            when(col("eff_status") === 200, 0)
+            when(isBlockedRow && col("rotation_count") < cfg.maxSessionRotations, 4)
+              .when(isBlockedRow, 3)
+              .when(col("eff_status") === 200, 0)
               .when(!isRetryableStatus, 1)
               .when(retryAllowed, 2)
               .otherwise(3)
               .as("outcome"),
-            when(col("eff_status") === 200, coalesce(size(col("p_images")), lit(0)))
+            when(col("eff_status") === 200 && !isBlockedRow, coalesce(size(col("p_images")), lit(0)))
               .otherwise(0)
               .as("n_images"),
             (col("eff_status") === 429).as("is429")
@@ -434,6 +452,9 @@ final class CrawlEngine(
             terminal,
             canRetry.select(FrontierStore.eventCols: _*)
               .withColumn("retry_count", col("retry_count") + 1)
+              .unionByName(
+                canRotate.select(FrontierStore.eventCols: _*)
+                  .withColumn("rotation_count", col("rotation_count") + 1))
           ))
           val dispositionRows = trace("disposition")(Await.result(dispositionF, Duration.Inf))
           var images429 = Map.empty[String, Long]
@@ -451,7 +472,12 @@ final class CrawlEngine(
               case 1 | 3 => failedKeys += key; processedTotal += 1
               case 10 => processedTotal += 1
               case 11 => skippedRobots += key
-              case _ => // retry: not terminal
+              case _ => // retry / rotation: not terminal
+            }
+            if (cfg.detectBlocked && outcome != 11) {
+              val sess = sessionPool.getSession(nowMs)
+              if (outcome == 4) sess.retire() // SessionError -> rotate
+              else if (outcome == 0) sess.markGood()
             }
             if (enforcePoliteness) {
               claimedPerHost = claimedPerHost.updated(host, claimedPerHost.getOrElse(host, 0L) + 1)
@@ -476,6 +502,9 @@ final class CrawlEngine(
             terminal,
             canRetry.select(FrontierStore.eventCols: _*)
               .withColumn("retry_count", col("retry_count") + 1)
+              .unionByName(
+                canRotate.select(FrontierStore.eventCols: _*)
+                  .withColumn("rotation_count", col("rotation_count") + 1))
           ))
           val aggRows = trace("disposition")(Await.result(aggF, Duration.Inf))
           aggRows.foreach { r =>
@@ -520,6 +549,13 @@ final class CrawlEngine(
 
   /** Row count of the final seen-set (valid in both tracking modes). */
   @volatile var seenCount: Long = 0L
+
+  /** R4 session pool: one session per dispatched request (round-robin,
+    * deterministic substitution for the reference's random pick); a blocked
+    * dispatch retires its session (reference rotation,
+    * _basic_crawler.py:1515-1558). Driven in trackOrder mode.
+    */
+  val sessionPool = new graft.sessions.SessionPool()
 }
 
 object CrawlEngine {

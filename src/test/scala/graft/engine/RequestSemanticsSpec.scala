@@ -212,6 +212,46 @@ class RequestSemanticsSpec extends SparkSpec {
     assert(DomainThrottle.parseRetryAfter(naive, now).exists(s => s > 60 && s <= 121))
   }
 
+  test("F11+R4: blocked content rotates the session and retries; exhausted rotation fails (engine == oracle)") {
+    // tiny web crawled to completion so blocked requests drain off the queue
+    // tail and exhaust their rotation budget
+    val spec = WebSpec(hosts = 1, pagesPerHost = 20, otherOrgPages = 4, subHostPages = 4,
+      nImages = 20, blockedEvery = 5)
+    // seed pages that actually carry links (fixture out-degree is hash-chosen)
+    val seeds = (0 until 20).filter(i => SyntheticWeb.outDegree(spec, 0, i) > 0)
+      .take(3).map(i => SyntheticWeb.urlOf(spec, 0, i))
+    val cfg = CrawlConfig(detectBlocked = true, maxSessionRotations = 2)
+    val oracle = CrawlOracle.run(spec, seeds, cfg)
+    val (engine, _) = mkEngineSpec(spec, cfg, batchSize = 1)
+    val res = engine.run(seeds)
+    assert(res.crawlOrder == oracle.crawlOrder)
+    assert(res.failedKeys == oracle.failedKeys)
+    assert(res.handledOkKeys == oracle.handledOkKeys)
+    // a blocked page was fetched 1 + maxSessionRotations times then failed
+    val hitCounts = res.crawlOrder.groupBy(identity).map { case (u, hits) => (u, hits.size) }
+    assert(hitCounts.values.exists(_ == 3),
+      s"no blocked page exhausted rotation among ${hitCounts.size} urls")
+    // the engine's session pool actually rotated
+    assert(engine.sessionPool.retiredSessionCount > 0)
+  }
+
+  private def mkEngineSpec(spec: WebSpec, cfg: CrawlConfig, batchSize: Int): (CrawlEngine, FrontierStore) = {
+    import spark.implicits._
+    val pagesDf = spark
+      .createDataset((0L until spec.totalPages.toLong).map(g => SyntheticWeb.pageAt(spec, g)))
+      .toDF()
+    val robots = SyntheticWeb.allRobots(spec)
+      .map(r => r.host -> Robots.fromFetch(s"https://${r.host}", r.status, r.body)).toMap
+    val store = new FrontierStore(spark, Files.createTempDirectory("engine").toString)
+    val engine = new CrawlEngine(spark, store, pagesDf, robots, cfg,
+      claimBatchSize = batchSize,
+      statusAtFn = (url, attempt) => {
+        val host = graft.canon.UrlCanon.parse(url).host
+        SyntheticWeb.statusAt(spec, CrawlOracle.hostIdx(spec, host), CrawlOracle.pageIdx(url), attempt)
+      })
+    (engine, store)
+  }
+
   test("catch-all status classification: an unexpected status is terminal, never re-claimed (ADVICE)") {
     import spark.implicits._
     val spec = smallSpec
