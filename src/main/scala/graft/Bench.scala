@@ -21,12 +21,24 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Correctness-fixture entries drive the store / session pool / sitemap
+    // loader over tiny bounded corpora — they are state-machine gates for
+    // the Verify run, not throughput workloads, so the bench skips them
+    // (their cost is fixed, independent of sf).
+    val fixtureEntries = Set(
+      "q5_q8_claim_lease_stale", "q6_q7_handled_reclaim", "q2_bloom_admit",
+      "p4_crawl_delay_quota", "p3_retry_after_priority", "r4_session_rotation",
+      "d4_skip_empty", "d5_fields", "d6_omit", "d8_flatten", "d9_clean",
+      "s5_sitemap_nested", "s4_sitemap_txt_gzip", "r6_budget_exactness",
+      "f11_blocked_content", "mm_image_features", "mm_payload_validate")
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => }
-      results(name) = (System.nanoTime() - t0) / 1e9
-    }
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => fixtureEntries.contains(q._1))
+      .foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+        results(name) = (System.nanoTime() - t0) / 1e9
+      }
 
     // headline crawl: 88k-page synthetic web, wide seeds, full semantics
     val crawlStats =

@@ -1186,8 +1186,11 @@ object QueryCatalog {
     val c = t(s, dir, "customer")
     val n = t(s, dir, "nation")
     val r = t(s, dir, "region")
+    // nation/region are bounded dimension tables -> explicit broadcast;
+    // customer GROWS with scale, so AQE decides its join strategy (a forced
+    // broadcast would ship a no-longer-small table at 100x)
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))

@@ -155,14 +155,26 @@ final class CrawlEngine(
       h -> r.crawlDelay().getOrElse(0)
     })
 
+    // A7 per-batch metrics: buffered driver-side and flushed every 16
+    // batches + at crawl end — one parquet write job PER BATCH was a pure
+    // serial-floor cost (NOTES #1); the lineage/metrics record per batch is
+    // identical, only the flush cadence changes (a crash loses at most the
+    // unflushed tail of metric rows, never frontier state — the frontier
+    // commit is the recovery point, metrics are telemetry)
     val metricsDir = s"${store.root}/metrics"
-    def appendMetrics(batch: Int, nowMs: Long, claimed: Long, terminal: Long,
-        images: Long, wallMs: Long): Unit = {
+    val metricsBuf = mutable.ArrayBuffer.empty[(Int, Long, Long, Long, Long, Long, Long)]
+    def flushMetrics(): Unit = if (metricsBuf.nonEmpty) {
       import spark.implicits._
-      Seq((batch, nowMs, claimed, terminal, images, wallMs, processedTotal))
+      metricsBuf.toSeq
         .toDF("batch_id", "virtual_now_ms", "claimed", "terminal", "images", "wall_ms", "processed_total")
         .coalesce(1)
         .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(metricsDir)
+      metricsBuf.clear()
+    }
+    def appendMetrics(batch: Int, nowMs: Long, claimed: Long, terminal: Long,
+        images: Long, wallMs: Long): Unit = {
+      metricsBuf += ((batch, nowMs, claimed, terminal, images, wallMs, processedTotal))
+      if (metricsBuf.size >= 16) flushMetrics()
     }
 
     var done = false
@@ -533,6 +545,7 @@ final class CrawlEngine(
       if (trackOrder) store.state().select(col("unique_key")).collect().map(_.getString(0)).toSet
       else Set.empty[String]
     seenCount = if (trackOrder) seen.size.toLong else store.state().count()
+    flushMetrics()
     pagesDf.unpersist(false)
     EngineResult(
       crawlOrder.toSeq,

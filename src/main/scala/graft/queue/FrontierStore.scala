@@ -42,7 +42,9 @@ final class FrontierStore(
     bloomDedup: Boolean = false, // Q2: bloom mode replaces the exact dedup anti-join
     bloomBuckets: Int = 64,
     bloomExpectedKeys: Long = 4000000L, // total capacity across buckets
-    bloomFpp: Double = 1e-7 // reference default (_redis/_storage_client.py:45)
+    bloomFpp: Double = 1e-7, // reference default (_redis/_storage_client.py:45)
+    claimBuckets: Int = 64, // host-hash buckets for claim pruning
+    claimBucketPruning: Boolean = true
 ) {
 
   import FrontierStore._
@@ -55,6 +57,54 @@ final class FrontierStore(
 
   @volatile private var manifest: Manifest =
     if (Files.exists(manifestPath)) Manifest.read(manifestPath) else Manifest.empty
+
+  // ---- claim bucket pruning (SCALE.md: the claim must not scan the whole
+  // 10^10-row state every batch) -------------------------------------------
+  //
+  // Driver-side per-bucket upper bound on non-handled rows, keyed by
+  // pmod(host_hash, claimBuckets). Maintained from each commit's delta:
+  // a Handled event is exactly -1 (handled is terminal and reachable only
+  // from in-progress), a Pending event is +1 — an OVERCOUNT for reclaims/
+  // repositions (net-0 transitions), which is safe: a bucket is pruned only
+  // when its bound is 0, and the bound never undercounts. The bound is
+  // reset EXACTLY at every compaction and at resume (one aggregate over the
+  // state being rewritten anyway), so reclaim-driven drift is bounded by
+  // compactEvery commits. The claim then scans only buckets with a nonzero
+  // bound — late in a crawl (most hosts exhausted) that prunes most of the
+  // state; at cluster scale the snapshot would be cluster-bucketed on the
+  // same key so the pruning maps to file skipping.
+  private val bucketNonHandled = scala.collection.mutable.HashMap.empty[Int, Long].withDefaultValue(0L)
+
+  private def bucketCol = pmod(col("host_hash"), lit(claimBuckets)).cast("int")
+
+  private def rebuildBucketSummary(): Unit = if (claimBucketPruning) {
+    bucketNonHandled.clear()
+    stateDf.filter(col("status") =!= Status.Handled)
+      .groupBy(bucketCol.as("b")).count().collect()
+      .foreach(r => bucketNonHandled(r.getInt(0)) = r.getLong(1))
+  }
+
+  private def foldDeltaIntoBucketSummary(delta: DataFrame): Unit = if (claimBucketPruning) {
+    delta
+      .groupBy(bucketCol.as("b"))
+      .agg(sum(
+        when(col("status") === Status.Handled, -1L)
+          .when(col("status") === Status.Pending, 1L)
+          .otherwise(0L)).as("d"))
+      .collect()
+      .foreach { r =>
+        val b = r.getInt(0)
+        bucketNonHandled(b) = math.max(0L, bucketNonHandled(b) + (if (r.isNullAt(1)) 0L else r.getLong(1)))
+      }
+  }
+
+  /** Buckets that may still hold claimable rows (None = no pruning possible). */
+  private def claimableBuckets(): Option[Seq[Int]] = {
+    if (!claimBucketPruning) return None
+    val nonEmpty = bucketNonHandled.collect { case (b, n) if n > 0 => b }.toSeq
+    if (nonEmpty.size < claimBuckets) Some(nonEmpty) else None
+  }
+
 
   /** Bloom seen-set (bloom mode only): keys ever admitted to the queue.
     * A bloom hit is treated as already-seen — the reference's documented
@@ -101,6 +151,7 @@ final class FrontierStore(
         if (files.isEmpty) emptyEvents(spark)
         else latestWins(spark.read.schema(eventSchema).parquet(files: _*))
       materialize()
+      rebuildBucketSummary() // resume: exact per-bucket claimable bounds
     }
     stateDf
   }
@@ -190,6 +241,7 @@ final class FrontierStore(
     // the chain's lineage rooted in parquet, never in caller DataFrames)
     lastDeltaPath = deltaPath
     mergeDelta(delta, n)
+    foldDeltaIntoBucketSummary(delta)
     val finalManifest =
       if (nextManifest.deltas.size >= compactEvery) compact(nextManifest)
       else nextManifest
@@ -208,9 +260,15 @@ final class FrontierStore(
     */
   private def compact(m: Manifest): Manifest = {
     val snapName = f"snapshot-${m.batchId}%06d"
-    stateDf.write.mode(SaveMode.Overwrite).parquet(s"$logDir/$snapName")
+    // snapshot rows are co-located by claim bucket so a bucket-pruned scan
+    // maps to contiguous file ranges (at cluster scale: a bucketed table
+    // with real file skipping)
+    stateDf
+      .repartition(math.min(claimBuckets, spark.sparkContext.defaultParallelism), bucketCol)
+      .write.mode(SaveMode.Overwrite).parquet(s"$logDir/$snapName")
     stateDf = spark.read.schema(eventSchema).parquet(s"$logDir/$snapName")
     materialize()
+    rebuildBucketSummary() // exact reset: clears reclaim-driven overcount drift
     m.copy(snapshot = Some(snapName), deltas = Vector.empty)
   }
 
@@ -495,7 +553,11 @@ final class FrontierStore(
       blockedHosts: Set[String] = Set.empty
   ): DataFrame = synchronized {
     if (maxN <= 0) return emptyEvents(spark).withColumn("claim_rank", lit(0))
-    val eligible = state().filter(
+    val prunedState = claimableBuckets() match {
+      case Some(bs) => state().filter(bucketCol.isin(bs: _*))
+      case None => state()
+    }
+    val eligible = prunedState.filter(
       (col("status") === Status.Pending) ||
         (col("status") === Status.InProgress && col("lock_expires_at") <= nowMs)
     )
@@ -570,7 +632,11 @@ final class FrontierStore(
   ): DataFrame = synchronized {
     if (maxN <= 0) return emptyEvents(spark)
     val (maxSeq, maxFf, maxEv) = counters
-    val eligible = state().filter(
+    val prunedState = claimableBuckets() match {
+      case Some(bs) => state().filter(bucketCol.isin(bs: _*))
+      case None => state()
+    }
+    val eligible = prunedState.filter(
       (col("status") === Status.Pending) ||
         (col("status") === Status.InProgress && col("lock_expires_at") <= nowMs)
     )
@@ -662,6 +728,7 @@ final class FrontierStore(
   def purge(): Unit = synchronized {
     manifest = Manifest.empty
     Manifest.writeAtomic(manifestPath, manifest)
+    bucketNonHandled.clear()
     if (persistedBase != null) { persistedBase.unpersist(false); persistedBase = null }
     stateDf = null
   }

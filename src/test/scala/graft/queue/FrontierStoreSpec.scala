@@ -140,6 +140,44 @@ class FrontierStoreSpec extends SparkSpec {
     assert(md("handled_request_count") == 2 && md("total_request_count") == 2)
   }
 
+  test("claim bucket pruning skips exhausted host buckets, same results as unpruned") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // pick two hosts that land in DIFFERENT claim buckets (mod 64)
+    val hosts = (0 until 40).map(i => s"h$i.example.com")
+    def bucketOf(h: String): Long = {
+      val k = graft.canon.Hashing.xxh64(h)
+      ((k % 64) + 64) % 64
+    }
+    val hostA = hosts.head
+    val hostB = hosts.find(h => bucketOf(h) != bucketOf(hostA)).get
+    def candAB(): org.apache.spark.sql.DataFrame =
+      (0 until 10).flatMap(i => Seq((s"a$i", hostA), (s"b$i", hostB))).zipWithIndex
+        .map { case ((k, h), ord) => (k, s"https://$h/$k", h, null.asInstanceOf[String], "GET", 0, false, ord.toLong) }
+        .toDF("unique_key", "url", "host", "label", "method", "depth", "forefront", "cand_order")
+    def runScenario(pruning: Boolean): (Set[String], String) = {
+      val store = new FrontierStore(
+        spark, Files.createTempDirectory("prune").toString,
+        leaseMs = 1000L, claimBucketPruning = pruning)
+      store.addBatch(candAB())
+      val c1 = store.claim(20, nowMs = 0L)
+      store.markHandled(c1.filter(col("host") === hostA)
+        .select(col("unique_key"), org.apache.spark.sql.functions.lit(true).as("handled_ok"),
+          org.apache.spark.sql.functions.lit(graft.schema.RequestState.Done).as("state")))
+      // hostA's bucket is now exhausted (exact -1 per handled); hostB's rows
+      // are stale-reclaimable at t=2000
+      val cs = store.claimSet(20, nowMs = 2000L)
+      (cs.select("unique_key").collect().map(_.getString(0)).toSet,
+        cs.queryExecution.executedPlan.toString)
+    }
+    val (prunedKeys, prunedPlan) = runScenario(pruning = true)
+    val (plainKeys, _) = runScenario(pruning = false)
+    assert(prunedKeys == plainKeys)
+    assert(prunedKeys == (0 until 10).map(i => s"b$i").toSet)
+    // the pruned claim actually filters on the host-hash bucket
+    assert(prunedPlan.contains("pmod(host_hash"), prunedPlan)
+  }
+
   test("resume from manifest: new store instance sees identical state") {
     val dir = Files.createTempDirectory("frontier-resume").toString
     val store = new FrontierStore(spark, dir)

@@ -162,6 +162,45 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.json(jsonDir).count() == 2)
   }
 
+  test("sitemap tandem: loader feeds the frontier with persisted cursor; kill+resume has no duplicates") {
+    import org.apache.spark.sql.functions.col
+    val origin = "https://sm.example.com"
+    def urlset(ids: Seq[String]): String =
+      "<urlset>" + ids.map(u => s"<url><loc>$u</loc></url>").mkString + "</urlset>"
+    val docs = Map(
+      s"$origin/index.xml" ->
+        ("<sitemapindex>" + (0 to 1).map(i =>
+          s"<sitemap><loc>$origin/c$i.xml</loc></sitemap>").mkString + "</sitemapindex>"),
+      s"$origin/c0.xml" -> urlset((0 to 3).map(j => s"$origin/p/$j")),
+      s"$origin/c1.xml" -> urlset((2 to 6).map(j => s"$origin/p/$j")) // overlaps c0 (dedup)
+    )
+    var fetches = 0
+    val fetch: String => Option[(String, Array[Byte])] = u => {
+      fetches += 1
+      docs.get(u).map(x => ("application/xml", x.getBytes("UTF-8")))
+    }
+    val root = Files.createTempDirectory("tandem").toString
+    val store = new graft.queue.FrontierStore(spark, root + "/q")
+    // level 0 only, then "crash"
+    val l1 = new SitemapRequestLoader(spark, store,
+      new graft.storage.KeyValueStore(spark, root + "/kv"), fetch)
+    assert(l1.run(Seq(s"$origin/index.xml"), maxLevelsThisCall = 1) == 1)
+    assert(!l1.isFinished)
+    val fetchesAfterLevel0 = fetches
+    // resume with a FRESH loader + kvs instance (new process)
+    val l2 = new SitemapRequestLoader(spark, store,
+      new graft.storage.KeyValueStore(spark, root + "/kv"), fetch)
+    l2.run(Seq(s"$origin/index.xml"))
+    assert(l2.isFinished)
+    // the resumed run never re-fetched the already-processed index
+    assert(fetches == fetchesAfterLevel0 + 2)
+    val urls = store.state().select(col("url")).collect().map(_.getString(0)).toSet
+    assert(urls == (0 to 6).map(j => s"$origin/p/$j").toSet)
+    assert(store.state().count() == 7) // overlap deduped
+    // idempotent once done
+    assert(l2.run(Seq(s"$origin/index.xml")) == 0)
+  }
+
   test("Statistics: error tracker groups similar messages") {
     import spark.implicits._
     val errors = Seq(
