@@ -29,6 +29,7 @@ object Bench {
       "q5_q8_claim_lease_stale", "q6_q7_handled_reclaim", "q2_bloom_admit",
       "p4_crawl_delay_quota", "p3_retry_after_priority", "r4_session_rotation",
       "d4_skip_empty", "d5_fields", "d6_omit", "d8_flatten", "d9_clean",
+      "d10_csv_export", "d11_json_export", "s2_request_list_cursor",
       "s5_sitemap_nested", "s4_sitemap_txt_gzip", "r6_budget_exactness",
       "f11_blocked_content", "mm_image_features", "mm_payload_validate")
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]

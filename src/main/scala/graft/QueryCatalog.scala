@@ -642,6 +642,106 @@ object QueryCatalog {
     rd.getData(rd.GetDataOptions(clean = true))
   }
 
+  // ---- L1 + C8: href extraction generator + base-href resolution -----------
+  // The ENGINE's own regex generator (HrefPattern/BaseHrefPattern) and
+  // ResolveUrl expression over synthesized HTML; the oracle states the
+  // resolved link list analytically.
+  register(
+    "l1_extract_links",
+    Some(
+      """SELECT event_id, loc FROM (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 5 = 0
+        |         THEN 'https://h' || (user_id % 7) || '.example.com/p/' || (event_id % 1000)
+        |         ELSE 'https://h' || (user_id % 7) || '.example.com/d/p/' || (event_id % 1000) END AS loc
+        |  FROM events WHERE event_id < 4000
+        |  UNION ALL
+        |  SELECT event_id, 'https://other.org/x/' || (event_id % 50) AS loc
+        |  FROM events WHERE event_id < 4000
+        |) ORDER BY event_id, loc""".stripMargin
+    )
+  ) { (s, dir) =>
+    UrlFunctions.register(s)
+    val pageUrl = concat(lit("https://h"), pmod(col("user_id"), lit(7)), lit(".example.com/d/index"))
+    // base href present on multiples of 5 redirects relative links to /
+    val baseTag = when(pmod(col("event_id"), lit(5)) === 0,
+      concat(lit("<base href=\"https://h"), pmod(col("user_id"), lit(7)), lit(".example.com/\">")))
+      .otherwise(lit(""))
+    val body = concat(
+      lit("<html><head>"), baseTag, lit("</head><body>"),
+      lit("<a href=\"p/"), pmod(col("event_id"), lit(1000)), lit("\">rel</a>"),
+      lit("<a href=\"https://other.org/x/"), pmod(col("event_id"), lit(50)), lit("\">abs</a>"),
+      lit("</body></html>")
+    )
+    val base = t(s, dir, "events")
+      .filter(col("event_id") < 4000)
+      .select(col("event_id"), pageUrl.as("page_url"), body.as("p_body"))
+      .withColumn("base_href", regexp_extract(col("p_body"), graft.engine.CrawlEngine.BaseHrefPattern, 1))
+      .withColumn("base_url",
+        when(length(col("base_href")) > 0, col("base_href")).otherwise(col("page_url")))
+      .select(col("event_id"), col("base_url"),
+        explode(regexp_extract_all(col("p_body"), lit(graft.engine.CrawlEngine.HrefPattern), lit(1)))
+          .as("raw_link"))
+    base
+      .select(col("event_id"), UrlFunctions.resolveUrl(col("base_url"), col("raw_link")).as("loc"))
+      .orderBy(col("event_id"), col("loc"))
+  }
+
+  // ---- D10/D11: CSV + JSON export round-trips -------------------------------
+  register(
+    "d10_csv_export",
+    Some(
+      """SELECT CAST(event_id AS VARCHAR) AS event_id, event_type,
+        |       CAST(user_id AS VARCHAR) AS user_id
+        |FROM events WHERE event_id < 2000""".stripMargin
+    )
+  ) { (s, dir) =>
+    val rd = new graft.storage.ResultDataset(s, tmpDir("d10"))
+    rd.push(t(s, dir, "events").filter(col("event_id") < 2000)
+      .select(col("event_id"), col("event_type"), col("user_id")))
+    val out = tmpDir("d10out") + "/csv"
+    rd.exportCsv(out, collectAllKeys = true)
+    s.read.option("header", "true").csv(out)
+  }
+
+  register(
+    "d11_json_export",
+    Some(
+      """SELECT event_id, event_type, value
+        |FROM events WHERE event_id < 2000""".stripMargin
+    )
+  ) { (s, dir) =>
+    val rd = new graft.storage.ResultDataset(s, tmpDir("d11"))
+    rd.push(t(s, dir, "events").filter(col("event_id") < 2000)
+      .select(col("event_id"), col("event_type"), col("value")))
+    val out = tmpDir("d11out") + "/json"
+    rd.exportJson(out)
+    s.read.json(out).select(col("event_id"), col("event_type"), col("value"))
+  }
+
+  // ---- S2: RequestList resumable cursor (real loader) -----------------------
+  register(
+    "s2_request_list_cursor",
+    Some(
+      """SELECT CAST(event_id AS BIGINT) AS seq,
+        |  'https://h' || (user_id % 7) || '.example.com/p/' || event_id AS url
+        |FROM events WHERE event_id >= 43 AND event_id < 200""".stripMargin
+    )
+  ) { (s, dir) =>
+    import s.implicits._
+    val urls = t(s, dir, "events")
+      .filter(col("event_id") < 200)
+      .orderBy(col("event_id"))
+      .select(concat(lit("https://h"), pmod(col("user_id"), lit(7)),
+        lit(".example.com/p/"), col("event_id")).as("u"))
+      .as[String].collect().toSeq
+    val list = graft.sources.RequestList.fromUrls(s, urls)
+    // checkpointed after seed 42; resume validates the cursor's key and
+    // yields the remainder (reference _request_list.py:129-140)
+    val (next, key) = list.cursorAfter(42L)
+    list.fromCursor(next, key).select(col("seq"), col("url"))
+  }
+
   // ---- A4: status-code counts -----------------------------------------------
   register(
     "a4_status_counts",

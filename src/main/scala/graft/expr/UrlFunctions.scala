@@ -127,6 +127,28 @@ case class StrategyAllows(first: Expression, second: Expression, third: Expressi
     copy(first = f, second = s, third = t)
 }
 
+/** host_of(url) — normalized host of a URL (null-safe). */
+case class HostOf(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    UrlExprs.hostOf(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.UrlExprs.hostOf($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** registrable_domain_of(host) — PSL eTLD+1 (null-safe). */
+case class RegistrableDomainOf(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    UrlExprs.registrableDomain(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.UrlExprs.registrableDomain($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
 /** Column-level API + SQL registration.
   *
   * Spark 4 keeps `Column(expression)` private, so the public path is the
@@ -146,17 +168,9 @@ object UrlFunctions {
 
   def uniqueKeyCol(url: Column): Column = normalizeUrl(url) // default unique key = normalized URL
 
-  def hostOf(url: Column): Column = {
-    val u = org.apache.spark.sql.functions.udf((s: String) =>
-      if (s == null) null else UrlCanon.normalizeHost(UrlCanon.parse(s).host))
-    u(url)
-  }
-
-  def registrableDomainOf(host: Column): Column = {
-    val u = org.apache.spark.sql.functions.udf((s: String) =>
-      if (s == null) null else graft.canon.PublicSuffix.default.registrableDomain(s))
-    u(host)
-  }
+  // native expressions (codegen'd — hostOf runs in the enqueue hot path)
+  def hostOf(url: Column): Column = call_function("host_of", url)
+  def registrableDomainOf(host: Column): Column = call_function("registrable_domain_of", host)
 
   /** Register SQL-callable names (idempotent). */
   def register(spark: SparkSession): Unit = {
@@ -169,5 +183,9 @@ object UrlFunctions {
       "resolve_url", exprs => ResolveUrl(exprs(0), exprs(1)), "scala_udf")
     registry.createOrReplaceTempFunction(
       "strategy_allows", exprs => StrategyAllows(exprs(0), exprs(1), exprs(2)), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "host_of", exprs => HostOf(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "registrable_domain_of", exprs => RegistrableDomainOf(exprs.head), "scala_udf")
   }
 }
