@@ -742,6 +742,109 @@ object QueryCatalog {
     list.fromCursor(next, key).select(col("seq"), col("url"))
   }
 
+  // ---- A8: queue metadata counters (real FrontierStore) ---------------------
+  register(
+    "a8_queue_metadata",
+    Some(
+      """SELECT CAST(40 AS BIGINT) AS total_request_count,
+        |       CAST(30 AS BIGINT) AS pending_request_count,
+        |       CAST(5 AS BIGINT) AS in_progress_request_count,
+        |       CAST(5 AS BIGINT) AS handled_request_count""".stripMargin
+    )
+  ) { (s, dir) =>
+    import s.implicits._
+    val store = new graft.queue.FrontierStore(s, tmpDir("a8"), leaseMs = 100000L)
+    val adds = t(s, dir, "events")
+      .filter(col("event_id") < 40)
+      .select(
+        concat(lit("k"), col("event_id")).as("unique_key"),
+        concat(lit("https://q.example.com/"), col("event_id")).as("url"),
+        lit("q.example.com").as("host"),
+        lit(null).cast("string").as("label"),
+        lit("GET").as("method"),
+        lit(0).as("depth"),
+        lit(false).as("forefront"),
+        col("event_id").cast("long").as("cand_order")
+      )
+    store.addBatch(adds)
+    val claimed = store.claim(10, nowMs = 0L) // k0..k9 in progress
+    store.markHandled(
+      claimed.filter(pmod(substring(col("unique_key"), 2, 10).cast("long"), lit(2)) === 0)
+        .select(col("unique_key"), lit(true).as("handled_ok"),
+          lit(graft.schema.RequestState.Done).as("state")))
+    val m = store.metadata()
+    Seq((m("total_request_count"), m("pending_request_count"),
+      m("in_progress_request_count"), m("handled_request_count")))
+      .toDF("total_request_count", "pending_request_count",
+        "in_progress_request_count", "handled_request_count")
+  }
+
+  // ---- D12/D13: KVS set/delete/persist + crash-resume round-trip ------------
+  register(
+    "d12_d13_kvs_resume",
+    Some(
+      """SELECT 'k' || CAST(event_id AS VARCHAR) AS key,
+        |       'v' || CAST(event_id AS VARCHAR) AS text
+        |FROM events WHERE event_id < 50 AND event_id % 10 <> 0""".stripMargin
+    )
+  ) { (s, dir) =>
+    val root = tmpDir("d12kv")
+    val kv1 = new graft.storage.KeyValueStore(s, root)
+    import s.implicits._
+    t(s, dir, "events").filter(col("event_id") < 50)
+      .select(col("event_id")).as[Long].collect().sorted
+      .foreach(i => kv1.setJson(s"k$i", s"v$i"))
+    (0 until 50 by 10).foreach(i => kv1.delete(s"k$i"))
+    kv1.persist()
+    // a FRESH instance (new process) reads the persisted snapshot
+    val kv2 = new graft.storage.KeyValueStore(s, root)
+    kv2.asDataFrame.select(col("key"), col("value").cast("string").as("text"))
+  }
+
+  // ---- X4: max_tasks_per_minute rate cap (the engine's own formula) ---------
+  register(
+    "x4_rate_cap",
+    Some(
+      """SELECT CAST(rate AS INT) AS rate,
+        |       CAST(greatest(1, rate * 5000 // 60000) AS BIGINT) AS per_batch
+        |FROM generate_series(1, 200) t(rate)""".stripMargin
+    )
+  ) { (s, _) =>
+    import s.implicits._
+    (1 to 200).map(r => (r, graft.engine.CrawlEngine.rateCapPerBatch(r, 5000L)))
+      .toDF("rate", "per_batch")
+  }
+
+  // ---- W2: Structured Streaming windowed aggregation (real readStream) ------
+  // The REAL streaming pipeline (readStream -> watermark -> window -> agg)
+  // executed with Trigger.AvailableNow into a memory sink; the oracle is the
+  // equivalent batch window aggregation (whole-hour buckets align across
+  // engines).
+  register(
+    "w2_stream_windowed_counts",
+    Some(
+      """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+        |       count(*) AS cnt, round(CAST(sum(value) AS DOUBLE), 4) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin
+    )
+  ) { (s, dir) =>
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    // FileStreamSource wants a DIRECTORY: stage the events file into one
+    val streamDir = tmpDir("w2src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(streamDir, "events.parquet"))
+    val stream = graft.streaming.EventStream.windowedCounts(s, streamDir, schema)
+    val name = "w2_windowed_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = stream.writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete") // emit ALL windows at AvailableNow termination
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(180000)
+    s.table(name)
+  }
+
   // ---- A4: status-code counts -----------------------------------------------
   register(
     "a4_status_counts",

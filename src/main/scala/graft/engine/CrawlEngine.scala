@@ -182,8 +182,13 @@ final class CrawlEngine(
       val batchT0 = System.nanoTime()
       val nowMs = batchIdx.toLong * batchPeriodMs
       // R6: never claim more than the remaining budget (reproduces the
-      // concurrency-1 exactness of test_basic_crawler.py:1094-1122)
-      val budget = math.min(claimBatchSize.toLong, cfg.maxRequestsPerCrawl - processedTotal).toInt
+      // concurrency-1 exactness of test_basic_crawler.py:1094-1122);
+      // X4: the rate cap bounds tasks dispatched per batch period
+      val rateCap = cfg.maxTasksPerMinute
+        .map(r => CrawlEngine.rateCapPerBatch(r, batchPeriodMs)).getOrElse(Long.MaxValue)
+      val budget = math.min(
+        math.min(claimBatchSize.toLong, rateCap),
+        cfg.maxRequestsPerCrawl - processedTotal).toInt
       val quota =
         if (enforcePoliteness) throttle.quotas(nowMs, batchPeriodMs)
         else Map.empty[String, Int]
@@ -572,6 +577,13 @@ final class CrawlEngine(
 }
 
 object CrawlEngine {
+
+  /** X4: tasks dispatchable in one batch period under a per-minute rate cap
+    * (shared by the engine loop and the x4 catalog oracle entry).
+    */
+  def rateCapPerBatch(tasksPerMinute: Int, batchPeriodMs: Long): Long =
+    math.max(1L, tasksPerMinute.toLong * batchPeriodMs / 60000L)
+
   /** href extractor pattern (the L1 generator). */
   val HrefPattern: String = "(?i)<a\\s[^>]*href\\s*=\\s*\"([^\"]*)\""
   val BaseHrefPattern: String = "(?i)<base\\s[^>]*href\\s*=\\s*\"([^\"]*)\""

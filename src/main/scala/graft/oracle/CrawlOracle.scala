@@ -135,6 +135,10 @@ final case class CrawlConfig(
     failedRequestHandler: Option[RequestOptions => Unit] = None,
     // X5 keep_alive: don't stop on empty queue (_basic_crawler.py:189-190)
     keepAlive: Boolean = false,
+    // X4 max_tasks_per_minute: per-batch claim budget cap =
+    // rate * batchPeriod / 60000 (reference _autoscaling/_system_status.py
+    // task-rate limiting surface)
+    maxTasksPerMinute: Option[Int] = None,
     // F11 + R4: blocked-content detection raises the SessionError path —
     // rotate the session and retry WITHOUT consuming a retry, up to
     // max_session_rotations (_basic_crawler.py:144-152,990-991;

@@ -252,6 +252,19 @@ class RequestSemanticsSpec extends SparkSpec {
     (engine, store)
   }
 
+  test("X4 max_tasks_per_minute caps the per-batch claim budget") {
+    // rate 120/min at a 1000ms batch period = 2 tasks per batch
+    val seeds = (0 until 8).map(i => SeedRequest(s"https://h0.example.com/p/$i"))
+      .filter(s => CrawlOracle.pageIdx(s.url) % 17 != 0)
+    val cfg = CrawlConfig(maxCrawlDepth = 0, maxTasksPerMinute = Some(120))
+    val (engine, _) = mkEngineSpec(smallSpec, cfg, batchSize = 64)
+    val res = engine.runRequests(seeds)
+    assert(res.processedCount == seeds.size)
+    assert(res.batches >= (seeds.size + 1) / 2) // never more than 2 per batch
+    assert(graft.engine.CrawlEngine.rateCapPerBatch(120, 1000L) == 2L)
+    assert(graft.engine.CrawlEngine.rateCapPerBatch(10, 1000L) == 1L) // floor is 1
+  }
+
   test("catch-all status classification: an unexpected status is terminal, never re-claimed (ADVICE)") {
     import spark.implicits._
     val spec = smallSpec
