@@ -73,6 +73,9 @@ final class CrawlEngine(
   def runRequests(seeds: Seq[SeedRequest]): EngineResult = {
     import spark.implicits._
     UrlFunctions.register(spark)
+    // error-handler replacement can move a key across host buckets; the
+    // store's bucket-local compaction then needs latest-wins dedup on read
+    if (cfg.errorHandler.isDefined) store.keysMayChangeBuckets = true
 
     val sc = spark.sparkContext
     val robotsBc = sc.broadcast(robotsByHost)

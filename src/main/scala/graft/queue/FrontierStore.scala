@@ -200,6 +200,12 @@ final class FrontierStore(
 
   /** Row count of the most recent claim() commit (saves callers a count). */
   @volatile var lastClaimCount: Long = 0L
+
+  /** Set by callers whose hooks can REPLACE a request's host (error-handler
+    * replacement): bucket leafs then stop being key-disjoint and compaction
+    * reads dedupe with latestWins.
+    */
+  @volatile var keysMayChangeBuckets: Boolean = false
   def counters: (Long, Long, Long) = (manifest.maxSeq, manifest.maxForefrontSeq, manifest.maxEventSeq)
 
   // ---- commit -------------------------------------------------------------
@@ -255,21 +261,52 @@ final class FrontierStore(
     Files.deleteIfExists(p)
   }
 
-  /** Rewrite current state as a snapshot; drop deltas from the manifest.
-    * Doubles as the chain re-materialization point.
+  /** BUCKET-LOCAL compaction (SCALE.md / NOTES #6): rewrite ONLY the host-
+    * hash buckets the current delta window touched; untouched buckets keep
+    * their existing snapshot leaf dirs. The manifest maps bucket → leaf dir
+    * so the write amplification per compaction is O(active buckets), not
+    * O(full state) — late in a 10^10 crawl most buckets are quiescent.
+    *
+    * Correctness: every bucket leaf holds at most one row per key AT WRITE
+    * TIME; a key whose host (and therefore bucket) was replaced leaves a
+    * stale copy in its old bucket's leaf until that bucket next compacts —
+    * latestWins over the union picks the newer event_seq, so reads stay
+    * exact. Doubles as the chain re-materialization point.
     */
   private def compact(m: Manifest): Manifest = {
-    val snapName = f"snapshot-${m.batchId}%06d"
-    // snapshot rows are co-located by claim bucket so a bucket-pruned scan
-    // maps to contiguous file ranges (at cluster scale: a bucketed table
-    // with real file skipping)
+    val epoch = f"snapshot-${m.batchId}%06d"
+    // dirty buckets = buckets with rows in the current delta window; the
+    // very first compaction covers everything
+    val dirty: Seq[Int] =
+      if (m.bucketDirs.isEmpty) (0 until claimBuckets)
+      else
+        spark.read.schema(eventSchema).parquet(m.deltas.map(n => s"$logDir/$n"): _*)
+          .select(bucketCol.as("b")).distinct().collect().map(_.getInt(0)).toSeq
     stateDf
-      .repartition(math.min(claimBuckets, spark.sparkContext.defaultParallelism), bucketCol)
-      .write.mode(SaveMode.Overwrite).parquet(s"$logDir/$snapName")
-    stateDf = spark.read.schema(eventSchema).parquet(s"$logDir/$snapName")
+      .withColumn("__cb", bucketCol)
+      .filter(col("__cb").isin(dirty: _*))
+      .repartition(math.min(math.max(dirty.size, 1), spark.sparkContext.defaultParallelism), col("__cb"))
+      .write.mode(SaveMode.Overwrite).partitionBy("__cb").parquet(s"$logDir/$epoch")
+    val newBucketDirs = m.bucketDirs ++ dirty.map(b => b -> s"$epoch/__cb=$b").toMap
+    // leaf dirs for buckets that had delta rows but no surviving state rows
+    // (host-replaced keys) never get written — drop them from the map
+    val liveBucketDirs = newBucketDirs.filter { case (_, d) => Files.exists(Paths.get(s"$logDir/$d")) }
+    val dirs = liveBucketDirs.values.toSeq.distinct.map(d => s"$logDir/$d")
+    // Bucket leafs are key-disjoint (each key lives in exactly one leaf)
+    // UNLESS a key's host was replaced mid-flight (error handler) — then a
+    // stale copy can linger in the old bucket's un-rewritten leaf and the
+    // read needs the latest-event-wins reduction. The engine raises the
+    // flag only when a replacement hook is configured, so the common path
+    // skips the full-state window shuffle.
+    stateDf =
+      if (dirs.isEmpty) emptyEvents(spark)
+      else {
+        val read = spark.read.schema(eventSchema).parquet(dirs: _*)
+        if (keysMayChangeBuckets) latestWins(read) else read
+      }
     materialize()
     rebuildBucketSummary() // exact reset: clears reclaim-driven overcount drift
-    m.copy(snapshot = Some(snapName), deltas = Vector.empty)
+    m.copy(snapshot = None, deltas = Vector.empty, bucketDirs = liveBucketDirs)
   }
 
   // ---- add (Q1-Q4) ---------------------------------------------------------
@@ -821,27 +858,34 @@ object FrontierStore {
     StructField("retry_count", IntegerType)
   )))
 
-  /** Commit manifest: JSON file, atomically replaced via temp+rename. */
+  /** Commit manifest: JSON file, atomically replaced via temp+rename.
+    * `bucketDirs` maps claim bucket -> snapshot leaf dir (bucket-local
+    * compaction); `snapshot` remains for manifests written before r2.
+    */
   final case class Manifest(
       batchId: Long,
       maxSeq: Long,
       maxForefrontSeq: Long,
       maxEventSeq: Long,
       snapshot: Option[String],
-      deltas: Vector[String]
+      deltas: Vector[String],
+      bucketDirs: Map[Int, String] = Map.empty
   ) {
     def allFiles(root: String): Seq[String] =
-      (snapshot.toSeq ++ deltas).map(n => s"$root/log/$n")
+      (snapshot.toSeq ++ bucketDirs.values.toSeq.distinct ++ deltas).map(n => s"$root/log/$n")
   }
 
   object Manifest {
     val empty: Manifest = Manifest(0L, 0L, 0L, 0L, None, Vector.empty)
 
     def writeAtomic(path: Path, m: Manifest): Unit = {
+      val buckets = m.bucketDirs.toSeq.sortBy(_._1)
+        .map { case (b, d) => "\"" + b + "\":\"" + d + "\"" }.mkString(",")
       val json =
         s"""{"batchId":${m.batchId},"maxSeq":${m.maxSeq},"maxForefrontSeq":${m.maxForefrontSeq},
            |"maxEventSeq":${m.maxEventSeq},"snapshot":${m.snapshot.map(s => "\"" + s + "\"").getOrElse("null")},
-           |"deltas":[${m.deltas.map(d => "\"" + d + "\"").mkString(",")}]}""".stripMargin
+           |"deltas":[${m.deltas.map(d => "\"" + d + "\"").mkString(",")}],
+           |"bucketDirs":{$buckets}}""".stripMargin
       val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
       Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
@@ -852,13 +896,26 @@ object FrontierStore {
       def longOf(k: String): Long =
         s""""$k":\\s*(-?\\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(0L)
       val snapshot = """"snapshot":\s*"([^"]+)"""".r.findFirstMatchIn(json).map(_.group(1))
-      val deltas = """"deltas":\s*\[([^\]]*)\]""".r
+      def arr(k: String): Vector[String] =
+        (k + """":\s*\[([^\]]*)\]""").r
+          .findFirstMatchIn(json)
+          .map(_.group(1))
+          .filter(_.nonEmpty)
+          .map(_.split(",").toVector.map(_.trim.stripPrefix("\"").stripSuffix("\"")))
+          .getOrElse(Vector.empty)
+      val deltas = arr(""""deltas""")
+      val bucketDirs = """"bucketDirs":\s*\{([^}]*)\}""".r
         .findFirstMatchIn(json)
         .map(_.group(1))
         .filter(_.nonEmpty)
-        .map(_.split(",").toVector.map(_.trim.stripPrefix("\"").stripSuffix("\"")))
-        .getOrElse(Vector.empty)
-      Manifest(longOf("batchId"), longOf("maxSeq"), longOf("maxForefrontSeq"), longOf("maxEventSeq"), snapshot, deltas)
+        .map(_.split(",").toSeq.map { pair =>
+          val Array(k, v) = pair.split(":", 2)
+          k.trim.stripPrefix("\"").stripSuffix("\"").toInt ->
+            v.trim.stripPrefix("\"").stripSuffix("\"")
+        }.toMap)
+        .getOrElse(Map.empty[Int, String])
+      Manifest(longOf("batchId"), longOf("maxSeq"), longOf("maxForefrontSeq"),
+        longOf("maxEventSeq"), snapshot, deltas, bucketDirs)
     }
   }
 }

@@ -178,6 +178,44 @@ class FrontierStoreSpec extends SparkSpec {
     assert(prunedPlan.contains("pmod(host_hash"), prunedPlan)
   }
 
+  test("bucket-local compaction rewrites only delta-touched buckets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val hosts = (0 until 40).map(i => s"h$i.example.com")
+    def bucketOf(h: String): Long = {
+      val k = graft.canon.Hashing.xxh64(h); ((k % 64) + 64) % 64
+    }
+    val hostA = hosts.head
+    val hostB = hosts.find(h => bucketOf(h) != bucketOf(hostA)).get
+    def cand1(k: String, h: String, ord: Long) =
+      Seq((k, s"https://$h/$k", h, null.asInstanceOf[String], "GET", 0, false, ord))
+        .toDF("unique_key", "url", "host", "label", "method", "depth", "forefront", "cand_order")
+    val root = Files.createTempDirectory("bucketcompact").toString
+    val store = new FrontierStore(spark, root, compactEvery = 2)
+    // window 1: touch BOTH buckets -> first compaction covers everything
+    store.addBatch(cand1("a0", hostA, 0))
+    store.addBatch(cand1("b0", hostB, 1)) // compaction #1 fires here
+    val m1 = FrontierStore.Manifest.read(java.nio.file.Paths.get(s"$root/manifest.json"))
+    assert(m1.deltas.isEmpty && m1.bucketDirs.nonEmpty)
+    val epochOfA1 = m1.bucketDirs(((graft.canon.Hashing.xxh64(hostA) % 64 + 64) % 64).toInt)
+    val epochOfB1 = m1.bucketDirs(((graft.canon.Hashing.xxh64(hostB) % 64 + 64) % 64).toInt)
+    // window 2: touch ONLY hostB's bucket -> compaction #2 must leave
+    // hostA's leaf at the old epoch
+    store.addBatch(cand1("b1", hostB, 2))
+    store.addBatch(cand1("b2", hostB, 3)) // compaction #2
+    val m2 = FrontierStore.Manifest.read(java.nio.file.Paths.get(s"$root/manifest.json"))
+    val epochOfA2 = m2.bucketDirs(((graft.canon.Hashing.xxh64(hostA) % 64 + 64) % 64).toInt)
+    val epochOfB2 = m2.bucketDirs(((graft.canon.Hashing.xxh64(hostB) % 64 + 64) % 64).toInt)
+    assert(epochOfA2 == epochOfA1, "untouched bucket was rewritten")
+    assert(epochOfB2 != epochOfB1, "touched bucket kept a stale leaf")
+    // state stays exact across the partial compaction + survives resume
+    assert(store.state().count() == 4)
+    val resumed = new FrontierStore(spark, root)
+    assert(resumed.state().select(col("unique_key")).collect().map(_.getString(0)).toSet ==
+      Set("a0", "b0", "b1", "b2"))
+    assert(resumed.state().filter(col("status") === lit(graft.schema.Status.Pending)).count() == 4)
+  }
+
   test("resume from manifest: new store instance sees identical state") {
     val dir = Files.createTempDirectory("frontier-resume").toString
     val store = new FrontierStore(spark, dir)
