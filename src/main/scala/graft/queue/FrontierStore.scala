@@ -590,9 +590,10 @@ final class FrontierStore(
       blockedHosts: Set[String] = Set.empty
   ): DataFrame = synchronized {
     if (maxN <= 0) return emptyEvents(spark).withColumn("claim_rank", lit(0))
+    val st = state() // FIRST: a resumed store builds the bucket summary here
     val prunedState = claimableBuckets() match {
-      case Some(bs) => state().filter(bucketCol.isin(bs: _*))
-      case None => state()
+      case Some(bs) => st.filter(bucketCol.isin(bs: _*))
+      case None => st
     }
     val eligible = prunedState.filter(
       (col("status") === Status.Pending) ||
@@ -669,9 +670,10 @@ final class FrontierStore(
   ): DataFrame = synchronized {
     if (maxN <= 0) return emptyEvents(spark)
     val (maxSeq, maxFf, maxEv) = counters
+    val st = state() // FIRST: a resumed store builds the bucket summary here
     val prunedState = claimableBuckets() match {
-      case Some(bs) => state().filter(bucketCol.isin(bs: _*))
-      case None => state()
+      case Some(bs) => st.filter(bucketCol.isin(bs: _*))
+      case None => st
     }
     val eligible = prunedState.filter(
       (col("status") === Status.Pending) ||

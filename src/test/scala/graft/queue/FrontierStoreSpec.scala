@@ -178,6 +178,16 @@ class FrontierStoreSpec extends SparkSpec {
     assert(prunedPlan.contains("pmod(host_hash"), prunedPlan)
   }
 
+  test("a resumed store's FIRST call is a claim (bucket summary builds lazily)") {
+    val root = Files.createTempDirectory("resumeclaim").toString
+    val s1 = new FrontierStore(spark, root)
+    s1.addBatch(cand(Seq("r1", "r2", "r3"), forefront = false))
+    // fresh instance, claim immediately — no state()/count() call first
+    val s2 = new FrontierStore(spark, root)
+    val claimed = s2.claim(10, nowMs = 0L)
+    assert(claimed.count() == 3)
+  }
+
   test("bucket-local compaction rewrites only delta-touched buckets") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit}
