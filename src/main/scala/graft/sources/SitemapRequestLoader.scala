@@ -30,9 +30,17 @@ final class SitemapRequestLoader(
 
   private val StateKey = "sitemap_loader_state"
 
-  /** state JSON: {"depth":N,"frontier":[...],"visited":[...],"done":bool} */
+  /** state JSON: {"depth":N,"frontier":[...],"visited":[...],"done":bool}.
+    * Entries are URL-encoded so URLs containing commas/quotes/brackets
+    * can't corrupt the comma-split parse on resume.
+    */
+  private def enc(x: String): String =
+    java.net.URLEncoder.encode(x, java.nio.charset.StandardCharsets.UTF_8)
+  private def dec(x: String): String =
+    java.net.URLDecoder.decode(x, java.nio.charset.StandardCharsets.UTF_8)
+
   private def saveState(depth: Int, frontier: Seq[String], visited: Set[String], done: Boolean): Unit = {
-    def arr(xs: Iterable[String]) = xs.map(x => "\"" + x.replace("\"", "\\\"") + "\"").mkString("[", ",", "]")
+    def arr(xs: Iterable[String]) = xs.map(x => "\"" + enc(x) + "\"").mkString("[", ",", "]")
     kvs.setJson(StateKey, s"""{"depth":$depth,"frontier":${arr(frontier)},"visited":${arr(visited)},"done":$done}""")
     kvs.persist()
   }
@@ -41,7 +49,7 @@ final class SitemapRequestLoader(
     kvs.getJson(StateKey).map { json =>
       def arrOf(k: String): Seq[String] =
         s""""$k":\\s*\\[([^\\]]*)\\]""".r.findFirstMatchIn(json).map(_.group(1)).filter(_.nonEmpty)
-          .map(_.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"").replace("\\\"", "\"")))
+          .map(_.split(",").toSeq.map(x => dec(x.trim.stripPrefix("\"").stripSuffix("\""))))
           .getOrElse(Seq.empty)
       val depth = """"depth":\s*(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt).getOrElse(0)
       val done = json.contains(""""done":true""")
