@@ -70,6 +70,14 @@ final class CrawlEngine(
 
   def run(seeds: Seq[String]): EngineResult = runRequests(seeds.map(u => SeedRequest(u)))
 
+  private def traceTop[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    if (sys.env.contains("GRAFT_TRACE"))
+      println(f"[trace] engine.$label ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    r
+  }
+
   def runRequests(seeds: Seq[SeedRequest]): EngineResult = {
     import spark.implicits._
     UrlFunctions.register(spark)
@@ -109,7 +117,7 @@ final class CrawlEngine(
         col("image_ids").as("p_images")
       )
       .persist()
-    pagesDf.count()
+    traceTop("pages-pin")(pagesDf.count())
 
     // --- seed enqueue (S1 + F7: robots filter before add) -------------------
     // Seeds are driver-provided (small) so the full Request row — method,
@@ -224,8 +232,16 @@ final class CrawlEngine(
       // feeds frames evaluated both before and after commitBatch swaps the
       // state; an un-pinned claimSet would re-select against the NEW state
       // post-commit (phantom/lost robots-skip and redirect-fail rows).
-      val batch = trace("claim")(
-        store.claimSet(budget, nowMs, hostQuota = quota, blockedHosts = blocked).localCheckpoint(true))
+      // claimSet's top-k output is one sorted partition; in bench mode
+      // (no order-sensitive collects) spread it so the whole fetch/handle
+      // pipeline runs wide from the first operator — claim_rank already
+      // carries the order as data. Parity mode keeps the sorted layout
+      // (image-emission order is part of the oracle contract).
+      val picked = store.claimSet(budget, nowMs, hostQuota = quota, blockedHosts = blocked)
+      val spread =
+        if (trackOrder) picked
+        else picked.repartition(spark.sparkContext.defaultParallelism)
+      val batch = trace("claim")(spread.localCheckpoint(true))
       val claimedCount = batch.count()
 
       if (claimedCount == 0) {
@@ -280,16 +296,37 @@ final class CrawlEngine(
           .drop("t_url", "t_body", "t_images")
 
         val directLoaded = direct.withColumn("loaded_url", col("url"))
+        // Digest the body BEFORE the pin: the checkpoint then materializes
+        // the extracted link list + base URL + blocked flag (~100 B/row)
+        // instead of the raw page body (~KBs/row), and the regexp generators
+        // run exactly once per fetched page instead of once per downstream
+        // plan. Links are only extracted from 200s — failed fetches never
+        // enter the handler.
+        val blockedUdf = udf { (st: Int, body: String) =>
+          graft.canon.Blocked.blockedReason(st, body).isDefined
+        }
+        def digestBody(df: DataFrame): DataFrame = df
+          .withColumn("is_blocked",
+            if (cfg.detectBlocked) blockedUdf(col("eff_status"), col("p_body")) else lit(false))
+          .withColumn("base_href",
+            when(col("eff_status") === 200, regexp_extract(col("p_body"), BaseHrefPattern, 1))
+              .otherwise(lit("")))
+          .withColumn("base_url",
+            when(length(col("base_href")) > 0, col("base_href")).otherwise(col("loaded_url")))
+          .withColumn("links",
+            when(col("eff_status") === 200,
+              regexp_extract_all(col("p_body"), lit(HrefPattern), lit(1)))
+              .otherwise(array().cast("array<string>")))
+          .drop("base_href")
         // localCheckpoint: materialize AND truncate lineage, so every
         // downstream plan this batch (enqueue pipeline, commits, disposition)
         // is planned over a flat in-memory scan instead of re-carrying the
         // whole fetch-join tree through Catalyst each time — per-batch
         // planning time is a serial driver cost that caps scaling.
-        val unioned = directLoaded
+        val unioned = trace("fetch-pin")(digestBody(directLoaded)
           .select(resultCols: _*)
-          .unionByName(redirOk.select(resultCols: _*))
-          .drop("p_url", "p_status", "p_redirect")
-          .localCheckpoint(true)
+          .unionByName(digestBody(redirOk).select(resultCols: _*))
+          .localCheckpoint(true))
 
         // --- classification (F12 / R1) ---------------------------------------
         // retryable = 429 or any 5xx; EVERYTHING else non-200 is a terminal
@@ -301,11 +338,7 @@ final class CrawlEngine(
         // F11 + R4: blocked content is the SessionError path — rotate the
         // session and retry WITHOUT consuming a retry, up to
         // maxSessionRotations (reference _basic_crawler.py:990-991)
-        val blockedUdf = udf { (st: Int, body: String) =>
-          graft.canon.Blocked.blockedReason(st, body).isDefined
-        }
-        val isBlockedRow =
-          if (cfg.detectBlocked) blockedUdf(col("eff_status"), col("p_body")) else lit(false)
+        val isBlockedRow = col("is_blocked")
         val blockedRows = unioned.filter(isBlockedRow)
         val canRotate = blockedRows.filter(col("rotation_count") < cfg.maxSessionRotations)
         val rotateExhausted = blockedRows.filter(col("rotation_count") >= cfg.maxSessionRotations)
@@ -342,16 +375,13 @@ final class CrawlEngine(
         // --- handler: link extraction + enqueue pipeline (L1-L4) -------------
         val maxDepthOk = ok200.filter(col("depth") + 1 <= cfg.maxCrawlDepth)
         val hrefs = maxDepthOk
-          .withColumn("base_href", regexp_extract(col("p_body"), BaseHrefPattern, 1))
-          .withColumn("base_url", when(length(col("base_href")) > 0, col("base_href")).otherwise(col("loaded_url")))
           .select(
             col("unique_key").as("parent_key"),
             col("url").as("origin_url"),
             col("depth"),
             col("claim_rank"),
             col("base_url"),
-            posexplode(regexp_extract_all(col("p_body"), lit(HrefPattern), lit(1)))
-              .as(Seq("link_idx", "raw_link"))
+            posexplode(col("links")).as(Seq("link_idx", "raw_link"))
           )
         val resolved = hrefs
           .withColumn("abs_url", UrlFunctions.resolveUrl(col("base_url"), col("raw_link")))
@@ -597,7 +627,8 @@ object CrawlEngine {
     */
   val resultCols: Seq[org.apache.spark.sql.Column] =
     graft.queue.FrontierStore.eventSchema.fieldNames.toSeq.map(col) ++ Seq(
-      col("claim_rank"), col("loaded_url"), col("eff_status"), col("p_body"), col("p_images")
+      col("claim_rank"), col("loaded_url"), col("eff_status"),
+      col("links"), col("base_url"), col("is_blocked"), col("p_images")
     )
 
   import org.apache.spark.sql.types._

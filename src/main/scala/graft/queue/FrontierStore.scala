@@ -77,25 +77,78 @@ final class FrontierStore(
 
   private def bucketCol = pmod(col("host_hash"), lit(claimBuckets)).cast("int")
 
-  private def rebuildBucketSummary(): Unit = if (claimBucketPruning) {
+  // ---- claim epoch-cutoff pre-filter (SCALE.md §Claim (a)) -----------------
+  //
+  // Driver-side per-EPOCH pending counts (epoch = seq >> 42 — the stride
+  // allocator advances ~one epoch per commit class, so low epochs are the
+  // head of the FIFO; forefront rows live in epoch -1, which sorts first).
+  // Maintained EXACTLY from each commit's delta: a Pending event is +1 at
+  // its own epoch; any event that consumes a previously-pending position
+  // carries that position's epoch in `prev_epoch` and is -1 there (terminal
+  // commits, claim leases, repositions, reclaim moves). Rebuilt exactly at
+  // compaction/resume. Any drift can only UNDERCOUNT (claim-leased rows
+  // whose lease later expires are not counted), which is safe: the cutoff
+  // keeps MORE epochs than needed, never fewer — the proof obligation is
+  // counted(<=C) <= trueEligible(<=C), so counted(<=C) >= maxN implies all
+  // true top-maxN rows sort at or below C.
+  //
+  // The claim then pre-filters the pending scan to `epoch <= C` where C is
+  // the smallest epoch whose cumulative count reaches the claim size —
+  // mid-crawl that reads a few head epochs instead of the whole pending
+  // set, and at cluster scale it maps to file pruning on a seq-bucketed
+  // snapshot. Only applied when the claim is unconstrained (no per-host
+  // quota, no blocked hosts): a host-level constraint could push the
+  // claimable head past any count-based cutoff.
+  private val epochPending = scala.collection.mutable.HashMap.empty[Long, Long].withDefaultValue(0L)
+
+  /** Position epoch of an event row: -1 for forefront, seq >> 42 otherwise. */
+  private def epochExpr = when(col("forefront_seq") >= 0, lit(-1L)).otherwise(shiftright(col("seq"), 42))
+
+  /** Exact rebuild of both driver summaries in ONE aggregate (resume +
+    * compaction reset points).
+    */
+  private def rebuildSummaries(): Unit = if (claimBucketPruning) {
     bucketNonHandled.clear()
+    epochPending.clear()
     stateDf.filter(col("status") =!= Status.Handled)
-      .groupBy(bucketCol.as("b")).count().collect()
-      .foreach(r => bucketNonHandled(r.getInt(0)) = r.getLong(1))
+      .groupBy(bucketCol.as("b"), col("status"), epochExpr.as("e"))
+      .count().collect()
+      .foreach { r =>
+        val n = r.getLong(3)
+        bucketNonHandled(r.getInt(0)) += n
+        if (r.getInt(1) == Status.Pending) epochPending(r.getLong(2)) += n
+      }
   }
 
-  private def foldDeltaIntoBucketSummary(delta: DataFrame): Unit = if (claimBucketPruning) {
+  /** Fold one committed delta into both summaries — ONE small aggregate job
+    * per commit (cardinality: buckets x epochs x statuses).
+    */
+  private def foldDeltaIntoSummaries(delta: DataFrame): Unit = if (claimBucketPruning) {
     delta
-      .groupBy(bucketCol.as("b"))
-      .agg(sum(
-        when(col("status") === Status.Handled, -1L)
-          .when(col("status") === Status.Pending, 1L)
-          .otherwise(0L)).as("d"))
-      .collect()
+      .groupBy(bucketCol.as("b"), col("status"), epochExpr.as("e"), col("prev_epoch").as("pe"))
+      .count().collect()
       .foreach { r =>
+        val st = r.getInt(1)
+        val n = r.getLong(4)
+        val bucketDelta = if (st == Status.Handled) -n else if (st == Status.Pending) n else 0L
         val b = r.getInt(0)
-        bucketNonHandled(b) = math.max(0L, bucketNonHandled(b) + (if (r.isNullAt(1)) 0L else r.getLong(1)))
+        bucketNonHandled(b) = math.max(0L, bucketNonHandled(b) + bucketDelta)
+        if (st == Status.Pending) epochPending(r.getLong(2)) += n
+        if (!r.isNullAt(3)) epochPending(r.getLong(3)) -= n
       }
+  }
+
+  /** Smallest epoch C whose cumulative pending count reaches `maxN`
+    * (None = no pruning possible — fewer than maxN counted rows).
+    */
+  private def epochCutoff(maxN: Int): Option[Long] = {
+    val entries = epochPending.toSeq.filter(_._2 != 0L).sortBy(_._1)
+    var cum = 0L
+    entries.foreach { case (e, n) =>
+      cum += n
+      if (cum >= maxN) return Some(e)
+    }
+    None
   }
 
   /** Buckets that may still hold claimable rows (None = no pruning possible). */
@@ -151,7 +204,7 @@ final class FrontierStore(
         if (files.isEmpty) emptyEvents(spark)
         else latestWins(spark.read.schema(eventSchema).parquet(files: _*))
       materialize()
-      rebuildBucketSummary() // resume: exact per-bucket claimable bounds
+      rebuildSummaries() // resume: exact per-bucket/per-epoch claimable bounds
     }
     stateDf
   }
@@ -215,6 +268,14 @@ final class FrontierStore(
     * committed delta (no pre-write counting). Returns the number of events
     * committed; an empty delta is dropped and leaves the manifest untouched.
     */
+  private def trace[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    if (sys.env.contains("GRAFT_TRACE"))
+      println(f"[trace]   store.$label ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    r
+  }
+
   private def commitEvents(events: DataFrame): Long = synchronized {
     val bid = manifest.batchId + 1
     val deltaName = f"delta-$bid%06d"
@@ -222,10 +283,10 @@ final class FrontierStore(
     // Observation: the count/max stats ride on the write job itself —
     // no second read-the-delta-back aggregate action per commit.
     val obs = new org.apache.spark.sql.Observation(s"commit-$bid")
-    events
+    trace("delta-write")(events
       .observe(obs, count(lit(1)).as("n"), max(col("seq")).as("ms"),
         max(col("forefront_seq")).as("mf"), max(col("event_seq")).as("me"))
-      .write.mode(SaveMode.Overwrite).parquet(deltaPath)
+      .write.mode(SaveMode.Overwrite).parquet(deltaPath))
     val metrics = obs.get
     val delta = spark.read.schema(eventSchema).parquet(deltaPath)
     val aggRow = org.apache.spark.sql.Row(
@@ -246,10 +307,10 @@ final class FrontierStore(
     // merge the committed delta into the state chain (reading it back keeps
     // the chain's lineage rooted in parquet, never in caller DataFrames)
     lastDeltaPath = deltaPath
-    mergeDelta(delta, n)
-    foldDeltaIntoBucketSummary(delta)
+    trace("merge")(mergeDelta(delta, n))
+    trace("fold-summaries")(foldDeltaIntoSummaries(delta))
     val finalManifest =
-      if (nextManifest.deltas.size >= compactEvery) compact(nextManifest)
+      if (nextManifest.deltas.size >= compactEvery) trace("compact")(compact(nextManifest))
       else nextManifest
     Manifest.writeAtomic(manifestPath, finalManifest)
     manifest = finalManifest
@@ -305,7 +366,7 @@ final class FrontierStore(
         if (keysMayChangeBuckets) latestWins(read) else read
       }
     materialize()
-    rebuildBucketSummary() // exact reset: clears reclaim-driven overcount drift
+    rebuildSummaries() // exact reset: clears reclaim-driven overcount drift
     m.copy(snapshot = None, deltas = Vector.empty, bucketDirs = liveBucketDirs)
   }
 
@@ -354,6 +415,9 @@ final class FrontierStore(
       .withColumn("lock_expires_at", lit(0L))
       .withColumn("event_seq", lit(maxEv + 2 * S + 1))
       .withColumn("batch_id", lit(batchId + 1))
+      // prior status was InProgress: its pending position was already
+      // consumed by the claim event — no epoch removal here
+      .withColumn("prev_epoch", lit(null).cast("long"))
       .drop("r_state")
       .select(eventCols: _*)
 
@@ -375,6 +439,7 @@ final class FrontierStore(
       .withColumn("lock_expires_at", lit(0L))
       .withColumn("event_seq", lit(maxEv + 3 * S) + col("__pos"))
       .withColumn("batch_id", lit(batchId + 1))
+      .withColumn("prev_epoch", lit(null).cast("long")) // prior InProgress
       .drop("__pos")
       .select(eventCols: _*)
 
@@ -443,49 +508,18 @@ final class FrontierStore(
     // (small) candidate batch on the key bucket and each task reads only
     // its own shards.
     val probed = bloomShards.map(s => s.probe(cand, "unique_key"))
-    val newRows = probed match {
-      case Some(p) =>
-        p.filter(!col("__seen") && !col("__dup_in_batch")).drop("__seen", "__rn", "__dup_in_batch")
-      case None =>
-        joined.filter(isNew).drop("ex_key", "ex_status", "ex_url", "ex_host",
-          "ex_label", "ex_method", "ex_payload", "ex_headers", "ex_user_data",
-          "ex_depth", "ex_retry", "ex_no_retry", "ex_max_retries", "ex_rotation",
-          "ex_seq", "ex_ffseq", "ex_state", "ex_ok", "ex_lock")
-    }
     // seq rides directly on cand_order (unique, monotone within the batch):
     // no global row_number window — gaps are harmless, only order matters.
     // FIFO position = first occurrence; forefront position = last occurrence
     // (see the dedup note above).
-    val numbered = newRows
-      .withColumn("__pos", col("cand_order") + 1)
-      .withColumn("__ffpos", col("__last_order") + 1)
-    val newEvents = numbered.select(
-      col("unique_key"),
-      xxhash64(col("unique_key")).as("key64"),
-      col("url"),
-      col("host"),
-      xxhash64(col("host")).as("host_hash"),
-      col("label"),
-      col("method"),
-      col("payload"),
-      col("headers"),
-      col("user_data_json"),
-      col("depth"),
-      lit(0).as("retry_count"),
-      col("no_retry"),
-      col("max_retries"),
-      lit(0).as("rotation_count"),
-      col("forefront"),
-      when(col("forefront"), lit(-1L)).otherwise(lit(maxSeq) + col("__pos")).as("seq"),
-      when(col("forefront"), lit(maxFf) + col("__ffpos")).otherwise(lit(-1L)).as("forefront_seq"),
-      lit(Status.Pending).as("status"),
-      lit(graft.schema.RequestState.Unprocessed).as("state"),
-      lit(false).as("handled_ok"),
-      lit(0L).as("lock_expires_at"),
-      (lit(maxEv) + col("__pos")).as("event_seq"),
-      lit(batchId + 1).as("batch_id")
-    )
-
+    //
+    // New inserts AND forefront repositions come out of ONE pass over the
+    // candidate pipeline (a single join against state, selected with
+    // per-column when(isNew, ...)): the candidate side of an enqueue is the
+    // expensive side — in the engine it carries the whole link-extraction
+    // pipeline — and the previous two-branch union evaluated it twice per
+    // commit.
+    //
     // Forefront re-add of a still-pending request repositions it (keeps the
     // ORIGINAL request fields — incoming dup loses accumulated state).
     // Repositions share the new-adds forefront_seq base so they INTERLEAVE
@@ -494,41 +528,78 @@ final class FrontierStore(
     // (_memory/_request_queue_client.py:141-210), so a new add issued AFTER
     // a reposition must land in front of it. (cand_order is unique across
     // the batch, so the shared base cannot collide.)
-    // Bloom mode trades this away (a bloom hit carries no stored row to
-    // reposition) — matching the reference's Redis bloom-dedup mode.
-    val repositionSource = if (bloomDedup) joined.limit(0) else joined
-    val repositioned = repositionSource
-      .filter(pendingDup && col("forefront"))
-      .withColumn("__pos", col("__last_order") + 1)
-      .select(
-        col("ex_key").as("unique_key"),
-        xxhash64(col("ex_key")).as("key64"),
-        col("ex_url").as("url"),
-        col("ex_host").as("host"),
-        xxhash64(col("ex_host")).as("host_hash"),
-        col("ex_label").as("label"),
-        col("ex_method").as("method"),
-        col("ex_payload").as("payload"),
-        col("ex_headers").as("headers"),
-        col("ex_user_data").as("user_data_json"),
-        col("ex_depth").as("depth"),
-        col("ex_retry").as("retry_count"),
-        col("ex_no_retry").as("no_retry"),
-        col("ex_max_retries").as("max_retries"),
-        col("ex_rotation").as("rotation_count"),
-        lit(true).as("forefront"),
-        lit(-1L).as("seq"),
-        (lit(maxFf) + col("__pos")).as("forefront_seq"),
-        lit(Status.Pending).as("status"),
-        col("ex_state").as("state"),
-        col("ex_ok").as("handled_ok"),
-        col("ex_lock").as("lock_expires_at"),
-        (lit(maxEv + S) + col("__pos")).as("event_seq"),
-        lit(batchId + 1).as("batch_id")
-      )
+    // Bloom mode trades repositioning away (a bloom hit carries no stored
+    // row to reposition) — matching the reference's Redis bloom-dedup mode.
+    val enqueueEvents = probed match {
+      case Some(p) =>
+        p.filter(!col("__seen") && !col("__dup_in_batch"))
+          .drop("__seen", "__rn", "__dup_in_batch")
+          .withColumn("__pos", col("cand_order") + 1)
+          .withColumn("__ffpos", col("__last_order") + 1)
+          .select(
+            col("unique_key"),
+            xxhash64(col("unique_key")).as("key64"),
+            col("url"),
+            col("host"),
+            xxhash64(col("host")).as("host_hash"),
+            col("label"),
+            col("method"),
+            col("payload"),
+            col("headers"),
+            col("user_data_json"),
+            col("depth"),
+            lit(0).as("retry_count"),
+            col("no_retry"),
+            col("max_retries"),
+            lit(0).as("rotation_count"),
+            col("forefront"),
+            when(col("forefront"), lit(-1L)).otherwise(lit(maxSeq) + col("__pos")).as("seq"),
+            when(col("forefront"), lit(maxFf) + col("__ffpos")).otherwise(lit(-1L)).as("forefront_seq"),
+            lit(Status.Pending).as("status"),
+            lit(graft.schema.RequestState.Unprocessed).as("state"),
+            lit(false).as("handled_ok"),
+            lit(0L).as("lock_expires_at"),
+            (lit(maxEv) + col("__pos")).as("event_seq"),
+            lit(batchId + 1).as("batch_id"),
+            lit(null).cast("long").as("prev_epoch") // brand-new pending position
+          )
+      case None =>
+        joined
+          .filter(isNew || (pendingDup && col("forefront")))
+          .withColumn("__pos", col("cand_order") + 1)
+          .withColumn("__ffpos", col("__last_order") + 1)
+          .select(
+            col("unique_key"),
+            xxhash64(col("unique_key")).as("key64"),
+            when(isNew, col("url")).otherwise(col("ex_url")).as("url"),
+            when(isNew, col("host")).otherwise(col("ex_host")).as("host"),
+            xxhash64(when(isNew, col("host")).otherwise(col("ex_host"))).as("host_hash"),
+            when(isNew, col("label")).otherwise(col("ex_label")).as("label"),
+            when(isNew, col("method")).otherwise(col("ex_method")).as("method"),
+            when(isNew, col("payload")).otherwise(col("ex_payload")).as("payload"),
+            when(isNew, col("headers")).otherwise(col("ex_headers")).as("headers"),
+            when(isNew, col("user_data_json")).otherwise(col("ex_user_data")).as("user_data_json"),
+            when(isNew, col("depth")).otherwise(col("ex_depth")).as("depth"),
+            when(isNew, lit(0)).otherwise(col("ex_retry")).as("retry_count"),
+            when(isNew, col("no_retry")).otherwise(col("ex_no_retry")).as("no_retry"),
+            when(isNew, col("max_retries")).otherwise(col("ex_max_retries")).as("max_retries"),
+            when(isNew, lit(0)).otherwise(col("ex_rotation")).as("rotation_count"),
+            when(isNew, col("forefront")).otherwise(lit(true)).as("forefront"),
+            when(isNew && !col("forefront"), lit(maxSeq) + col("__pos")).otherwise(lit(-1L)).as("seq"),
+            when(col("forefront"), lit(maxFf) + col("__ffpos")).otherwise(lit(-1L)).as("forefront_seq"),
+            lit(Status.Pending).as("status"),
+            when(isNew, lit(graft.schema.RequestState.Unprocessed)).otherwise(col("ex_state")).as("state"),
+            when(isNew, lit(false)).otherwise(col("ex_ok")).as("handled_ok"),
+            when(isNew, lit(0L)).otherwise(col("ex_lock")).as("lock_expires_at"),
+            when(isNew, lit(maxEv) + col("__pos")).otherwise(lit(maxEv + S) + col("__ffpos")).as("event_seq"),
+            lit(batchId + 1).as("batch_id"),
+            when(isNew, lit(null).cast("long"))
+              .otherwise(when(col("ex_ffseq") >= 0, lit(-1L)).otherwise(shiftright(col("ex_seq"), 42)))
+              .as("prev_epoch")
+          )
+    }
 
-    val allEvents = newEvents.select(eventCols: _*)
-      .unionByName(repositioned.select(eventCols: _*))
+    val allEvents = enqueueEvents.select(eventCols: _*)
       .unionByName(handledEvents)
       .unionByName(reclaimEvents)
     val committed = commitEvents(allEvents)
@@ -590,12 +661,38 @@ final class FrontierStore(
       blockedHosts: Set[String] = Set.empty
   ): DataFrame = synchronized {
     if (maxN <= 0) return emptyEvents(spark).withColumn("claim_rank", lit(0))
-    val st = state() // FIRST: a resumed store builds the bucket summary here
+    withClaimRank(pickTop(maxN, nowMs, hostQuota, defaultQuota, blockedHosts))
+  }
+
+  /** Shared claim selection: bucket pruning + epoch cutoff + eligibility +
+    * (only when host quotas actually constrain) the per-host rank window,
+    * then global top-maxN via orderBy+limit — `TakeOrderedAndProject`
+    * (map-side partial top-k), NOT a global sort. The unconstrained path
+    * (the engine/bench default) has NO window at all: the per-batch shuffle
+    * of the whole pending set was the #1 serial cost (VERDICT r2 #3).
+    */
+  private[graft] def pickTop(
+      maxN: Int,
+      nowMs: Long,
+      hostQuota: Map[String, Int],
+      defaultQuota: Int,
+      blockedHosts: Set[String]
+  ): DataFrame = {
+    val st = state() // FIRST: a resumed store builds the driver summaries here
     val prunedState = claimableBuckets() match {
       case Some(bs) => st.filter(bucketCol.isin(bs: _*))
       case None => st
     }
-    val eligible = prunedState.filter(
+    val noQuota = hostQuota.isEmpty && defaultQuota == Int.MaxValue
+    // epoch cutoff: only when nothing host-level can exclude head rows
+    val preFiltered =
+      if (noQuota && blockedHosts.isEmpty && claimBucketPruning)
+        epochCutoff(maxN) match {
+          case Some(c) => prunedState.filter(epochExpr <= c)
+          case None => prunedState
+        }
+      else prunedState
+    val eligible = preFiltered.filter(
       (col("status") === Status.Pending) ||
         (col("status") === Status.InProgress && col("lock_expires_at") <= nowMs)
     )
@@ -603,22 +700,36 @@ final class FrontierStore(
       if (blockedHosts.isEmpty) eligible
       else eligible.filter(!col("host").isin(blockedHosts.toSeq: _*))
     val sortKey = when(col("forefront"), -col("forefront_seq")).otherwise(col("seq"))
-    val ordered = notBlocked
-      .withColumn("__sort", sortKey)
-      .withColumn(
-        "__host_rank",
-        row_number().over(Window.partitionBy(col("host")).orderBy(col("forefront").desc, col("__sort").asc, col("unique_key")))
-      )
-    val quotaUdf = udf((host: String) => hostQuota.getOrElse(host, defaultQuota))
-    ordered
-      .filter(col("__host_rank") <= quotaUdf(col("host")))
+    val base = notBlocked.withColumn("__sort", sortKey)
+    val underQuota =
+      if (noQuota) base
+      else {
+        val quotaUdf = udf((host: String) => hostQuota.getOrElse(host, defaultQuota))
+        base
+          .withColumn(
+            "__host_rank",
+            row_number().over(Window.partitionBy(col("host"))
+              .orderBy(col("forefront").desc, col("__sort").asc, col("unique_key"))))
+          .filter(col("__host_rank") <= quotaUdf(col("host")))
+          .drop("__host_rank")
+      }
+    underQuota
       .orderBy(col("forefront").desc, col("__sort").asc, col("unique_key"))
       .limit(maxN)
-      .withColumn(
-        "claim_rank",
-        row_number().over(Window.orderBy(col("forefront").desc, col("__sort").asc, col("unique_key")))
-      )
-      .drop("__sort", "__host_rank")
+      .drop("__sort")
+  }
+
+  /** Dense 1-based `claim_rank` over an already-sorted frame WITHOUT an
+    * unpartitioned window (which would re-sort on a single partition):
+    * the top-k output's row order IS the rank — zipWithIndex assigns it
+    * with no shuffle and no extra job on the single-partition top-k result.
+    */
+  private def withClaimRank(sorted: DataFrame): DataFrame = {
+    val outSchema = sorted.schema.add("claim_rank", org.apache.spark.sql.types.IntegerType)
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1).toInt)
+    }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** One commit for a whole engine micro-batch: enqueue `adds` (dedup +
@@ -640,8 +751,12 @@ final class FrontierStore(
       .withColumn("lock_expires_at", lit(0L))
       .withColumn("event_seq", lit(maxEv + 2 * S + 1))
       .withColumn("batch_id", lit(batchId + 1))
+      // consumes the row's (still-Pending) position — seq fields unchanged
+      .withColumn("prev_epoch", epochExpr)
       .select(eventCols: _*)
     val reclaimEvents = reclaimRows
+      // consumes the OLD position (computed before seq is reassigned below)
+      .withColumn("prev_epoch", epochExpr)
       .withColumn("__pos", pmod(xxhash64(col("unique_key")), lit(S / 2)) + 1)
       .withColumn("status", lit(Status.Pending))
       .withColumn("seq", when(col("forefront"), lit(-1L)).otherwise(lit(maxSeq + S) + col("__pos")))
@@ -670,41 +785,17 @@ final class FrontierStore(
   ): DataFrame = synchronized {
     if (maxN <= 0) return emptyEvents(spark)
     val (maxSeq, maxFf, maxEv) = counters
-    val st = state() // FIRST: a resumed store builds the bucket summary here
-    val prunedState = claimableBuckets() match {
-      case Some(bs) => st.filter(bucketCol.isin(bs: _*))
-      case None => st
-    }
-    val eligible = prunedState.filter(
-      (col("status") === Status.Pending) ||
-        (col("status") === Status.InProgress && col("lock_expires_at") <= nowMs)
-    )
-    val notBlocked =
-      if (blockedHosts.isEmpty) eligible
-      else eligible.filter(!col("host").isin(blockedHosts.toSeq: _*))
-
-    val sortKey = when(col("forefront"), -col("forefront_seq")).otherwise(col("seq"))
-    val ordered = notBlocked
-      .withColumn("__sort", sortKey)
-      .withColumn(
-        "__host_rank",
-        row_number().over(Window.partitionBy(col("host")).orderBy(col("forefront").desc, col("__sort").asc, col("unique_key")))
-      )
-    val quotaUdf = udf((host: String) => hostQuota.getOrElse(host, defaultQuota))
-    val underQuota = ordered.filter(col("__host_rank") <= quotaUdf(col("host")))
-    val picked = underQuota
-      .orderBy(col("forefront").desc, col("__sort").asc, col("unique_key"))
-      .limit(maxN)
-      .drop("__sort", "__host_rank")
+    val picked = withClaimRank(pickTop(maxN, nowMs, hostQuota, defaultQuota, blockedHosts))
 
     val claimEvents = picked
-      .withColumn("__pos", row_number().over(Window.orderBy(col("forefront").desc, when(col("forefront"), -col("forefront_seq")).otherwise(col("seq")).asc, col("unique_key"))))
+      // the lease consumes the pending position (computed before overwrite)
+      .withColumn("prev_epoch", epochExpr)
       .withColumn("status", lit(Status.InProgress))
       .withColumn("state", lit(graft.schema.RequestState.BeforeNav))
       .withColumn("lock_expires_at", lit(nowMs + leaseMs))
-      .withColumn("event_seq", lit(maxEv) + col("__pos"))
+      .withColumn("event_seq", lit(maxEv) + col("claim_rank").cast("long"))
       .withColumn("batch_id", lit(batchId + 1))
-      .drop("__pos")
+      .drop("claim_rank")
       .select(eventCols: _*)
 
     val _ = (maxSeq, maxFf)
@@ -768,6 +859,7 @@ final class FrontierStore(
     manifest = Manifest.empty
     Manifest.writeAtomic(manifestPath, manifest)
     bucketNonHandled.clear()
+    epochPending.clear()
     if (persistedBase != null) { persistedBase.unpersist(false); persistedBase = null }
     stateDf = null
   }
@@ -801,7 +893,12 @@ object FrontierStore {
     StructField("handled_ok", BooleanType),
     StructField("lock_expires_at", LongType),
     StructField("event_seq", LongType),
-    StructField("batch_id", LongType)
+    StructField("batch_id", LongType),
+    // epoch (seq >> 42; -1 = forefront) of the pending position this event
+    // CONSUMED, or null — drives the exact driver-side epoch-cutoff stats.
+    // Deltas written before r3 read as null (stats rebuild exactly at
+    // resume/compaction, so old stores stay correct).
+    StructField("prev_epoch", LongType)
   ))
 
   val eventCols: Seq[org.apache.spark.sql.Column] =

@@ -65,6 +65,32 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("r6 budget top-k plans as TakeOrderedAndProject, not a global window") {
+    val q = QueryCatalog.all("r6_budget_exactness")(spark, sf("sf0.001"))
+    val p = plan(q)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("unconstrained claim selection has NO window and plans a top-k") {
+    import spark.implicits._
+    val store = new graft.queue.FrontierStore(
+      spark, java.nio.file.Files.createTempDirectory("planclaim").toString)
+    store.addBatch(
+      (0 until 50).map(i => (s"k$i", s"https://a.com/$i", "a.com", null.asInstanceOf[String], "GET", 0, false, i.toLong))
+        .toDF("unique_key", "url", "host", "label", "method", "depth", "forefront", "cand_order"))
+    // assert on the claim plan itself — everything ABOVE the cached-state
+    // scan (the InMemoryRelation's build plan legitimately contains the
+    // key-PARTITIONED latest-wins window)
+    def aboveCache(s: String): String = s.split("InMemoryRelation").head
+    val p = aboveCache(plan(store.pickTop(10, 0L, Map.empty, Int.MaxValue, Set.empty)))
+    assert(!p.contains("Window"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // quota-constrained claims still rank per host — window PARTITIONED by host
+    val pq = aboveCache(plan(store.pickTop(10, 0L, Map("a.com" -> 1), 1, Set.empty)))
+    assert(pq.contains("Window") && pq.contains("windowspecdefinition(host"), pq)
+  }
+
   test("shingle self-join shuffles on the high-cardinality shingle key (no cartesian)") {
     val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
     val q = graft.ops.TextOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)

@@ -167,8 +167,11 @@ class FrontierStoreSpec extends SparkSpec {
       // hostA's bucket is now exhausted (exact -1 per handled); hostB's rows
       // are stale-reclaimable at t=2000
       val cs = store.claimSet(20, nowMs = 2000L)
-      (cs.select("unique_key").collect().map(_.getString(0)).toSet,
-        cs.queryExecution.executedPlan.toString)
+      // the rank stage is an RDD zipWithIndex, so the SELECTION plan (the
+      // part bucket pruning applies to) is asserted via pickTop directly
+      val plan = store.pickTop(20, 2000L, Map.empty, Int.MaxValue, Set.empty)
+        .queryExecution.executedPlan.toString
+      (cs.select("unique_key").collect().map(_.getString(0)).toSet, plan)
     }
     val (prunedKeys, prunedPlan) = runScenario(pruning = true)
     val (plainKeys, _) = runScenario(pruning = false)
@@ -176,6 +179,42 @@ class FrontierStoreSpec extends SparkSpec {
     assert(prunedKeys == (0 until 10).map(i => s"b$i").toSet)
     // the pruned claim actually filters on the host-hash bucket
     assert(prunedPlan.contains("pmod(host_hash"), prunedPlan)
+  }
+
+  test("epoch-cutoff pre-filter: interleaved claims/handles match an unpruned store exactly") {
+    // many commits -> many seq epochs; small claims force the cutoff to
+    // engage (cumulative pending >> maxN); forefront adds + reclaims
+    // exercise the -1 epoch and the position-consumption accounting
+    def run(pruning: Boolean): Seq[String] = {
+      val store = new FrontierStore(
+        spark, Files.createTempDirectory("epoch").toString,
+        leaseMs = 1000L, claimBucketPruning = pruning)
+      (0 until 5).foreach { b =>
+        store.addBatch(cand((0 until 20).map(i => s"k-$b-$i"), forefront = false, orderBase = b * 100))
+      }
+      store.addBatch(cand(Seq("ff-1", "ff-2"), forefront = true, orderBase = 1000))
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var spin = 0
+      while (!store.isFinished(0L) && spin < 50) {
+        val claimed = store.claim(7, nowMs = 0L)
+        val keys = claimed.orderBy(col("event_seq")).select("unique_key").collect().map(_.getString(0))
+        out ++= keys
+        import spark.implicits._
+        // reclaim one key per batch back to the tail, handle the rest
+        val (recl, handled) = (keys.take(1).filter(_ => spin % 3 == 0), keys.drop(if (spin % 3 == 0) 1 else 0))
+        if (recl.nonEmpty)
+          store.reclaim(recl.toSeq.map(k => (k, false, 1)).toDF("unique_key", "forefront", "retry_count"))
+        if (handled.nonEmpty)
+          store.markHandled(handled.toSeq.map(k => (k, true, graft.schema.RequestState.Done))
+            .toDF("unique_key", "handled_ok", "state"))
+        spin += 1
+      }
+      out.toSeq
+    }
+    val pruned = run(pruning = true)
+    val plain = run(pruning = false)
+    assert(pruned == plain)
+    assert(pruned.toSet.size == 102) // every key claimed at least once
   }
 
   test("a resumed store's FIRST call is a claim (bucket summary builds lazily)") {
