@@ -661,7 +661,12 @@ final class FrontierStore(
       blockedHosts: Set[String] = Set.empty
   ): DataFrame = synchronized {
     if (maxN <= 0) return emptyEvents(spark).withColumn("claim_rank", lit(0))
-    withClaimRank(pickTop(maxN, nowMs, hostQuota, defaultQuota, blockedHosts))
+    // NOTE a parallel range-sort rank variant (sort unbounded + rank filter,
+    // partitions stay spread) was measured wall-neutral at the 262k-claim
+    // local shape — TakeOrderedAndProject's map-side top-k + one merge is
+    // the better constant here; at 10^6+-row cluster claims the range-sort
+    // form (pickTop(bound = false) + withClaimRank(maxN)) is the swap-in.
+    withClaimRank(pickTop(maxN, nowMs, hostQuota, defaultQuota, blockedHosts), maxN)
   }
 
   /** Shared claim selection: bucket pruning + epoch cutoff + eligibility +
@@ -676,7 +681,8 @@ final class FrontierStore(
       nowMs: Long,
       hostQuota: Map[String, Int],
       defaultQuota: Int,
-      blockedHosts: Set[String]
+      blockedHosts: Set[String],
+      bound: Boolean = true
   ): DataFrame = {
     val st = state() // FIRST: a resumed store builds the driver summaries here
     val prunedState = claimableBuckets() match {
@@ -713,21 +719,21 @@ final class FrontierStore(
           .filter(col("__host_rank") <= quotaUdf(col("host")))
           .drop("__host_rank")
       }
-    underQuota
-      .orderBy(col("forefront").desc, col("__sort").asc, col("unique_key"))
-      .limit(maxN)
-      .drop("__sort")
+    val ordered = underQuota.orderBy(col("forefront").desc, col("__sort").asc, col("unique_key"))
+    (if (bound) ordered.limit(maxN) else ordered).drop("__sort")
   }
 
   /** Dense 1-based `claim_rank` over an already-sorted frame WITHOUT an
     * unpartitioned window (which would re-sort on a single partition):
-    * the top-k output's row order IS the rank — zipWithIndex assigns it
-    * with no shuffle and no extra job on the single-partition top-k result.
+    * the frame's row order (within ordered range partitions) IS the rank —
+    * zipWithIndex assigns it with no shuffle, and `maxN` bounds the claim
+    * when the input was not already limit()-ed.
     */
-  private def withClaimRank(sorted: DataFrame): DataFrame = {
+  private def withClaimRank(sorted: DataFrame, maxN: Int): DataFrame = {
     val outSchema = sorted.schema.add("claim_rank", org.apache.spark.sql.types.IntegerType)
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1).toInt)
+    val bound = maxN.toLong
+    val rdd = sorted.rdd.zipWithIndex.collect {
+      case (r, i) if i < bound => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1).toInt)
     }
     spark.createDataFrame(rdd, outSchema)
   }
@@ -785,7 +791,7 @@ final class FrontierStore(
   ): DataFrame = synchronized {
     if (maxN <= 0) return emptyEvents(spark)
     val (maxSeq, maxFf, maxEv) = counters
-    val picked = withClaimRank(pickTop(maxN, nowMs, hostQuota, defaultQuota, blockedHosts))
+    val picked = withClaimRank(pickTop(maxN, nowMs, hostQuota, defaultQuota, blockedHosts), maxN)
 
     val claimEvents = picked
       // the lease consumes the pending position (computed before overwrite)
