@@ -149,6 +149,35 @@ object VectorOps {
     Array.fill(nPlanes)(Array.fill(dims)(rnd.nextDouble() - 0.5))
   }
 
+  /** Oracle side-channel (VERDICT r2 next-round #2): the deterministic
+    * seed-42 plane matrix exported as parquet (p, plane) so an EXTERNAL
+    * engine can recompute bit-identical LSH signatures — the matrix is a
+    * pure function of the seed, not of the data, so exporting it makes the
+    * whole LSH pipeline (signatures -> bucket join -> exact re-rank)
+    * independently checkable in SQL. `planeMatrix(n, d)` is a prefix of
+    * `planeMatrix(m, d)` for n <= m (sequential seed-42 generation), so one
+    * export at the largest plane count serves every (tables, bits) config
+    * with `WHERE p < n`.
+    */
+  val PlaneExportBase = "/tmp/graft_lsh_planes"
+
+  private val exportedPlanes = scala.collection.mutable.Set.empty[String]
+
+  def exportPlanes(spark: org.apache.spark.sql.SparkSession, nPlanes: Int, dims: Int): String =
+    synchronized {
+      val path = s"$PlaneExportBase/planes_${nPlanes}_$dims"
+      if (!exportedPlanes.contains(path)) {
+        import spark.implicits._
+        planeMatrix(nPlanes, dims).zipWithIndex.toSeq
+          .map { case (row, p) => (p, row.toSeq) }
+          .toDF("p", "plane")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(path)
+        exportedPlanes += path
+      }
+      path
+    }
+
   /** Random-hyperplane (SimHash) LSH signatures for ANN bucketing:
     * bit p = sign(dot(vec, plane_p)). `tables` independent signatures of
     * `bitsPerTable` planes each. Output: (id, table_idx, signature).
