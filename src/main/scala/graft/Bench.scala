@@ -32,7 +32,8 @@ object Bench {
       "d10_csv_export", "d11_json_export", "s2_request_list_cursor",
       "a8_queue_metadata", "d12_d13_kvs_resume", "x4_rate_cap",
       "s5_sitemap_nested", "s4_sitemap_txt_gzip", "r6_budget_exactness",
-      "f11_blocked_content", "mm_image_features", "mm_payload_validate")
+      "f11_blocked_content", "mm_image_features", "mm_payload_validate",
+      "r4_session_binding", "a7_stats_resume")
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => fixtureEntries.contains(q._1))

@@ -532,6 +532,126 @@ object QueryCatalog {
     ids.toSeq.toDF("r", "session_id")
   }
 
+  // ---- A7b: statistics state resume (reference _statistics.py:284-299) ----
+  // Terminal outcomes streamed through RunStatistics in TWO phases with a
+  // KVS persist + a FRESH resume between them; the oracle computes the same
+  // counters over ALL rows in one pass — equal iff resume loses nothing.
+  // outcome: finished when event_id % 7 != 0; retry count = event_id % 4.
+  register(
+    "a7_stats_resume",
+    Some(
+      """SELECT
+        |  CAST(count(*) FILTER (WHERE event_id % 7 <> 0) AS BIGINT) AS requests_finished,
+        |  CAST(count(*) FILTER (WHERE event_id % 7 = 0) AS BIGINT) AS requests_failed,
+        |  CAST(count(*) FILTER (WHERE event_id % 4 <> 0) AS BIGINT) AS requests_retries,
+        |  CAST(count(*) FILTER (WHERE event_id % 4 = 0) AS BIGINT) AS hist_0,
+        |  CAST(count(*) FILTER (WHERE event_id % 4 = 1) AS BIGINT) AS hist_1,
+        |  CAST(count(*) FILTER (WHERE event_id % 4 = 2) AS BIGINT) AS hist_2,
+        |  CAST(count(*) FILTER (WHERE event_id % 4 = 3) AS BIGINT) AS hist_3
+        |FROM events WHERE event_id < 3000""".stripMargin
+    )
+  ) { (s, dir) =>
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("stats-oracle").toString
+    def phase(lo: Long, hi: Long): Unit = {
+      val rs = new graft.stats.RunStatistics(new graft.storage.KeyValueStore(s, root))
+      t(s, dir, "events")
+        .filter(col("event_id") >= lo && col("event_id") < hi)
+        .groupBy((col("event_id") % 7 =!= 0).as("fin"), (col("event_id") % 4).cast("int").as("rc"))
+        .agg(count(lit(1)).as("n"))
+        .collect()
+        .foreach(r => rs.recordTerminal(r.getBoolean(0), r.getInt(1), r.getLong(2)))
+      rs.persist()
+    }
+    phase(0L, 1500L)
+    phase(1500L, 3000L) // fresh RunStatistics: must resume phase 1's state
+    val st = new graft.stats.RunStatistics(new graft.storage.KeyValueStore(s, root)).state
+    val h = st.retryHistogram.padTo(4, 0L)
+    Seq((st.requestsFinished, st.requestsFailed, st.requestsRetries, h(0), h(1), h(2), h(3)))
+      .toDF("requests_finished", "requests_failed", "requests_retries",
+        "hist_0", "hist_1", "hist_2", "hist_3")
+  }
+
+  // ---- R4b: session-request binding + collision (reference
+  // _request.py:61-62, _basic_crawler.py:1673-1686, _session_pool.py:200) --
+  // A real SessionPool pre-filled with 3 sessions; requests cycle through
+  // bound-to-live / bound-to-missing / unbound / unbound. Bound dispatch
+  // uses exactly its session (get_session_by_id), a missing binding is a
+  // collision, unbound dispatch round-robins — all three paths in one
+  // deterministic sequence the oracle can state analytically.
+  register(
+    "r4_session_binding",
+    Some(
+      """SELECT event_id AS r,
+        |  CASE WHEN event_id % 4 = 0 THEN 'session_000001'
+        |       WHEN event_id % 4 = 1 THEN 'COLLISION'
+        |       ELSE 'session_' || lpad(CAST(((2 * (event_id // 4)
+        |              + CASE WHEN event_id % 4 = 3 THEN 1 ELSE 0 END) % 3) AS VARCHAR), 6, '0')
+        |  END AS session_id
+        |FROM events WHERE event_id < 200""".stripMargin
+    )
+  ) { (s, dir) =>
+    import s.implicits._
+    val pool = new graft.sessions.SessionPool(maxPoolSize = 3, maxUsageCount = 1000)
+    pool.fillTo(3, 0L)
+    val out = t(s, dir, "events").filter(col("event_id") < 200)
+      .select(col("event_id")).orderBy(col("event_id"))
+      .as[Long].collect()
+      .map { r =>
+        val bound = r % 4 match {
+          case 0 => Some("session_000001") // live binding
+          case 1 => Some("session_999999") // missing -> collision
+          case _ => None // unbound -> round-robin
+        }
+        val sid = bound match {
+          case Some(id) => pool.getById(id).filter(_.isUsable(0L)) match {
+            case Some(sess) => sess.markUsed(); sess.id
+            case None => "COLLISION"
+          }
+          case None => pool.getSession(0L).id
+        }
+        (r, sid)
+      }
+    out.toSeq.toDF("r", "session_id")
+  }
+
+  // ---- Router: per-label handler dispatch (reference router.py:20-121) -----
+  // A real Router with two labeled handlers + default, dispatched over a
+  // label column synthesized from events; dispatch is the Router's codegen'd
+  // when-chain (no UDF). Output is the label -> handled-count matrix with
+  // the matched handler's extract flag tallied, so exact-match, default
+  // fallback for BOTH null and unregistered labels, and per-handler
+  // behavior flags are all oracle-checked.
+  register(
+    "rt_router_dispatch",
+    Some(
+      """SELECT
+        |  CASE WHEN event_id % 4 = 0 THEN 'CAT'
+        |       WHEN event_id % 4 = 1 THEN 'PROD'
+        |       ELSE 'DEF' END AS tag,
+        |  count(*) AS n_handled,
+        |  CAST(sum(CASE WHEN event_id % 4 = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_extracting
+        |FROM events WHERE event_id < 4000
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    )
+  ) { (s, dir) =>
+    val router = new graft.router.Router()
+      .defaultHandler(graft.router.PageHandler(tag = "DEF", linkLabel = Some("detail")))
+      .handler("category", graft.router.PageHandler(tag = "CAT"))
+      .handler("product", graft.router.PageHandler(tag = "PROD", extractLinks = false, emitImages = false))
+    val m = pmod(col("event_id"), lit(4))
+    val label = when(m === 0, lit("category"))
+      .when(m === 1, lit("product"))
+      .when(m === 2, lit(null).cast("string")) // null label -> default
+      .otherwise(lit("other")) // unregistered label -> default
+    t(s, dir, "events")
+      .filter(col("event_id") < 4000)
+      .select(router.tagCol(label).as("tag"), router.extractLinksCol(label).cast("int").as("ext"))
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("n_handled"), sum(col("ext")).as("n_extracting"))
+      .orderBy(col("tag"))
+  }
+
   // ---- F3: include/exclude glob filtering (real Globs) ---------------------
   register(
     "f3_glob_filter",
@@ -1137,6 +1257,37 @@ object QueryCatalog {
         |FROM votes GROUP BY doc_id""".stripMargin
     )
   ) { (s, dir) => TextOps.simhash32(t(s, dir, "documents"), "doc_id", "text") }
+
+  // ---- 64-bit SimHash (corpus-standard width; VERDICT r2 #10) ------------
+  // Fingerprint carried as two unsigned 32-bit halves so DuckDB's signed
+  // BIGINT never overflows on bit 63; hamming distance composes as
+  // bit_count(hi XOR hi') + bit_count(lo XOR lo').
+  register(
+    "td_dedup_simhash64",
+    Some(
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        |),
+        |h AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) AS wh_hi,
+        |         CAST(concat('0x', substr(md5(word), 9, 8)) AS BIGINT) AS wh_lo
+        |  FROM w WHERE length(word) > 0
+        |),
+        |votes AS (
+        |  SELECT doc_id, b.bit,
+        |         sum(CASE WHEN (CASE WHEN b.bit < 32 THEN wh_lo >> b.bit
+        |                             ELSE wh_hi >> (b.bit - 32) END) & 1 = 1
+        |                  THEN 1 ELSE -1 END) AS votes
+        |  FROM h, LATERAL generate_series(0, 63) b(bit)
+        |  GROUP BY doc_id, b.bit
+        |)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN votes > 0 AND bit >= 32 THEN CAST(1 AS BIGINT) << (bit - 32) ELSE 0 END) AS BIGINT) AS simhash_hi,
+        |  CAST(sum(CASE WHEN votes > 0 AND bit < 32 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS simhash_lo
+        |FROM votes GROUP BY doc_id""".stripMargin
+    )
+  ) { (s, dir) => TextOps.simhash64(t(s, dir, "documents"), "doc_id", "text") }
 
   private val LangMarkers: Map[String, Seq[String]] = Map(
     "sqlish" -> Seq("table", "scan", "join", "query", "filter"),

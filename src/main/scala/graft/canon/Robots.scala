@@ -111,6 +111,17 @@ object Robots {
     parse(originUrl, effective)
   }
 
+  /** Per-JVM parse cache for the robots-TABLE join path (SCALE.md §Crawl
+    * loop): when rules ride a join instead of a whole-map broadcast, each
+    * executor parses a host's robots body at most once. Bounded by a crude
+    * clear at 100k entries (a real deployment would LRU).
+    */
+  private val rulesCache = new java.util.concurrent.ConcurrentHashMap[String, RobotsRules]()
+  def cachedFromFetch(host: String, statusCode: Int, body: String): RobotsRules = {
+    if (rulesCache.size > 100000) rulesCache.clear()
+    rulesCache.computeIfAbsent(host, _ => fromFetch(s"https://$host", statusCode, body))
+  }
+
   def robotsUrl(anyUrlOnHost: String): String = {
     val p = UrlCanon.parse(anyUrlOnHost)
     p.origin + "/robots.txt"

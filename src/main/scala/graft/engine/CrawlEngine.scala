@@ -1,11 +1,11 @@
 package graft.engine
 
-import graft.canon.{EnqueueStrategy, Globs, RobotsRules, UrlCanon}
+import graft.canon.{EnqueueStrategy, Globs, Robots, RobotsRules, UrlCanon}
 import graft.expr.UrlFunctions
 import graft.oracle.{CrawlConfig, RequestOptions, SeedRequest}
 import graft.queue.FrontierStore
 import graft.schema.RequestState
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -51,7 +51,13 @@ final class CrawlEngine(
     retryAfterFn: (String, Int) => Option[Int] = (_, _) => None,
     // X5 keep_alive idle hook: batchIdx => Some(new seeds) keeps the crawl
     // alive (possibly with no new work this tick); None stops it
-    onIdle: Int => Option[Seq[SeedRequest]] = _ => None
+    onIdle: Int => Option[Seq[SeedRequest]] = _ => None,
+    // Robots-at-scale path (SCALE.md §Crawl loop): rules as a TABLE
+    // (host, status, body) JOINED against the claim set and the enqueue
+    // candidates instead of a whole-map driver broadcast — the shape for
+    // 10^6+ hosts. When set, `robotsByHost` may be empty; each executor
+    // parses a host's rules at most once (Robots.cachedFromFetch).
+    robotsTable: Option[DataFrame] = None
 ) extends Serializable {
 
   import CrawlEngine._
@@ -65,7 +71,9 @@ final class CrawlEngine(
       emittedImageIds: Seq[String], // empty when trackImages = false
       emittedImageCount: Long,
       processedCount: Long,
-      batches: Int
+      batches: Int,
+      handledTags: Map[String, String] = Map.empty, // uniqueKey -> router handler tag
+      collidedKeys: Set[String] = Set.empty // session-collision terminal failures
   )
 
   def run(seeds: Seq[String]): EngineResult = runRequests(seeds.map(u => SeedRequest(u)))
@@ -79,6 +87,8 @@ final class CrawlEngine(
   }
 
   def runRequests(seeds: Seq[SeedRequest]): EngineResult = {
+    val runT0 = System.nanoTime()
+    stopRequested = false // each run() honors only ITS stop() calls
     import spark.implicits._
     UrlFunctions.register(spark)
     // error-handler replacement can move a key across host buckets; the
@@ -95,6 +105,45 @@ final class CrawlEngine(
         robotsBc.value.get(host).forall(_.isAllowed(url))
       }
     }
+
+    // --- robots TABLE mode (SCALE.md §Crawl loop) ----------------------------
+    // Rules ride a join keyed by host instead of a whole-map broadcast:
+    // only hosts actually PRESENT in the claim set / candidate set move,
+    // and each executor parses a body at most once (per-JVM cache). A
+    // missing robots row (left-join null status) means "no robots.txt" =>
+    // allowed, matching the map path's `forall`.
+    val robotsJoinMode = robotsTable.isDefined && respectRobots
+    val robotsRulesUdf = udf { (url: String, host: String, st: java.lang.Integer, body: String) =>
+      if (url == null) false
+      else st == null || Robots.cachedFromFetch(host, st.intValue(), body).isAllowed(url)
+    }
+    lazy val robotsRt = robotsTable.get.select(
+      col("host").as("rb_host"), col("status").as("rb_status"), col("body").as("rb_body"))
+    /** Filter `df` to rows whose `urlCol` passes robots, via the table join. */
+    def robotsFilterJoin(df: DataFrame, urlCol: String, hostCol: Column): DataFrame =
+      df.withColumn("__rb_key", hostCol)
+        .join(robotsRt, col("__rb_key") === col("rb_host"), "left")
+        .filter(robotsRulesUdf(col(urlCol), col("__rb_key"), col("rb_status"), col("rb_body")))
+        .drop("__rb_key", "rb_host", "rb_status", "rb_body")
+    /** Driver-side robots lookup for a small URL set (seed gate F7). */
+    def robotsAllowsDriver(urls: Seq[String]): Map[String, Boolean] =
+      if (!respectRobots) urls.map(_ -> true).toMap
+      else if (!robotsJoinMode)
+        urls.map { u =>
+          val host = UrlCanon.normalizeHost(UrlCanon.parse(u).host)
+          u -> robotsByHost.get(host).forall(_.isAllowed(u))
+        }.toMap
+      else {
+        val hosts = urls.map(u => UrlCanon.normalizeHost(UrlCanon.parse(u).host)).distinct
+        val rows = robotsRt.filter(col("rb_host").isInCollection(hosts)).collect()
+          .map(r => r.getString(0) -> (r.getInt(1), r.getString(2))).toMap
+        urls.map { u =>
+          val host = UrlCanon.normalizeHost(UrlCanon.parse(u).host)
+          u -> rows.get(host).forall { case (st, body) =>
+            Robots.cachedFromFetch(host, st, body).isAllowed(u)
+          }
+        }.toMap
+      }
     val statusFn = statusAtFn
     val statusUdf = udf { (url: String, attempt: Int) => statusFn(url, attempt) }
     val raFn = retryAfterFn
@@ -123,13 +172,13 @@ final class CrawlEngine(
     // Seeds are driver-provided (small) so the full Request row — method,
     // payload, headers, user_data, retry overrides — is built driver-side;
     // the extended unique key (C2) comes straight from SeedRequest.
+    if (cfg.preFillSessions > 0) sessionPool.fillTo(cfg.preFillSessions, 0L)
+
     def enqueueSeeds(srs: Seq[SeedRequest]): Unit = {
       if (srs.isEmpty) return
+      val seedAllowed = robotsAllowsDriver(srs.map(_.url))
       val rows = srs.zipWithIndex.collect {
-        case (sr, i) if !respectRobots || {
-              val host = UrlCanon.normalizeHost(UrlCanon.parse(sr.url).host)
-              robotsByHost.get(host).forall(_.isAllowed(sr.url))
-            } =>
+        case (sr, i) if seedAllowed(sr.url) =>
           org.apache.spark.sql.Row(
             sr.uniqueKey,
             sr.url,
@@ -139,6 +188,7 @@ final class CrawlEngine(
             sr.payload,
             if (sr.headers == null) null else sr.headers.toMap,
             sr.userDataJson.orNull,
+            sr.sessionId.orNull,
             0,
             false,
             sr.noRetry,
@@ -146,6 +196,7 @@ final class CrawlEngine(
             i.toLong
           )
       }
+      boundSessionIds ++= srs.flatMap(_.sessionId)
       val seedDf = spark.createDataFrame(
         spark.sparkContext.parallelize(rows, math.max(1, math.min(rows.size, 4))),
         CrawlEngine.seedSchema)
@@ -154,6 +205,8 @@ final class CrawlEngine(
     enqueueSeeds(seeds)
 
     val crawlOrder = mutable.ArrayBuffer.empty[String]
+    val handledTags = mutable.HashMap.empty[String, String]
+    val collidedSessions = mutable.HashSet.empty[String]
     val handledOk = mutable.HashSet.empty[String]
     val failedKeys = mutable.HashSet.empty[String]
     val skippedRobots = mutable.HashSet.empty[String]
@@ -162,9 +215,23 @@ final class CrawlEngine(
     var processedTotal = 0L
     seenCount = 0L
     var batchIdx = 0
-    val throttle = new graft.politeness.DomainThrottle(robotsByHost.map { case (h, r) =>
-      h -> r.crawlDelay().getOrElse(0)
-    })
+    // Politeness delays: in table mode they come from ONE pass over the
+    // robots table (only hosts that declare a delay are collected — the
+    // SCALE.md "state rows only for throttled hosts" shape), else from the
+    // driver map.
+    val crawlDelays: Map[String, Int] =
+      if (robotsJoinMode && enforcePoliteness) {
+        robotsRt
+          .filter(col("rb_body").contains("Crawl-delay") && col("rb_status") < 400)
+          .collect()
+          .map { r =>
+            val host = r.getString(0)
+            host -> Robots.cachedFromFetch(host, r.getInt(1), r.getString(2)).crawlDelay().getOrElse(0)
+          }
+          .filter(_._2 > 0)
+          .toMap
+      } else robotsByHost.map { case (h, r) => h -> r.crawlDelay().getOrElse(0) }
+    val throttle = new graft.politeness.DomainThrottle(crawlDelays)
 
     // A7 per-batch metrics: buffered driver-side and flushed every 16
     // batches + at crawl end — one parquet write job PER BATCH was a pure
@@ -181,6 +248,7 @@ final class CrawlEngine(
         .coalesce(1)
         .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(metricsDir)
       metricsBuf.clear()
+      runStats.persist() // PERSIST_STATE cadence rides the metrics flush
     }
     def appendMetrics(batch: Int, nowMs: Long, claimed: Long, terminal: Long,
         images: Long, wallMs: Long): Unit = {
@@ -189,7 +257,7 @@ final class CrawlEngine(
     }
 
     var done = false
-    while (!done && processedTotal < cfg.maxRequestsPerCrawl) {
+    while (!done && !stopRequested && processedTotal < cfg.maxRequestsPerCrawl) {
       val batchT0 = System.nanoTime()
       val nowMs = batchIdx.toLong * batchPeriodMs
       // R6: never claim more than the remaining budget (reproduces the
@@ -258,9 +326,32 @@ final class CrawlEngine(
       } else {
         val processedBefore = processedTotal
         // --- robots re-check at fetch time (F6) ------------------------------
-        val withRobots = batch.withColumn("robots_ok", robotsAllowedUdf(col("url")))
+        val withRobots =
+          if (!robotsJoinMode) batch.withColumn("robots_ok", robotsAllowedUdf(col("url")))
+          else // F6 via the robots-table join: rules move only for claim hosts
+            batch.join(robotsRt, batch("host") === col("rb_host"), "left")
+              .withColumn("robots_ok",
+                robotsRulesUdf(col("url"), col("host"), col("rb_status"), col("rb_body")))
+              .drop("rb_host", "rb_status", "rb_body")
         val robotsSkipped = withRobots.filter(!col("robots_ok"))
-        val allowed = withRobots.filter(col("robots_ok"))
+        val allowed0 = withRobots.filter(col("robots_ok"))
+
+        // --- session-request collision check (reference
+        // _basic_crawler.py:1673-1686): a request strictly bound to a
+        // session whose Session is no longer available in the pool fails
+        // terminally WITHOUT a fetch (RequestCollisionError -> no_retry).
+        // The bound-id set is tiny (only seeds can bind), so availability
+        // is resolved driver-side once per batch and pushed down as an
+        // isin literal — zero cost for unbound crawls.
+        val unavailableBound: Set[String] =
+          if (boundSessionIds.isEmpty) Set.empty
+          else boundSessionIds.toSet.filter(id => !sessionPool.getById(id).exists(_.isUsable(nowMs)))
+        val (collided, allowed) =
+          if (unavailableBound.isEmpty)
+            (allowed0.filter(lit(false)), allowed0)
+          else
+            (allowed0.filter(col("session_id").isInCollection(unavailableBound)),
+             allowed0.filter(col("session_id").isNull || !col("session_id").isInCollection(unavailableBound)))
 
         // --- synthetic fetch: join page table; resolve one redirect hop ------
         val fetched = allowed
@@ -372,8 +463,29 @@ final class CrawlEngine(
           case None => canRetry0
         }
 
+        // --- router dispatch (reference router.py:113-121) --------------------
+        // handler resolution is a tiny per-label lookup riding as columns on
+        // the fetched rows; exact-match, default fallback, error when
+        // unmatched with no default (the resolve throw surfaces in the job)
+        val routed = cfg.router match {
+          case Some(r) =>
+            // dispatch compiles to a when-chain over the label column —
+            // whole-stage codegen, no UDF (Router.chain)
+            ok200
+              .withColumn("h_extract", r.extractLinksCol(col("label")))
+              .withColumn("h_link_label", r.linkLabelCol(col("label")))
+              .withColumn("h_emit", r.emitImagesCol(col("label")))
+              .withColumn("h_tag", r.tagCol(col("label")))
+          case None =>
+            ok200
+              .withColumn("h_extract", lit(true))
+              .withColumn("h_link_label", lit(null).cast("string"))
+              .withColumn("h_emit", lit(true))
+              .withColumn("h_tag", lit(null).cast("string"))
+        }
+
         // --- handler: link extraction + enqueue pipeline (L1-L4) -------------
-        val maxDepthOk = ok200.filter(col("depth") + 1 <= cfg.maxCrawlDepth)
+        val maxDepthOk = routed.filter(col("h_extract") && col("depth") + 1 <= cfg.maxCrawlDepth)
         val hrefs = maxDepthOk
           .select(
             col("unique_key").as("parent_key"),
@@ -381,6 +493,7 @@ final class CrawlEngine(
             col("depth"),
             col("claim_rank"),
             col("base_url"),
+            col("h_link_label"),
             posexplode(col("links")).as(Seq("link_idx", "raw_link"))
           )
         val resolved = hrefs
@@ -399,7 +512,7 @@ final class CrawlEngine(
           .filter(col("link_rank") <= cfg.linksPerPageLimit)
         // F9 user transform: rewrite/drop/label the request before robots +
         // enqueue (the label routes per-label handlers, reference router.py)
-        val eligible = (cfg.transformRequest match {
+        val eligibleT = (cfg.transformRequest match {
           case Some(fn) =>
             val tf = udf { (u: String) =>
               fn(RequestOptions(u, None)).map(r => Seq(r.url, r.label.orNull)).orNull
@@ -408,10 +521,17 @@ final class CrawlEngine(
               .withColumn("__tf", tf(col("abs_url")))
               .filter(col("__tf").isNotNull)
               .withColumn("abs_url", element_at(col("__tf"), 1))
-              .withColumn("link_label", element_at(col("__tf"), 2))
+              // transform label wins; the routing handler's enqueue default
+              // applies when the transform leaves it unset
+              .withColumn("link_label", coalesce(element_at(col("__tf"), 2), col("h_link_label")))
               .drop("__tf")
-          case None => eligible0.withColumn("link_label", lit(null).cast("string"))
-        }).filter(robotsAllowedUdf(col("abs_url"))) // F5
+          case None => eligible0.withColumn("link_label", col("h_link_label"))
+        })
+        // F5 robots gate at enqueue: map-mode probe, or the robots-table
+        // join keyed by each candidate link's host
+        val eligible =
+          if (!robotsJoinMode) eligibleT.filter(robotsAllowedUdf(col("abs_url")))
+          else robotsFilterJoin(eligibleT, "abs_url", UrlFunctions.hostOf(col("abs_url")))
         // cand_order composes (claim_rank, dense per-parent link_rank) with a
         // collision-free stride: link_rank <= links on one page < 2^20, so
         // distinct (parent, link) pairs never collide (the round-1 *10000
@@ -429,7 +549,8 @@ final class CrawlEngine(
         )
 
         // --- image emission (D1) ---------------------------------------------
-        val images = ok200
+        val images = routed
+          .filter(col("h_emit"))
           .select(col("unique_key"), explode_outer(col("p_images")).as("image_id"))
           .filter(col("image_id").isNotNull)
 
@@ -445,6 +566,7 @@ final class CrawlEngine(
           .unionByName(term(rotateExhausted, ok = false, RequestState.Error))
           .unionByName(term(redirFailed, ok = false, RequestState.Skipped))
           .unionByName(term(robotsSkipped, ok = false, RequestState.Skipped))
+          .unionByName(term(collided, ok = false, RequestState.Error))
 
         // failed-request handler: one driver hop over ONLY the terminally-
         // failed rows of this batch (few by construction), in claim order —
@@ -454,6 +576,7 @@ final class CrawlEngine(
           fail404.select(col("claim_rank"), col("url"), col("label"))
             .unionByName(exhausted.select(col("claim_rank"), col("url"), col("label")))
             .unionByName(rotateExhausted.select(col("claim_rank"), col("url"), col("label")))
+            .unionByName(collided.select(col("claim_rank"), col("url"), col("label")))
             .collect()
             .sortBy(_.getInt(0))
             .foreach(r => h(RequestOptions(r.getString(1), Option(r.getString(2)))))
@@ -462,7 +585,7 @@ final class CrawlEngine(
         // --- driver-side bookkeeping: ONE collect for the whole batch ----------
         // (collected BEFORE the commit mutates state — see batch checkpoint note)
         // outcome codes: 0=ok, 1=fail404, 2=retry, 3=exhausted/rotation-exhausted,
-        // 4=blocked-rotate, 10=redir_fail, 11=robots_skip
+        // 4=blocked-rotate, 10=redir_fail, 11=robots_skip, 12=session-collision
         val disposition = unioned
           .select(
             col("claim_rank"),
@@ -479,15 +602,28 @@ final class CrawlEngine(
             when(col("eff_status") === 200 && !isBlockedRow, coalesce(size(col("p_images")), lit(0)))
               .otherwise(0)
               .as("n_images"),
-            (col("eff_status") === 429).as("is429")
+            (col("eff_status") === 429).as("is429"),
+            col("label").as("r_label"),
+            col("session_id").as("r_session"),
+            col("retry_count").as("r_retry")
           )
           .unionByName(
             redirFailed.select(col("claim_rank"), col("url"), col("unique_key"), col("host"),
-              lit(10).as("outcome"), lit(0).as("n_images"), lit(false).as("is429"))
+              lit(10).as("outcome"), lit(0).as("n_images"), lit(false).as("is429"),
+              col("label").as("r_label"), col("session_id").as("r_session"),
+              col("retry_count").as("r_retry"))
           )
           .unionByName(
             robotsSkipped.select(col("claim_rank"), col("url"), col("unique_key"), col("host"),
-              lit(11).as("outcome"), lit(0).as("n_images"), lit(false).as("is429"))
+              lit(11).as("outcome"), lit(0).as("n_images"), lit(false).as("is429"),
+              col("label").as("r_label"), col("session_id").as("r_session"),
+              col("retry_count").as("r_retry"))
+          )
+          .unionByName(
+            collided.select(col("claim_rank"), col("url"), col("unique_key"), col("host"),
+              lit(12).as("outcome"), lit(0).as("n_images"), lit(false).as("is429"),
+              col("label").as("r_label"), col("session_id").as("r_session"),
+              col("retry_count").as("r_retry"))
           )
         // the disposition collect and the commit both read only PINNED frames
         // (batch + unioned are checkpointed) — run them concurrently so the
@@ -514,18 +650,35 @@ final class CrawlEngine(
             val key = r.getString(2)
             val host = r.getString(3)
             val outcome = r.getInt(4)
-            // robots skips (11) were never fetched; redirect-strategy fails (10)
-            // WERE fetched (the oracle logs them before the re-check)
-            if (outcome != 11) crawlOrder += url
+            // robots skips (11) and session collisions (12) were never
+            // fetched; redirect-strategy fails (10) WERE fetched (the
+            // oracle logs them before the re-check)
+            if (outcome != 11 && outcome != 12) crawlOrder += url
             outcome match {
-              case 0 => handledOk += key; processedTotal += 1
-              case 1 | 3 => failedKeys += key; processedTotal += 1
+              case 0 =>
+                handledOk += key; processedTotal += 1
+                runStats.recordTerminal(finished = true, r.getInt(9))
+                // router dispatch record (driver-side resolve mirrors the
+                // column-side dispatch — same handler table)
+                cfg.router.foreach(rt => handledTags(key) = rt.resolve(Option(r.getString(7))).tag)
+              case 1 | 3 =>
+                failedKeys += key; processedTotal += 1
+                runStats.recordTerminal(finished = false, r.getInt(9))
               case 10 => processedTotal += 1
               case 11 => skippedRobots += key
+              case 12 =>
+                failedKeys += key; collidedSessions += key; processedTotal += 1
+                runStats.recordTerminal(finished = false, r.getInt(9))
               case _ => // retry / rotation: not terminal
             }
-            if (cfg.detectBlocked && outcome != 11) {
-              val sess = sessionPool.getSession(nowMs)
+            // session accounting runs when blocked-detection is on OR any
+            // request carries a session binding; a bound request uses ITS
+            // session (get_session_by_id), an unbound one round-robins
+            if ((cfg.detectBlocked || boundSessionIds.nonEmpty) && outcome != 11 && outcome != 12) {
+              val sess = Option(r.getString(8)).flatMap(sessionPool.getById) match {
+                case Some(bound) => bound.markUsed(); bound
+                case None => sessionPool.getSession(nowMs)
+              }
               if (outcome == 4) sess.retire() // SessionError -> rotate
               else if (outcome == 0) sess.markGood()
             }
@@ -534,6 +687,11 @@ final class CrawlEngine(
               if (r.getBoolean(6)) images429 = images429.updated(host, images429.getOrElse(host, 0L) + 1)
             }
           }
+          // R5 abort_on_error: any terminal failure in this (drained) batch
+          // ends the crawl (_basic_crawler.py:1411-1414)
+          if (cfg.abortOnError &&
+              dispositionRows.exists(r => { val o = r.getInt(4); o == 1 || o == 3 || o == 12 }))
+            done = true
           if (trackImages)
             emittedImages ++= images.select(col("image_id")).collect().map(_.getString(0))
           else
@@ -544,7 +702,7 @@ final class CrawlEngine(
           // bench path: six aggregate rows instead of an O(batch) collect,
           // overlapped with the commit
           val aggF = Future(
-            disposition.groupBy(col("outcome"))
+            disposition.groupBy(col("outcome"), col("r_retry"))
               .agg(count(lit(1)).as("cnt"), sum(col("n_images")).as("imgs"))
               .collect())
           trace("commit-results")(store.commitBatch(
@@ -559,10 +717,18 @@ final class CrawlEngine(
           val aggRows = trace("disposition")(Await.result(aggF, Duration.Inf))
           aggRows.foreach { r =>
             val outcome = r.getInt(0)
-            val cnt = r.getLong(1)
-            if (outcome == 0 || outcome == 1 || outcome == 3 || outcome == 10) processedTotal += cnt
-            if (outcome == 0 && !r.isNullAt(2)) emittedImageCount += r.getLong(2)
+            val retry = r.getInt(1)
+            val cnt = r.getLong(2)
+            if (outcome == 0 || outcome == 1 || outcome == 3 || outcome == 10 || outcome == 12)
+              processedTotal += cnt
+            if (outcome == 0) runStats.recordTerminal(finished = true, retry, cnt)
+            else if (outcome == 1 || outcome == 3 || outcome == 12)
+              runStats.recordTerminal(finished = false, retry, cnt)
+            if (outcome == 0 && !r.isNullAt(3)) emittedImageCount += r.getLong(3)
           }
+          if (cfg.abortOnError &&
+              aggRows.exists(r => { val o = r.getInt(0); o == 1 || o == 3 || o == 12 }))
+            done = true
           if (enforcePoliteness) {
             val hostRows = batch.groupBy(col("host")).count().collect()
             val claimedPerHost = hostRows.map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -583,7 +749,9 @@ final class CrawlEngine(
       if (trackOrder) store.state().select(col("unique_key")).collect().map(_.getString(0)).toSet
       else Set.empty[String]
     seenCount = if (trackOrder) seen.size.toLong else store.state().count()
+    runStats.addRuntime((System.nanoTime() - runT0) / 1000000L)
     flushMetrics()
+    runStats.persist()
     pagesDf.unpersist(false)
     EngineResult(
       crawlOrder.toSeq,
@@ -594,19 +762,49 @@ final class CrawlEngine(
       emittedImages.toSeq,
       if (trackImages) emittedImages.size.toLong else emittedImageCount,
       processedTotal,
-      batchIdx
+      batchIdx,
+      handledTags.toMap,
+      collidedSessions.toSet
     )
   }
 
   /** Row count of the final seen-set (valid in both tracking modes). */
   @volatile var seenCount: Long = 0L
 
+  /** Cooperative stop (reference BasicCrawler.stop(),
+    * _basic_crawler.py:539-548): callable from any thread or from inside a
+    * handler callback; the CURRENT batch drains (its commit is atomic), no
+    * further batch is claimed — the reference's "ongoing requests will be
+    * allowed to complete".
+    */
+  @volatile private var stopRequested = false
+  def stop(): Unit = stopRequested = true
+
   /** R4 session pool: one session per dispatched request (round-robin,
     * deterministic substitution for the reference's random pick); a blocked
     * dispatch retires its session (reference rotation,
     * _basic_crawler.py:1515-1558). Driven in trackOrder mode.
     */
-  val sessionPool = new graft.sessions.SessionPool()
+  val sessionPool = new graft.sessions.SessionPool(
+    maxPoolSize = cfg.sessionPoolSize, maxUsageCount = cfg.sessionMaxUsage)
+
+  /** A7 + statistics resume (reference _statistics.py:80,284-299 +
+    * RecoverableState): terminal-request counters and the retry histogram
+    * persist to a KVS beside the frontier and RESUME across engine
+    * restarts on the same store — final statistics after a kill+resume
+    * equal an uninterrupted run's (test_basic_crawler.py:2155-2248).
+    * Persisted on the metrics-flush cadence and at crawl end, so a crash
+    * can at most replay the unflushed tail (same at-least-once semantic as
+    * the reference's periodic PERSIST_STATE).
+    */
+  val runStats = new graft.stats.RunStatistics(
+    new graft.storage.KeyValueStore(spark, s"${store.root}/stats_kvs"))
+
+  /** Session ids any seed has ever bound to (reference `session_id`,
+    * _request.py:61-62) — collision checks only consult this small set, so
+    * unbound crawls pay nothing.
+    */
+  private val boundSessionIds = mutable.HashSet.empty[String]
 }
 
 object CrawlEngine {
@@ -644,6 +842,7 @@ object CrawlEngine {
     StructField("payload", BinaryType),
     StructField("headers", MapType(StringType, StringType)),
     StructField("user_data_json", StringType),
+    StructField("session_id", StringType),
     StructField("depth", IntegerType),
     StructField("forefront", BooleanType),
     StructField("no_retry", BooleanType),

@@ -176,6 +176,41 @@ object TextOps {
       .agg(sum(col("bitval")).as("simhash"))
   }
 
+  /** 64-bit SimHash (the corpus-standard width). The word hash is 64 bits
+    * taken as two md5 32-bit halves; the fingerprint is returned as
+    * (simhash_hi, simhash_lo) — unsigned 32-bit halves in BIGINTs, so
+    * neither engine touches signed-64 overflow on bit 63. Hamming distance
+    * between fingerprints = bit_count(hi XOR hi') + bit_count(lo XOR lo').
+    * One explode of 64 bit positions per word, one (id, bit) shuffle —
+    * same 100 TB shape as simhash32.
+    */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .withColumn("wh_hi", conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long"))
+      .withColumn("wh_lo", conv(substring(md5(col("word")), 9, 8), 16, 10).cast("long"))
+    words
+      .select(col(idCol), explode(sequence(lit(0), lit(63))).as("bit"), col("wh_hi"), col("wh_lo"))
+      .withColumn(
+        "wbit",
+        when(col("bit") < 32, expr("shiftright(wh_lo, bit)"))
+          .otherwise(expr("shiftright(wh_hi, bit - 32)"))
+          .bitwiseAND(1))
+      .withColumn("vote", when(col("wbit") === 1, 1).otherwise(-1))
+      .groupBy(col(idCol), col("bit"))
+      .agg(sum(col("vote")).as("votes"))
+      .withColumn(
+        "lo_val",
+        when(col("votes") > 0 && col("bit") < 32, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+          .otherwise(0L))
+      .withColumn(
+        "hi_val",
+        when(col("votes") > 0 && col("bit") >= 32, expr("shiftleft(CAST(1 AS BIGINT), bit - 32)"))
+          .otherwise(0L))
+      .groupBy(col(idCol))
+      .agg(sum(col("hi_val")).as("simhash_hi"), sum(col("lo_val")).as("simhash_lo"))
+  }
+
   /** Language-ID by marker-token voting: the language whose marker set
     * hits the text most wins (ties broken lexicographically). A real
     * deployment swaps markers for character-n-gram profiles; the operator

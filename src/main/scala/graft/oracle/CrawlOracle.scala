@@ -23,7 +23,8 @@ final class MemoryQueueOracle {
       var noRetry: Boolean = false,
       var maxRetries: Option[Int] = None,
       var label: Option[String] = None,
-      var rotationCount: Int = 0
+      var rotationCount: Int = 0,
+      var sessionId: Option[String] = None
   )
 
   private val pending = mutable.LinkedHashMap.empty[String, OracleRequest]
@@ -104,6 +105,9 @@ final case class SeedRequest(
     headers: Seq[(String, String)] = null,
     label: Option[String] = None,
     userDataJson: Option[String] = None,
+    // strict binding to a Session by id (reference _request.py:61-62) —
+    // dispatch fails with a collision when the session is unavailable
+    sessionId: Option[String] = None,
     noRetry: Boolean = false,
     maxRetries: Option[Int] = None,
     useExtendedUniqueKey: Boolean = false
@@ -135,6 +139,9 @@ final case class CrawlConfig(
     failedRequestHandler: Option[RequestOptions => Unit] = None,
     // X5 keep_alive: don't stop on empty queue (_basic_crawler.py:189-190)
     keepAlive: Boolean = false,
+    // R5 abort_on_error: the first terminally-failed request finishes the
+    // in-flight work and shuts the crawl down (_basic_crawler.py:1411-1414)
+    abortOnError: Boolean = false,
     // X4 max_tasks_per_minute: per-batch claim budget cap =
     // rate * batchPeriod / 60000 (reference _autoscaling/_system_status.py
     // task-rate limiting surface)
@@ -144,7 +151,17 @@ final case class CrawlConfig(
     // max_session_rotations (_basic_crawler.py:144-152,990-991;
     // _abstract_http_crawler.py:316-332)
     detectBlocked: Boolean = false,
-    maxSessionRotations: Int = 10
+    maxSessionRotations: Int = 10,
+    // session pool shape (engine and oracle build identical deterministic
+    // pools; reference sessions/_session_pool.py:36-225). preFillSessions
+    // pre-creates ids session_000000..N-1 so requests can bind to them.
+    sessionPoolSize: Int = 1000,
+    sessionMaxUsage: Int = 50,
+    preFillSessions: Int = 0,
+    // per-label handler dispatch (reference router.py:20-121): requests are
+    // routed to the registered handler for their label, falling back to the
+    // default handler; an unmatched label with no default is an error
+    router: Option[graft.router.Router] = None
 ) extends Serializable
 
 final case class OracleResult(
@@ -154,7 +171,9 @@ final case class OracleResult(
     failedKeys: Set[String],
     skippedRobotsKeys: Set[String],
     emittedImageIds: Seq[String],
-    attempts: Map[String, Int]
+    attempts: Map[String, Int],
+    handledTags: Map[String, String] = Map.empty, // uniqueKey -> router handler tag
+    collidedKeys: Set[String] = Set.empty // session-collision terminal failures
 )
 
 object CrawlOracle {
@@ -205,9 +224,18 @@ object CrawlOracle {
     val seedReqs = seeds.flatMap { sr =>
       if (!robotsAllowed(sr.url)) None
       else Some(OracleRequest(sr.uniqueKey, sr.url, depth = 0,
-        noRetry = sr.noRetry, maxRetries = sr.maxRetries, label = sr.label))
+        noRetry = sr.noRetry, maxRetries = sr.maxRetries, label = sr.label,
+        sessionId = sr.sessionId))
     }
     queue.addBatch(seedReqs)
+
+    // R4 session pool — mirrors the engine's driver-side pool exactly
+    // (same deterministic round-robin); accounting runs when
+    // blocked-detection is on or any request binds a session
+    val sessionPool = new graft.sessions.SessionPool(
+      maxPoolSize = cfg.sessionPoolSize, maxUsageCount = cfg.sessionMaxUsage)
+    if (cfg.preFillSessions > 0) sessionPool.fillTo(cfg.preFillSessions, 0L)
+    val bindingActive = seeds.exists(_.sessionId.isDefined)
 
     val crawlOrder = mutable.ArrayBuffer.empty[String]
     val handledOk = mutable.HashSet.empty[String]
@@ -215,9 +243,12 @@ object CrawlOracle {
     val skippedRobots = mutable.HashSet.empty[String]
     val images = mutable.ArrayBuffer.empty[String]
     val attempts = mutable.HashMap.empty[String, Int].withDefaultValue(0)
+    val handledTags = mutable.HashMap.empty[String, String]
+    val collided = mutable.HashSet.empty[String]
     var processedTotal = 0L
+    var aborted = false // R5 abort_on_error (_basic_crawler.py:1411-1414)
 
-    while (!queue.isFinished && processedTotal < cfg.maxRequestsPerCrawl) {
+    while (!aborted && !queue.isFinished && processedTotal < cfg.maxRequestsPerCrawl) {
       queue.fetchNext() match {
         case None => // only in-progress left; single-threaded ⇒ done
           processedTotal = cfg.maxRequestsPerCrawl
@@ -226,7 +257,27 @@ object CrawlOracle {
           if (!robotsAllowed(req.url)) {
             queue.markHandled(req)
             skippedRobots += req.uniqueKey
+          } else if (req.sessionId.exists(sid => !sessionPool.getById(sid).exists(_.isUsable(0L)))) {
+            // RequestCollisionError (reference _basic_crawler.py:1673-1686):
+            // the bound Session is no longer available in the pool ->
+            // no_retry terminal failure WITHOUT a fetch
+            failed += req.uniqueKey
+            collided += req.uniqueKey
+            cfg.failedRequestHandler.foreach(h => h(RequestOptions(req.url, req.label)))
+            queue.markHandled(req)
+            processedTotal += 1
+            if (cfg.abortOnError) aborted = true
           } else {
+            // session accounting at dispatch (mirrors the engine's
+            // disposition loop): a bound request uses ITS session, an
+            // unbound one round-robins via getSession
+            val sessOpt =
+              if (cfg.detectBlocked || bindingActive)
+                Some(req.sessionId.flatMap(sessionPool.getById) match {
+                  case Some(bound) => bound.markUsed(); bound
+                  case None => sessionPool.getSession(0L)
+                })
+              else None
             val attempt = attempts(req.uniqueKey)
             attempts(req.uniqueKey) = attempt + 1
             crawlOrder += req.url
@@ -237,6 +288,7 @@ object CrawlOracle {
               cfg.failedRequestHandler.foreach(h => h(RequestOptions(req.url, req.label)))
               queue.markHandled(req)
               processedTotal += 1
+              if (cfg.abortOnError) aborted = true
             }
             val page0 = pagesByUrl.get(req.url)
             page0 match {
@@ -272,33 +324,46 @@ object CrawlOracle {
                   // retry; rotations have their own budget
                   if (req.rotationCount < cfg.maxSessionRotations) {
                     req.rotationCount += 1
+                    sessOpt.foreach(_.retire()) // SessionError -> rotate
                     queue.reclaim(req)
                   } else terminalFail()
                 } else if (status == 200) {
+                  // router dispatch (router.py:113-121): resolve the handler
+                  // for this request's label (default fallback; error when
+                  // unmatched and no default is configured)
+                  val handlerOpt = cfg.router.map(_.resolve(req.label))
+                  handlerOpt.foreach(h => handledTags(req.uniqueKey) = h.tag)
                   // handler: extract links, enqueue, emit images (L1-L4)
-                  val base = extractBase(page.body).getOrElse(loadedUrl)
-                  val links = extractHrefs(page.body).iterator
-                    .map(l => if (UrlCanon.isAbsolute(l)) l else UrlCanon.resolve(base, l))
-                    .filter(_ != null)
-                    .toSeq
-                  val eligible = links.filter { l =>
-                    EnqueueStrategy.filterUrl(l, cfg.strategy, req.url)._1 && patternsOk(l)
-                  }.take(cfg.linksPerPageLimit)
-                  // F9 user transform: rewrite / drop before robots + enqueue
-                  val transformed = cfg.transformRequest match {
-                    case Some(fn) =>
-                      eligible.flatMap(l => fn(RequestOptions(l, None)).map(r => (r.url, r.label)))
-                    case None => eligible.map(l => (l, Option.empty[String]))
-                  }
-                  // robots partition at enqueue (F5)
-                  val (allowedLinks, _) = transformed.partition { case (u, _) => robotsAllowed(u) }
-                  val children = allowedLinks
-                    .filter(_ => req.depth + 1 <= cfg.maxCrawlDepth) // F10
-                    .map { case (l, lbl) =>
-                      OracleRequest(UniqueKey.compute(l), l, req.depth + 1, label = lbl)
+                  if (handlerOpt.forall(_.extractLinks)) {
+                    val base = extractBase(page.body).getOrElse(loadedUrl)
+                    val links = extractHrefs(page.body).iterator
+                      .map(l => if (UrlCanon.isAbsolute(l)) l else UrlCanon.resolve(base, l))
+                      .filter(_ != null)
+                      .toSeq
+                    val eligible = links.filter { l =>
+                      EnqueueStrategy.filterUrl(l, cfg.strategy, req.url)._1 && patternsOk(l)
+                    }.take(cfg.linksPerPageLimit)
+                    // F9 user transform: rewrite / drop before robots + enqueue
+                    val transformed = cfg.transformRequest match {
+                      case Some(fn) =>
+                        eligible.flatMap(l => fn(RequestOptions(l, None)).map(r => (r.url, r.label)))
+                      case None => eligible.map(l => (l, Option.empty[String]))
                     }
-                  queue.addBatch(children, forefront = cfg.enqueueForefront)
-                  images ++= page.image_ids
+                    // robots partition at enqueue (F5)
+                    val (allowedLinks, _) = transformed.partition { case (u, _) => robotsAllowed(u) }
+                    // the handler's enqueue_links(label=...) default applies
+                    // when the transform did not set one (router surface)
+                    val defaultLinkLabel = handlerOpt.flatMap(_.linkLabel)
+                    val children = allowedLinks
+                      .filter(_ => req.depth + 1 <= cfg.maxCrawlDepth) // F10
+                      .map { case (l, lbl) =>
+                        OracleRequest(UniqueKey.compute(l), l, req.depth + 1,
+                          label = lbl.orElse(defaultLinkLabel))
+                      }
+                    queue.addBatch(children, forefront = cfg.enqueueForefront)
+                  }
+                  if (handlerOpt.forall(_.emitImages)) images ++= page.image_ids
+                  sessOpt.foreach(_.markGood())
                   handledOk += req.uniqueKey
                   queue.markHandled(req)
                   processedTotal += 1
@@ -332,7 +397,9 @@ object CrawlOracle {
       failed.toSet,
       skippedRobots.toSet,
       images.toSeq,
-      attempts.toMap
+      attempts.toMap,
+      handledTags.toMap,
+      collided.toSet
     )
   }
 

@@ -44,7 +44,11 @@ final class FrontierStore(
     bloomExpectedKeys: Long = 4000000L, // total capacity across buckets
     bloomFpp: Double = 1e-7, // reference default (_redis/_storage_client.py:45)
     claimBuckets: Int = 64, // host-hash buckets for claim pruning
-    claimBucketPruning: Boolean = true
+    claimBucketPruning: Boolean = true,
+    // storage name (reference storages/_request_queue.py:112-138): a NAMED
+    // queue is persistent shared data and is never purged implicitly; only
+    // the unnamed default queue participates in purge-on-start
+    val name: Option[String] = None
 ) {
 
   import FrontierStore._
@@ -482,6 +486,7 @@ final class FrontierStore(
       col("payload").as("ex_payload"),
       col("headers").as("ex_headers"),
       col("user_data_json").as("ex_user_data"),
+      col("session_id").as("ex_session_id"),
       col("depth").as("ex_depth"),
       col("retry_count").as("ex_retry"),
       col("no_retry").as("ex_no_retry"),
@@ -547,6 +552,7 @@ final class FrontierStore(
             col("payload"),
             col("headers"),
             col("user_data_json"),
+            col("session_id"),
             col("depth"),
             lit(0).as("retry_count"),
             col("no_retry"),
@@ -579,6 +585,7 @@ final class FrontierStore(
             when(isNew, col("payload")).otherwise(col("ex_payload")).as("payload"),
             when(isNew, col("headers")).otherwise(col("ex_headers")).as("headers"),
             when(isNew, col("user_data_json")).otherwise(col("ex_user_data")).as("user_data_json"),
+            when(isNew, col("session_id")).otherwise(col("ex_session_id")).as("session_id"),
             when(isNew, col("depth")).otherwise(col("ex_depth")).as("depth"),
             when(isNew, lit(0)).otherwise(col("ex_retry")).as("retry_count"),
             when(isNew, col("no_retry")).otherwise(col("ex_no_retry")).as("no_retry"),
@@ -860,7 +867,10 @@ final class FrontierStore(
   def getRequest(uniqueKey: String): Option[org.apache.spark.sql.Row] =
     state().filter(col("unique_key") === uniqueKey).collect().headOption
 
-  /** Purge: empty the queue but keep the storage (Q13). */
+  /** Purge: empty the queue but keep the storage (Q13) — identity (root,
+    * name) is preserved and the store stays usable
+    * (test_request_queue.py:748-800).
+    */
   def purge(): Unit = synchronized {
     manifest = Manifest.empty
     Manifest.writeAtomic(manifestPath, manifest)
@@ -868,6 +878,30 @@ final class FrontierStore(
     epochPending.clear()
     if (persistedBase != null) { persistedBase.unpersist(false); persistedBase = null }
     stateDf = null
+  }
+
+  /** Implicit start-of-run purge (reference `purge_on_start`,
+    * storages/_request_queue.py:152-175 + test_request_queue.py:845-887):
+    * NAMED stores are persistent shared data — the implicit purge is a
+    * no-op for them; only the unnamed default store is cleared. Returns
+    * whether a purge actually happened.
+    */
+  def purgeOnStart(): Boolean = synchronized {
+    if (name.isDefined) false // named: never implicitly purged
+    else { purge(); true }
+  }
+
+  /** Drop: delete the storage entirely (reference RequestQueue.drop,
+    * storages/_request_queue.py:144-151). The instance resets to an empty,
+    * re-usable store — the recreate-on-open semantics of the reference.
+    */
+  def drop(): Unit = synchronized {
+    purge()
+    deleteRecursively(Paths.get(logDir))
+    deleteRecursively(Paths.get(bloomDir))
+    Files.deleteIfExists(manifestPath)
+    Files.createDirectories(Paths.get(logDir))
+    manifest = Manifest.empty
   }
 }
 
@@ -904,7 +938,11 @@ object FrontierStore {
     // CONSUMED, or null — drives the exact driver-side epoch-cutoff stats.
     // Deltas written before r3 read as null (stats rebuild exactly at
     // resume/compaction, so old stores stay correct).
-    StructField("prev_epoch", LongType)
+    StructField("prev_epoch", LongType),
+    // session binding (reference _request.py:61-62): id of the Session this
+    // request is strictly bound to, or null. Deltas written before this
+    // column existed read as null (= unbound), so old stores stay correct.
+    StructField("session_id", StringType)
   ))
 
   val eventCols: Seq[org.apache.spark.sql.Column] =
@@ -950,6 +988,7 @@ object FrontierStore {
       d = d.withColumn("user_data_json", lit(null).cast(StringType))
     if (!d.columns.contains("no_retry")) d = d.withColumn("no_retry", lit(false))
     if (!d.columns.contains("max_retries")) d = d.withColumn("max_retries", lit(null).cast(IntegerType))
+    if (!d.columns.contains("session_id")) d = d.withColumn("session_id", lit(null).cast(StringType))
     d
   }
 

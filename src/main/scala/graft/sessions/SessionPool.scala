@@ -19,6 +19,11 @@ final class Session(
   var usageCount: Int = 0
   var errorScore: Double = 0.0
 
+  /** Per-session cookie jar (reference _session.py:75, sessions/_cookies.py)
+    * — persisted with the pool state.
+    */
+  val cookies = new SessionCookies
+
   def isBlocked: Boolean = errorScore >= maxErrorScore
   def isMaxUsageCountReached: Boolean = usageCount >= maxUsageCount
   def isExpired(nowMs: Long): Boolean = nowMs - createdAtMs > maxAgeMs
@@ -98,4 +103,57 @@ final class SessionPool(
   }
 
   def getById(id: String): Option[Session] = sessions.find(_.id == id)
+
+  // ---- persistence (reference RecoverableState over SessionPool state +
+  // cookies, _session_pool.py persistence surface + _session.py:79-97) ----
+
+  def toJson: String = {
+    import SessionCookies.{q => jq}
+    val ss = sessions.map { s =>
+      s"""{"id":${jq(s.id)},"created_at":${s.createdAtMs},"usage":${s.usageCount},""" +
+        s""""error_score":${s.errorScore},"cookies":${s.cookies.toJson}}"""
+    }.mkString("[", ",", "]")
+    s"""{"created_total":$createdTotal,"retired_total":$retiredTotal,"rr":$rr,"sessions":$ss}"""
+  }
+
+  /** Persist the full pool state (sessions, counters, cookie jars) to the
+    * KVS under `key`.
+    */
+  def persistTo(kvs: graft.storage.KeyValueStore, key: String = "__SESSION_POOL_STATE"): Unit = {
+    kvs.setJson(key, toJson)
+    kvs.persist()
+  }
+
+  /** Restore pool state persisted by [[persistTo]]; a missing key leaves
+    * the pool empty (fresh start). Returns whether state was restored.
+    */
+  def restoreFrom(kvs: graft.storage.KeyValueStore, key: String = "__SESSION_POOL_STATE"): Boolean =
+    kvs.getJson(key) match {
+      case None => false
+      case Some(json) =>
+        def lf(name: String): Long = {
+          val m = java.util.regex.Pattern.compile("\"" + name + "\"\\s*:\\s*(-?\\d+)").matcher(json)
+          if (m.find()) m.group(1).toLong else 0L
+        }
+        sessions.clear()
+        createdTotal = lf("created_total")
+        retiredTotal = lf("retired_total")
+        rr = lf("rr").toInt
+        // each session object contains one nested cookies array — match
+        // session objects by their "id" anchor
+        val sm = java.util.regex.Pattern
+          .compile("\\{\"id\":\"([^\"]+)\",\"created_at\":(-?\\d+),\"usage\":(\\d+)," +
+            "\"error_score\":([0-9.eE+-]+),\"cookies\":(\\[.*?\\])\\}")
+          .matcher(json)
+        while (sm.find()) {
+          val s = new Session(sm.group(1), createdAtMs = sm.group(2).toLong,
+            maxAgeMs = maxAgeMs, maxErrorScore = maxErrorScore, maxUsageCount = maxUsageCount)
+          s.usageCount = sm.group(3).toInt
+          s.errorScore = sm.group(4).toDouble
+          s.cookies.setCookies(SessionCookies.fromJson(sm.group(5)).getCookiesAsDicts)
+          sessions += s
+        }
+        if (rr >= sessions.size) rr = 0
+        true
+    }
 }

@@ -294,4 +294,36 @@ class FrontierStoreSpec extends SparkSpec {
     store.addBatch(cand(Seq("p2"), forefront = false))
     assert(drainOrder(store) == Seq("p2"))
   }
+
+  test("named store is exempt from implicit purge-on-start; unnamed is cleared " +
+      "(test_request_queue.py:845-887)") {
+    val namedDir = Files.createTempDirectory("frontier-named").toString
+    val named = new FrontierStore(spark, namedDir, name = Some("shared-queue"))
+    named.addBatch(cand(Seq("n1", "n2"), forefront = false))
+    assert(!named.purgeOnStart()) // persistent shared data: left intact
+    assert(named.metadata()("pending_request_count") == 2)
+    // explicit purge still works on a named store (test_request_queue.py:748-800)
+    named.purge()
+    assert(named.isEmpty(0))
+
+    val unnamed = newStore()
+    unnamed.addBatch(cand(Seq("u1", "u2"), forefront = false))
+    assert(unnamed.purgeOnStart()) // default unnamed store: purged
+    assert(unnamed.isEmpty(0))
+    unnamed.addBatch(cand(Seq("u3"), forefront = false))
+    assert(drainOrder(unnamed) == Seq("u3"))
+  }
+
+  test("drop deletes the storage; the instance recreates empty and stays usable") {
+    val dir = Files.createTempDirectory("frontier-drop").toString
+    val store = new FrontierStore(spark, dir, name = Some("dropme"))
+    store.addBatch(cand(Seq("d1", "d2"), forefront = false))
+    store.drop()
+    assert(store.isEmpty(0))
+    // a fresh instance over the same root also sees nothing (files are gone)
+    val reopened = new FrontierStore(spark, dir)
+    assert(reopened.isEmpty(0))
+    store.addBatch(cand(Seq("d3"), forefront = false))
+    assert(drainOrder(store) == Seq("d3"))
+  }
 }
