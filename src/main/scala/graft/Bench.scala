@@ -33,7 +33,7 @@ object Bench {
       "a8_queue_metadata", "d12_d13_kvs_resume", "x4_rate_cap",
       "s5_sitemap_nested", "s4_sitemap_txt_gzip", "r6_budget_exactness",
       "f11_blocked_content", "mm_image_features", "mm_payload_validate",
-      "r4_session_binding", "a7_stats_resume")
+      "r4_session_binding", "a7_stats_resume", "w3_stream_request_ingest")
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => fixtureEntries.contains(q._1))

@@ -532,6 +532,38 @@ object QueryCatalog {
     ids.toSeq.toDF("r", "session_id")
   }
 
+  // ---- W3: streaming request ingest into the frontier ---------------------
+  // REAL Structured Streaming: adds-shaped parquet files land in a watched
+  // directory, readStream picks them up (checkpointed offsets), every
+  // micro-batch commits through FrontierStore.addBatch. Keys collide
+  // (event_id % 600) so dedup-on-add bites; the oracle states the distinct
+  // survivor set analytically.
+  register(
+    "w3_stream_request_ingest",
+    Some(
+      """SELECT DISTINCT 'sk-' || (event_id % 600) AS unique_key,
+        |  'https://stream.example.com/p/' || (event_id % 600) AS url
+        |FROM events WHERE event_id < 2000""".stripMargin
+    )
+  ) { (s, dir) =>
+    val in = java.nio.file.Files.createTempDirectory("w3-in").toString
+    val ck = java.nio.file.Files.createTempDirectory("w3-ck").toString
+    val storeDir = java.nio.file.Files.createTempDirectory("w3-store").toString
+    t(s, dir, "events")
+      .filter(col("event_id") < 2000)
+      .select(
+        concat(lit("sk-"), pmod(col("event_id"), lit(600))).as("unique_key"),
+        concat(lit("https://stream.example.com/p/"), pmod(col("event_id"), lit(600))).as("url"),
+        lit("stream.example.com").as("host"),
+        lit(null).cast("string").as("label"),
+        lit(0).as("depth"))
+      .repartition(4) // four part-files = four distinct stream source files
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(in)
+    val store = new graft.queue.FrontierStore(s, storeDir)
+    new graft.streaming.StreamingRequestIngest(s, store, in).drainAvailable(ck)
+    store.state().select(col("unique_key"), col("url"))
+  }
+
   // ---- A7b: statistics state resume (reference _statistics.py:284-299) ----
   // Terminal outcomes streamed through RunStatistics in TWO phases with a
   // KVS persist + a FRESH resume between them; the oracle computes the same

@@ -73,7 +73,8 @@ final class CrawlEngine(
       processedCount: Long,
       batches: Int,
       handledTags: Map[String, String] = Map.empty, // uniqueKey -> router handler tag
-      collidedKeys: Set[String] = Set.empty // session-collision terminal failures
+      collidedKeys: Set[String] = Set.empty, // session-collision terminal failures
+      proxyAssignments: Map[String, (String, Option[Int])] = Map.empty // key -> (url, tier)
   )
 
   def run(seeds: Seq[String]): EngineResult = runRequests(seeds.map(u => SeedRequest(u)))
@@ -207,6 +208,11 @@ final class CrawlEngine(
     val crawlOrder = mutable.ArrayBuffer.empty[String]
     val handledTags = mutable.HashMap.empty[String, String]
     val collidedSessions = mutable.HashSet.empty[String]
+    val proxyAssignments = mutable.HashMap.empty[String, (String, Option[Int])]
+    // driver-held last_proxy_tier per in-flight request (the reference
+    // persists it on the Request row; here it only matters across retries
+    // WITHIN a run — parity mode is driver-tracked like the oracle)
+    val lastProxyTierByKey = mutable.HashMap.empty[String, Option[Int]]
     val handledOk = mutable.HashSet.empty[String]
     val failedKeys = mutable.HashSet.empty[String]
     val skippedRobots = mutable.HashSet.empty[String]
@@ -671,16 +677,32 @@ final class CrawlEngine(
                 runStats.recordTerminal(finished = false, r.getInt(9))
               case _ => // retry / rotation: not terminal
             }
-            // session accounting runs when blocked-detection is on OR any
-            // request carries a session binding; a bound request uses ITS
+            // session accounting runs when blocked-detection is on, any
+            // request carries a session binding, or a proxy configuration
+            // needs session-affine rotation; a bound request uses ITS
             // session (get_session_by_id), an unbound one round-robins
-            if ((cfg.detectBlocked || boundSessionIds.nonEmpty) && outcome != 11 && outcome != 12) {
+            val sessionAccounting =
+              cfg.detectBlocked || boundSessionIds.nonEmpty || cfg.proxyConfiguration.isDefined
+            if (sessionAccounting && outcome != 11 && outcome != 12) {
               val sess = Option(r.getString(8)).flatMap(sessionPool.getById) match {
                 case Some(bound) => bound.markUsed(); bound
                 case None => sessionPool.getSession(nowMs)
               }
               if (outcome == 4) sess.retire() // SessionError -> rotate
               else if (outcome == 0) sess.markGood()
+              // proxy assignment for this dispatch (reference
+              // _get_proxy_info): session-affine, per-domain tier tracking;
+              // the previous dispatch's tier counts as an error
+              cfg.proxyConfiguration.foreach { pc =>
+                pc.newProxyInfo(
+                  sessionId = Some(sess.id),
+                  requestHost = Some(host),
+                  lastProxyTier = lastProxyTierByKey.getOrElse(key, None)
+                ).foreach { pi =>
+                  proxyAssignments(key) = (pi.url, pi.proxyTier)
+                  lastProxyTierByKey(key) = pi.proxyTier
+                }
+              }
             }
             if (enforcePoliteness) {
               claimedPerHost = claimedPerHost.updated(host, claimedPerHost.getOrElse(host, 0L) + 1)
@@ -764,7 +786,8 @@ final class CrawlEngine(
       processedTotal,
       batchIdx,
       handledTags.toMap,
-      collidedSessions.toSet
+      collidedSessions.toSet,
+      proxyAssignments.toMap
     )
   }
 

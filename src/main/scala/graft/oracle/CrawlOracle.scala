@@ -24,7 +24,11 @@ final class MemoryQueueOracle {
       var maxRetries: Option[Int] = None,
       var label: Option[String] = None,
       var rotationCount: Int = 0,
-      var sessionId: Option[String] = None
+      var sessionId: Option[String] = None,
+      // tier of this request's previous dispatch (reference
+      // `last_proxy_tier`, _request.py:64-66): a re-dispatch counts it as
+      // an error against that tier
+      var lastProxyTier: Option[Int] = None
   )
 
   private val pending = mutable.LinkedHashMap.empty[String, OracleRequest]
@@ -158,6 +162,12 @@ final case class CrawlConfig(
     sessionPoolSize: Int = 1000,
     sessionMaxUsage: Int = 50,
     preFillSessions: Int = 0,
+    // proxy rotation surface (reference proxy_configuration.py:55-225 via
+    // _basic_crawler._get_proxy_info): every dispatched request gets a
+    // ProxyInfo — session-affine, tier-tracked per domain. Engine and
+    // oracle drive ONE shared-config shape with identical call order, so
+    // assignments are parity-checkable.
+    proxyConfiguration: Option[graft.proxy.ProxyConfiguration] = None,
     // per-label handler dispatch (reference router.py:20-121): requests are
     // routed to the registered handler for their label, falling back to the
     // default handler; an unmatched label with no default is an error
@@ -173,7 +183,10 @@ final case class OracleResult(
     emittedImageIds: Seq[String],
     attempts: Map[String, Int],
     handledTags: Map[String, String] = Map.empty, // uniqueKey -> router handler tag
-    collidedKeys: Set[String] = Set.empty // session-collision terminal failures
+    collidedKeys: Set[String] = Set.empty, // session-collision terminal failures
+    // uniqueKey -> (proxy url, tier) of the LAST dispatch (reference
+    // ProxyInfo surface)
+    proxyAssignments: Map[String, (String, Option[Int])] = Map.empty
 )
 
 object CrawlOracle {
@@ -245,6 +258,7 @@ object CrawlOracle {
     val attempts = mutable.HashMap.empty[String, Int].withDefaultValue(0)
     val handledTags = mutable.HashMap.empty[String, String]
     val collided = mutable.HashSet.empty[String]
+    val proxyAssignments = mutable.HashMap.empty[String, (String, Option[Int])]
     var processedTotal = 0L
     var aborted = false // R5 abort_on_error (_basic_crawler.py:1411-1414)
 
@@ -272,12 +286,26 @@ object CrawlOracle {
             // disposition loop): a bound request uses ITS session, an
             // unbound one round-robins via getSession
             val sessOpt =
-              if (cfg.detectBlocked || bindingActive)
+              if (cfg.detectBlocked || bindingActive || cfg.proxyConfiguration.isDefined)
                 Some(req.sessionId.flatMap(sessionPool.getById) match {
                   case Some(bound) => bound.markUsed(); bound
                   case None => sessionPool.getSession(0L)
                 })
               else None
+            // proxy assignment at dispatch (reference _get_proxy_info):
+            // session-affine, tier hill-climbed per domain; the previous
+            // dispatch's tier counts as an error against that tier
+            cfg.proxyConfiguration.foreach { pc =>
+              val host = UrlCanon.normalizeHost(UrlCanon.parse(req.url).host)
+              pc.newProxyInfo(
+                sessionId = sessOpt.map(_.id),
+                requestHost = Some(host),
+                lastProxyTier = req.lastProxyTier
+              ).foreach { pi =>
+                proxyAssignments(req.uniqueKey) = (pi.url, pi.proxyTier)
+                req.lastProxyTier = pi.proxyTier
+              }
+            }
             val attempt = attempts(req.uniqueKey)
             attempts(req.uniqueKey) = attempt + 1
             crawlOrder += req.url
@@ -399,7 +427,8 @@ object CrawlOracle {
       images.toSeq,
       attempts.toMap,
       handledTags.toMap,
-      collided.toSet
+      collided.toSet,
+      proxyAssignments.toMap
     )
   }
 

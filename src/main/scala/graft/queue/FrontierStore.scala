@@ -48,7 +48,10 @@ final class FrontierStore(
     // storage name (reference storages/_request_queue.py:112-138): a NAMED
     // queue is persistent shared data and is never purged implicitly; only
     // the unnamed default queue participates in purge-on-start
-    val name: Option[String] = None
+    val name: Option[String] = None,
+    // reclaim superseded snapshot epochs + pre-compaction deltas right
+    // after each compaction (see vacuum())
+    vacuumOnCompact: Boolean = true
 ) {
 
   import FrontierStore._
@@ -313,12 +316,60 @@ final class FrontierStore(
     lastDeltaPath = deltaPath
     trace("merge")(mergeDelta(delta, n))
     trace("fold-summaries")(foldDeltaIntoSummaries(delta))
+    val compacted = nextManifest.deltas.size >= compactEvery
     val finalManifest =
-      if (nextManifest.deltas.size >= compactEvery) trace("compact")(compact(nextManifest))
+      if (compacted) trace("compact")(compact(nextManifest))
       else nextManifest
     Manifest.writeAtomic(manifestPath, finalManifest)
     manifest = finalManifest
+    // reclaim superseded epochs once the new manifest is durable — at
+    // cluster scale the un-vacuumed log grows without bound (every
+    // compaction strands a snapshot epoch + compactEvery delta files)
+    if (compacted && vacuumOnCompact) trace("vacuum")(vacuum())
     n
+  }
+
+  /** Delete log entries the CURRENT manifest no longer references:
+    * superseded snapshot-epoch leaf dirs and delta files from before the
+    * last compaction. Leaf-aware — bucket-local compaction leaves clean
+    * buckets pointing at OLDER epochs, so partially-referenced epoch dirs
+    * lose only their unreferenced `__cb=` leafs. The most recent delta is
+    * always kept (the bloom fold reads it right after a commit). Runs only
+    * AFTER the new manifest is durable, so a crash mid-vacuum leaves
+    * nothing dangling — every referenced file still exists.
+    * Returns the number of entries removed.
+    */
+  def vacuum(): Long = synchronized {
+    val m = manifest
+    val refTop = scala.collection.mutable.Set.empty[String]
+    m.deltas.foreach(refTop += _)
+    m.snapshot.foreach(refTop += _)
+    if (lastDeltaPath != null) refTop += Paths.get(lastDeltaPath).getFileName.toString
+    val refLeaf = m.bucketDirs.values.toSet // e.g. "snapshot-000016/__cb=4"
+    val refEpochs = refLeaf.map(_.takeWhile(_ != '/'))
+    var removed = 0L
+    val entries = Files.list(Paths.get(logDir)).iterator()
+    while (entries.hasNext) {
+      val p = entries.next()
+      val name = p.getFileName.toString
+      if (refTop.contains(name)) () // fully referenced
+      else if (refEpochs.contains(name)) {
+        // epoch partially referenced: drop only unreferenced bucket leafs
+        val leafs = Files.list(p).iterator()
+        while (leafs.hasNext) {
+          val leaf = leafs.next()
+          val leafName = leaf.getFileName.toString
+          if (leafName.startsWith("__cb=") && !refLeaf.contains(s"$name/$leafName")) {
+            deleteRecursively(leaf)
+            removed += 1
+          }
+        }
+      } else {
+        deleteRecursively(p)
+        removed += 1
+      }
+    }
+    removed
   }
 
   private def deleteRecursively(p: Path): Unit = {

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import graft.queue.FrontierStore
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming ingest of discovered requests into the frontier —
+  * the streaming form of the loader→manager tandem (reference
+  * `_request_manager_tandem.py` semantics over an unbounded source): an
+  * external producer drops adds-shaped parquet files into `inputDir`;
+  * `readStream` picks each file up exactly once (checkpointed source
+  * offsets), and every micro-batch lands in the frontier through ONE
+  * `addBatch` commit.
+  *
+  * Exactly-once composition: foreachBatch is at-least-once on crash
+  * replay, and the frontier's dedup-on-add (Q1) makes a replayed batch a
+  * no-op — the same idempotence that makes the crawl engine's batch
+  * replay safe. Ordering: `cand_order` = (streaming batch id ×
+  * CandOrderStride) + in-batch position, so later files enqueue strictly
+  * after earlier ones.
+  */
+final class StreamingRequestIngest(
+    spark: SparkSession,
+    store: FrontierStore,
+    inputDir: String
+) {
+
+  /** Adds-shaped input files: (unique_key, url, host, label, depth). */
+  val inputSchema: StructType = StructType(Seq(
+    StructField("unique_key", StringType),
+    StructField("url", StringType),
+    StructField("host", StringType),
+    StructField("label", StringType),
+    StructField("depth", IntegerType)
+  ))
+
+  /** Start the ingest; `Trigger.AvailableNow` drains everything currently
+    * in the directory then stops (test/bounded mode); pass a processing-
+    * time trigger for continuous ingest.
+    */
+  def start(checkpointDir: String, trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream
+      .schema(inputSchema)
+      .parquet(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val adds = batch
+          .withColumn("method", lit("GET"))
+          .withColumn("forefront", lit(false))
+          .withColumn(
+            "cand_order",
+            lit(batchId * FrontierStore.CandOrderStride) +
+              row_number().over(
+                org.apache.spark.sql.expressions.Window.orderBy(col("unique_key"))).cast("long"))
+        store.addBatch(adds)
+        ()
+      }
+      .start()
+
+  /** Drain whatever is in the input directory right now and wait. */
+  def drainAvailable(checkpointDir: String): Unit = {
+    val q = start(checkpointDir)
+    q.awaitTermination()
+  }
+}

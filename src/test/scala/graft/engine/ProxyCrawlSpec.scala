@@ -1,0 +1,107 @@
+package graft.engine
+
+import graft.SparkSpec
+import graft.canon.Robots
+import graft.fixtures.{SyntheticWeb, WebSpec}
+import graft.oracle.{CrawlConfig, CrawlOracle, SeedRequest}
+import graft.proxy.ProxyConfiguration
+import graft.queue.FrontierStore
+
+import java.nio.file.Files
+
+/** Per-request proxy assignment in the crawl loop (reference
+  * `_get_proxy_info` in _basic_crawler.py + proxy_configuration.py):
+  * every dispatched request carries a ProxyInfo — session-affine
+  * rotation for flat configs, per-domain tier hill-climb for tiered ones,
+  * with a retry's previous tier counted as an error. Engine and oracle
+  * produce identical assignments.
+  *
+  * NOTE each run needs a FRESH ProxyConfiguration (rotation state is
+  * mutable), hence the cfg factories.
+  */
+class ProxyCrawlSpec extends SparkSpec {
+
+  val spec: WebSpec = WebSpec(hosts = 2, pagesPerHost = 300, otherOrgPages = 6, subHostPages = 6, nImages = 40)
+
+  private def mkEngine(cfg: CrawlConfig, batchSize: Int): CrawlEngine = {
+    import spark.implicits._
+    val pagesDf = spark
+      .createDataset((0L until spec.totalPages.toLong).map(g => SyntheticWeb.pageAt(spec, g)))
+      .toDF()
+    val robots = SyntheticWeb
+      .allRobots(spec)
+      .map(r => r.host -> Robots.fromFetch(s"https://${r.host}", r.status, r.body))
+      .toMap
+    new CrawlEngine(
+      spark, new FrontierStore(spark, Files.createTempDirectory("proxycrawl").toString),
+      pagesDf, robots, cfg,
+      claimBatchSize = batchSize,
+      statusAtFn = { val sp = spec
+        (url, attempt) => {
+          val host = graft.canon.UrlCanon.parse(url).host
+          SyntheticWeb.statusAt(sp, CrawlOracle.hostIdx(sp, host), CrawlOracle.pageIdx(url), attempt)
+        }
+      }
+    )
+  }
+
+  private val okIdx: Seq[Int] =
+    (1 until 300).filter(i => i % 17 != 0 && SyntheticWeb.baseStatus(spec, 0, i) == 200)
+  // a page that 500s on every attempt -> retries exhaust, tiers climb
+  private val iHard500: Int =
+    (1 until 300).find { i =>
+      i % 17 != 0 && SyntheticWeb.baseStatus(spec, 0, i) == 500 &&
+        SyntheticWeb.statusAt(spec, 0, i, 1) == 500
+    }.getOrElse(fail("fixture has no hard-500 page on h0 below 300"))
+
+  test("flat rotation is session-affine and parity-exact (batch 1 and 4)") {
+    def cfg() = CrawlConfig(
+      maxCrawlDepth = 0,
+      preFillSessions = 2, sessionPoolSize = 2, sessionMaxUsage = 1000,
+      proxyConfiguration = Some(new ProxyConfiguration(proxyUrls = Seq(
+        Some("http://p1.proxy.com:1111"), Some("http://p2.proxy.com:2222"), Some("http://p3.proxy.com:3333")))))
+    val seeds = okIdx.take(4).map(i => SeedRequest(s"https://h0.example.com/p/$i"))
+
+    val oracle = CrawlOracle.runRequests(spec, seeds, cfg())
+    assert(oracle.proxyAssignments.size == 4)
+    // 2 sessions round-robin over 4 requests; each session pins ONE proxy
+    assert(oracle.proxyAssignments.values.map(_._1).toSet ==
+      Set("http://p1.proxy.com:1111", "http://p2.proxy.com:2222"))
+
+    val e1 = mkEngine(cfg(), batchSize = 1).runRequests(seeds)
+    assert(e1.proxyAssignments == oracle.proxyAssignments)
+    val e4 = mkEngine(cfg(), batchSize = 4).runRequests(seeds)
+    assert(e4.proxyAssignments == oracle.proxyAssignments)
+  }
+
+  test("tiered config: a retrying request climbs the tier ladder (parity)") {
+    def cfg() = CrawlConfig(
+      maxCrawlDepth = 0, maxRetries = 3,
+      preFillSessions = 1, sessionPoolSize = 1, sessionMaxUsage = 1000,
+      proxyConfiguration = Some(new ProxyConfiguration(tieredProxyUrls = Seq(
+        Seq(Some("http://t0.proxy.com:1000")),
+        Seq(Some("http://t1.proxy.com:1001"))))))
+    val seeds = Seq(
+      SeedRequest(s"https://h0.example.com/p/${okIdx(0)}"), // healthy: stays tier 0
+      SeedRequest(s"https://h0.example.com/p/$iHard500")) // hard-500: retries, climbs
+
+    val oracle = CrawlOracle.runRequests(spec, seeds, cfg())
+    val hardKey = seeds(1).uniqueKey
+    // the failing request's LAST dispatch rode a higher tier; its URL stays
+    // the session-pinned tier-0 one — the reference caches the URL per
+    // session id even for tiered configs (proxy_configuration.py:216-221),
+    // and a fresh session (rotation) is what moves the URL in practice
+    assert(oracle.proxyAssignments(hardKey)._2.contains(1))
+    assert(oracle.proxyAssignments(hardKey)._1 == "http://t0.proxy.com:1000")
+    // the healthy request stayed on tier 0
+    assert(oracle.proxyAssignments(seeds.head.uniqueKey)._2.contains(0))
+    // a session-free probe of the same tracker state confirms the domain
+    // now predicts the higher tier's URL
+    assert(cfg().proxyConfiguration.get // fresh config: fresh domain state
+      .newProxyInfo(requestHost = Some("h0.example.com"), lastProxyTier = Some(0))
+      .get.proxyTier.contains(1))
+
+    val e1 = mkEngine(cfg(), batchSize = 1).runRequests(seeds)
+    assert(e1.proxyAssignments == oracle.proxyAssignments)
+  }
+}

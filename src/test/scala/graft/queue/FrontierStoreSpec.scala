@@ -314,6 +314,26 @@ class FrontierStoreSpec extends SparkSpec {
     assert(drainOrder(unnamed) == Seq("u3"))
   }
 
+  test("vacuum after compaction removes superseded epochs; state and resume intact") {
+    val dir = Files.createTempDirectory("frontier-vacuum").toString
+    val store = new FrontierStore(spark, dir, compactEvery = 4)
+    (0 until 10).foreach { i =>
+      store.addBatch(cand(Seq(s"v$i-a", s"v$i-b"), forefront = false, orderBase = i * 10L))
+    }
+    // two compactions happened; superseded snapshot epochs + old deltas gone
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/log"))
+      .forEach(p => names += p.getFileName.toString)
+    val snapshots = names.filter(_.startsWith("snapshot-"))
+    assert(snapshots.size <= 1, s"superseded snapshot epochs not vacuumed: $names")
+    assert(names.count(_.startsWith("delta-")) <= 4, s"old deltas not vacuumed: $names")
+    // state is complete and a fresh instance resumes identically
+    assert(store.metadata()("pending_request_count") == 20)
+    val reopened = new FrontierStore(spark, dir, compactEvery = 4)
+    assert(reopened.metadata()("pending_request_count") == 20)
+    assert(drainOrder(reopened).size == 20)
+  }
+
   test("drop deletes the storage; the instance recreates empty and stays usable") {
     val dir = Files.createTempDirectory("frontier-drop").toString
     val store = new FrontierStore(spark, dir, name = Some("dropme"))
