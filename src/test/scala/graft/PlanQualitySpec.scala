@@ -108,4 +108,34 @@ class PlanQualitySpec extends SparkSpec {
     val routed = graft.ops.VectorOps.cosineNearDupPairs(emb, "vec_id", "embedding", 0.35, maxExactRows = 10)
     assert(!plan(routed).contains("CartesianProduct"), plan(routed))
   }
+
+  test("router dispatch compiles to a when-chain inside codegen — no UDF, no join") {
+    val router = new graft.router.Router()
+      .defaultHandler(graft.router.PageHandler(tag = "DEF"))
+      .handler("a", graft.router.PageHandler(tag = "A"))
+      .handler("b", graft.router.PageHandler(tag = "B", extractLinks = false))
+    val df = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
+      .select(when(col("event_id") % 2 === 0, lit("a")).otherwise(lit("b")).as("label"))
+      .select(router.tagCol(col("label")).as("tag"), router.extractLinksCol(col("label")).as("ext"))
+    val p = plan(df)
+    assert(!p.toLowerCase.contains("scalaudf") && !p.contains("BatchEvalPython"), p)
+    assert(!p.contains("Join"), p) // dispatch is a projection, not a lookup join
+    assert(p.contains("*(1) Project") && p.contains("CASE WHEN"), p)
+  }
+
+  test("robots-table mode gates candidates with a JOIN keyed by host, not a map probe") {
+    import spark.implicits._
+    // the robots table rides a join: the plan must contain a join keyed on
+    // rb_host and must NOT evaluate any robots UDF over a driver map
+    val robots = Seq(("h1.example.com", 200, "User-agent: *\nAllow: /"))
+      .toDF("host", "status", "body")
+    val rt = robots.select(col("host").as("rb_host"), col("status").as("rb_status"), col("body").as("rb_body"))
+    val cands = spark.read.parquet(s"${sf("sf0.001")}/events.parquet")
+      .select(concat(lit("https://h"), pmod(col("user_id"), lit(7)),
+        lit(".example.com/p/"), col("event_id")).as("abs_url"))
+      .withColumn("__rb_key", graft.expr.UrlFunctions.hostOf(col("abs_url")))
+    val joined = cands.join(rt, col("__rb_key") === col("rb_host"), "left")
+    val p = plan(joined)
+    assert(p.contains("Join") && p.contains("rb_host"), p)
+  }
 }
