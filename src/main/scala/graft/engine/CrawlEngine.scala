@@ -52,6 +52,10 @@ final class CrawlEngine(
     // X5 keep_alive idle hook: batchIdx => Some(new seeds) keeps the crawl
     // alive (possibly with no new work this tick); None stops it
     onIdle: Int => Option[Seq[SeedRequest]] = _ => None,
+    // X1-X3 autoscaling: when set, the desired CLAIM BATCH SIZE replaces
+    // the fixed claimBatchSize and adapts to batch lateness (see
+    // graft.autoscale.AutoscaledBatchSizer)
+    batchSizer: Option[graft.autoscale.AutoscaledBatchSizer] = None,
     // Robots-at-scale path (SCALE.md §Crawl loop): rules as a TABLE
     // (host, status, body) JOINED against the claim set and the enqueue
     // candidates instead of a whole-map driver broadcast — the shape for
@@ -90,6 +94,7 @@ final class CrawlEngine(
   def runRequests(seeds: Seq[SeedRequest]): EngineResult = {
     val runT0 = System.nanoTime()
     stopRequested = false // each run() honors only ITS stop() calls
+    aeCounter = 0 // C7 salt counter is per-run (mirrors the oracle)
     import spark.implicits._
     UrlFunctions.register(spark)
     // error-handler replacement can move a key across host buckets; the
@@ -180,8 +185,13 @@ final class CrawlEngine(
       val seedAllowed = robotsAllowsDriver(srs.map(_.url))
       val rows = srs.zipWithIndex.collect {
         case (sr, i) if seedAllowed(sr.url) =>
+          // C7 always_enqueue: deterministic per-run salt defeats dedup
+          // (reference _request.py:309-310; salt substitution like C6)
+          val key =
+            if (sr.alwaysEnqueue) { val k = f"ae$aeCounter%06d|${sr.uniqueKey}"; aeCounter += 1; k }
+            else sr.uniqueKey
           org.apache.spark.sql.Row(
-            sr.uniqueKey,
+            key,
             sr.url,
             UrlCanon.normalizeHost(UrlCanon.parse(sr.url).host),
             sr.label.orNull,
@@ -255,6 +265,7 @@ final class CrawlEngine(
         .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(metricsDir)
       metricsBuf.clear()
       runStats.persist() // PERSIST_STATE cadence rides the metrics flush
+      events.emit(graft.events.Event.PersistState, batchIdx) // X6
     }
     def appendMetrics(batch: Int, nowMs: Long, claimed: Long, terminal: Long,
         images: Long, wallMs: Long): Unit = {
@@ -271,8 +282,9 @@ final class CrawlEngine(
       // X4: the rate cap bounds tasks dispatched per batch period
       val rateCap = cfg.maxTasksPerMinute
         .map(r => CrawlEngine.rateCapPerBatch(r, batchPeriodMs)).getOrElse(Long.MaxValue)
+      val batchTarget = batchSizer.map(_.desired).getOrElse(claimBatchSize)
       val budget = math.min(
-        math.min(claimBatchSize.toLong, rateCap),
+        math.min(batchTarget.toLong, rateCap),
         cfg.maxRequestsPerCrawl - processedTotal).toInt
       val quota =
         if (enforcePoliteness) throttle.quotas(nowMs, batchPeriodMs)
@@ -712,8 +724,10 @@ final class CrawlEngine(
           // R5 abort_on_error: any terminal failure in this (drained) batch
           // ends the crawl (_basic_crawler.py:1411-1414)
           if (cfg.abortOnError &&
-              dispositionRows.exists(r => { val o = r.getInt(4); o == 1 || o == 3 || o == 12 }))
+              dispositionRows.exists(r => { val o = r.getInt(4); o == 1 || o == 3 || o == 12 })) {
             done = true
+            events.emit(graft.events.Event.Aborting, "abort_on_error")
+          }
           if (trackImages)
             emittedImages ++= images.select(col("image_id")).collect().map(_.getString(0))
           else
@@ -749,8 +763,10 @@ final class CrawlEngine(
             if (outcome == 0 && !r.isNullAt(3)) emittedImageCount += r.getLong(3)
           }
           if (cfg.abortOnError &&
-              aggRows.exists(r => { val o = r.getInt(0); o == 1 || o == 3 || o == 12 }))
+              aggRows.exists(r => { val o = r.getInt(0); o == 1 || o == 3 || o == 12 })) {
             done = true
+            events.emit(graft.events.Event.Aborting, "abort_on_error")
+          }
           if (enforcePoliteness) {
             val hostRows = batch.groupBy(col("host")).count().collect()
             val claimedPerHost = hostRows.map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -761,8 +777,11 @@ final class CrawlEngine(
         }
 
         unioned.unpersist(false)
+        val batchWallMs = (System.nanoTime() - batchT0) / 1000000
+        batchSizer.foreach(_.record(claimedCount, batchWallMs, batchPeriodMs))
+        events.emit(graft.events.Event.SystemInfo, batchWallMs) // X6 snapshot tick
         appendMetrics(batchIdx, nowMs, claimedCount,
-          processedTotal - processedBefore, emittedImageCount, (System.nanoTime() - batchT0) / 1000000)
+          processedTotal - processedBefore, emittedImageCount, batchWallMs)
         batchIdx += 1
       }
     }
@@ -774,6 +793,8 @@ final class CrawlEngine(
     runStats.addRuntime((System.nanoTime() - runT0) / 1000000L)
     flushMetrics()
     runStats.persist()
+    if (stopRequested) events.emit(graft.events.Event.Aborting, "stop")
+    events.emit(graft.events.Event.Exit, processedTotal) // X6: final state durable
     pagesDf.unpersist(false)
     EngineResult(
       crawlOrder.toSeq,
@@ -828,6 +849,16 @@ final class CrawlEngine(
     * unbound crawls pay nothing.
     */
   private val boundSessionIds = mutable.HashSet.empty[String]
+
+  /** C7 always_enqueue salt counter (monotone per engine run). */
+  private var aeCounter = 0
+
+  /** X6 event bus: PersistState on the flush cadence, SystemInfo per
+    * batch, Aborting on stop/abort, Exit when the final state is durable
+    * (reference events/_event_manager.py re-expressed at batch
+    * boundaries — see graft.events.EventManager).
+    */
+  val events = new graft.events.EventManager
 }
 
 object CrawlEngine {

@@ -114,7 +114,13 @@ final case class SeedRequest(
     sessionId: Option[String] = None,
     noRetry: Boolean = false,
     maxRetries: Option[Int] = None,
-    useExtendedUniqueKey: Boolean = false
+    useExtendedUniqueKey: Boolean = false,
+    // C7 always_enqueue (reference _request.py:284-310): the unique key is
+    // prefixed with a per-enqueue salt so the request enqueues even when an
+    // identical one is already present. The reference salts with a crypto-
+    // random id; engine and oracle salt with a deterministic per-run
+    // counter (documented substitution, like C6) applied at enqueue time.
+    alwaysEnqueue: Boolean = false
 ) extends Serializable {
   def uniqueKey: String =
     UniqueKey.compute(url, method, headers, payload, null, keepUrlFragment = false,
@@ -233,12 +239,19 @@ object CrawlOracle {
       robotsByHost.get(host).forall(_.isAllowed(url))
     }
 
-    // seed enqueue (robots-filtered per _basic_crawler.py:841-867)
+    // seed enqueue (robots-filtered per _basic_crawler.py:841-867);
+    // always_enqueue seeds get the deterministic salt in seed order
+    var aeCounter = 0
     val seedReqs = seeds.flatMap { sr =>
       if (!robotsAllowed(sr.url)) None
-      else Some(OracleRequest(sr.uniqueKey, sr.url, depth = 0,
-        noRetry = sr.noRetry, maxRetries = sr.maxRetries, label = sr.label,
-        sessionId = sr.sessionId))
+      else {
+        val key =
+          if (sr.alwaysEnqueue) { val k = f"ae$aeCounter%06d|${sr.uniqueKey}"; aeCounter += 1; k }
+          else sr.uniqueKey
+        Some(OracleRequest(key, sr.url, depth = 0,
+          noRetry = sr.noRetry, maxRetries = sr.maxRetries, label = sr.label,
+          sessionId = sr.sessionId))
+      }
     }
     queue.addBatch(seedReqs)
 
