@@ -1247,6 +1247,46 @@ object QueryCatalog {
       .withColumn("jaccard", round(col("jaccard"), 6))
   }
 
+  // ---- near-dup CLUSTERING: connected components over the pair graph ------
+  // The dedup decision step: Jaccard pairs (same construction as
+  // td_dedup_ngram_jaccard) become duplicate clusters via hash-min label
+  // propagation; min(doc_id) is the canonical survivor. The oracle computes
+  // the same closure with a recursive CTE.
+  register(
+    "td_dedup_components",
+    Some(
+      s"""WITH RECURSIVE ${shinglesSql(3)},
+         |freq AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= ${graft.ops.TextOps.DefaultShingleDfCap}),
+         |cs AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle)),
+         |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM cs GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+         |  FROM cs a JOIN cs b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM common
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE CAST(common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - common) >= 0.2
+         |),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT DISTINCT a AS node, a AS r FROM edges
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b
+         |)
+         |SELECT node AS doc_id, min(r) AS component,
+         |  (node = min(r)) AS is_canonical
+         |FROM reach GROUP BY node""".stripMargin
+    )
+  ) { (s, dir) =>
+    val pairs = TextOps.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.2)
+    graft.ops.GraphOps.dedupSurvivors(pairs, "id_a", "id_b")
+      .select(col("node").cast("long").as("doc_id"),
+        col("component").cast("long").as("component"), col("is_canonical"))
+  }
+
   register(
     "td_dedup_minhash_lsh",
     Some(

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph operators for corpus dedup pipelines. The near-dup operators
+  * (MinHash-LSH, n-gram Jaccard, cosine) emit PAIRS; turning pairs into
+  * dedup decisions needs the transitive closure — each connected component
+  * is one duplicate cluster, and `min(id)` is its canonical document.
+  */
+object GraphOps {
+
+  /** Connected components by hash-min label propagation: every node starts
+    * labeled with itself; each round takes the min label over itself and
+    * its neighbors; fixpoint = components. Labels are compared with SQL
+    * `least`, so any orderable id type works.
+    *
+    * Scale shape: each round is one shuffle join on the symmetrized edge
+    * list + one aggregation, with `localCheckpoint` cutting lineage per
+    * round (an un-checkpointed loop re-plans the whole chain every
+    * iteration — the classic iterative-Spark failure mode). Rounds needed
+    * = graph diameter; dedup-cluster graphs are shallow (near-cliques), so
+    * this converges in 2-3 rounds. For adversarial long-chain graphs the
+    * large-star/small-star contraction halves the diameter per round —
+    * same join shape, documented swap-in.
+    *
+    * Output: (node, component) for every node that appears in `edges`.
+    */
+  def connectedComponents(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 25
+  ): DataFrame = {
+    // ids keep their NATIVE type: min/least on a string id and on a
+    // numeric id order differently ("10" < "9" lexicographically), and the
+    // canonical label must follow the id type's own ordering
+    val sym = edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .distinct()
+      .localCheckpoint(true)
+
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint(true)
+
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbrMin = sym
+        .join(labels, sym("b") === labels("node"))
+        .groupBy(col("a"))
+        .agg(min(col("comp")).as("nbr_comp"))
+      val next = labels
+        .join(nbrMin, labels("node") === nbrMin("a"), "left")
+        .select(
+          labels("node"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.select(col("node").as("p_node"), col("comp").as("p_comp")),
+          col("node") === col("p_node"))
+        .filter(col("comp") =!= col("p_comp"))
+        .count()
+      labels = next
+      it += 1
+    }
+    labels.select(col("node"), col("comp").as("component"))
+  }
+
+  /** Dedup decision from a pair list: every non-canonical member of a
+    * duplicate cluster (component) is marked for removal; the canonical
+    * survivor is the component's min id.
+    */
+  def dedupSurvivors(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    connectedComponents(edges, srcCol, dstCol)
+      .withColumn("is_canonical", col("node") === col("component"))
+}
