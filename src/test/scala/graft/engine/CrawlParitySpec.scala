@@ -127,4 +127,29 @@ class CrawlParitySpec extends SparkSpec {
     assert(engine.seenKeys.exists(_.contains("sub.h0.example.com")))
     assert(!engine.seenKeys.exists(_.contains("other.org")))
   }
+
+  test("full strategy matrix parity: ALL / SAME_DOMAIN / SAME_HOSTNAME / SAME_ORIGIN " +
+      "(reference EnqueueStrategy, _types.py)") {
+    import graft.canon.EnqueueStrategy._
+    val seen = Seq(All, SameDomain, SameHostname, SameOrigin).map { strat =>
+      val cfg = CrawlConfig(strategy = strat)
+      val oracle = CrawlOracle.run(smallSpec, seeds, cfg)
+      val engine = mkEngine(smallSpec, cfg, batchSize = 8).run(seeds)
+      assert(engine.seenKeys == oracle.seenKeys, s"strategy $strat seen-set diverged")
+      assert(engine.handledOkKeys == oracle.handledOkKeys, s"strategy $strat handled diverged")
+      strat -> engine.seenKeys
+    }.toMap
+    // strictness ordering: ALL ⊇ SAME_DOMAIN ⊇ SAME_HOSTNAME ⊇ SAME_ORIGIN
+    assert(seen(SameDomain).subsetOf(seen(All)))
+    assert(seen(SameHostname).subsetOf(seen(SameDomain)))
+    assert(seen(SameOrigin).subsetOf(seen(SameHostname)))
+    // each tier actually bites on this fixture: cross-org links (ALL only),
+    // sub-host links (domain), http-twin links (hostname but not origin)
+    assert(seen(All).exists(_.contains("other.org")))
+    assert(!seen(SameDomain).exists(_.contains("other.org")))
+    assert(seen(SameDomain).exists(_.contains("sub.h0")))
+    assert(!seen(SameHostname).exists(_.contains("sub.h0")))
+    assert(seen(SameHostname).exists(_.startsWith("http://")))
+    assert(!seen(SameOrigin).exists(_.startsWith("http://")))
+  }
 }
