@@ -1557,6 +1557,55 @@ object QueryCatalog {
       .select(col("query_id"), col("rank"), col("corpus_id"), round(col("cos"), 4).as("cos"))
   }
 
+  // ---- ANN scale path #2: IVF (coarse quantizer + probe lists) -------------
+  // Deterministic k-means centroids exported as parquet so DuckDB can
+  // recompute assignment -> probes -> exact re-rank independently (the
+  // plane-matrix trick for data-dependent centroids). Queries probe 2 of 8
+  // posting lists; both engines break argmax ties toward the lower cluster
+  // index and sum dot products in element order.
+  register(
+    "v_ann_ivf_topk",
+    Some(
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings
+        |), unit AS (
+        |  SELECT vec_id, list_transform(v0, x -> x / sqrt(list_inner_product(v0, v0))) AS v FROM emb
+        |), cents AS (
+        |  SELECT c, centroid FROM read_parquet('/tmp/graft_ivf_centroids/c_8_64/*.parquet')
+        |), assigned AS (
+        |  SELECT vec_id, v, c AS cluster FROM (
+        |    SELECT u.vec_id, u.v, ct.c,
+        |           row_number() OVER (PARTITION BY u.vec_id
+        |             ORDER BY list_inner_product(u.v, ct.centroid) DESC, ct.c ASC) AS rn
+        |    FROM unit u CROSS JOIN cents ct
+        |  ) WHERE rn = 1
+        |), probes AS (
+        |  SELECT vec_id AS query_id, v AS qv, c AS cluster FROM (
+        |    SELECT u.vec_id, u.v, ct.c,
+        |           row_number() OVER (PARTITION BY u.vec_id
+        |             ORDER BY list_inner_product(u.v, ct.centroid) DESC, ct.c ASC) AS rn
+        |    FROM unit u CROSS JOIN cents ct WHERE u.vec_id < 10
+        |  ) WHERE rn <= 2
+        |), scored AS (
+        |  SELECT p.query_id, a.vec_id AS corpus_id, list_inner_product(p.qv, a.v) AS cos
+        |  FROM probes p JOIN assigned a ON a.cluster = p.cluster
+        |  WHERE p.query_id <> a.vec_id
+        |), ranked AS (
+        |  SELECT query_id, corpus_id, cos,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, corpus_id, round(cos, 4) AS cos FROM ranked WHERE rank <= 5""".stripMargin
+    )
+  ) { (s, dir) =>
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val cents = VectorOps.ivfCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+    VectorOps.exportCentroids(s, cents)
+    VectorOps.ivfTopK(emb, "vec_id", "embedding", emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, cents = cents, nProbe = 2)
+      .select(col("query_id"), col("rank"), col("corpus_id"), round(col("cos"), 4).as("cos"))
+  }
+
   register("mm_image_features", None) { (s, _) =>
     graft.ops.Multimodal.imageFeatures(graft.ops.Multimodal.syntheticMediaTable(s, 64)).toDF()
   }

@@ -237,4 +237,133 @@ object VectorOps {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("corpus_id"), col("cos"))
   }
+
+  // ---- IVF: the second ANN scale path (coarse quantizer + probe lists) ----
+
+  /** Deterministic IVF coarse quantizer: Lloyd's k-means over UNIT vectors,
+    * initialized from the k smallest ids (no RNG anywhere), a fixed number
+    * of rounds. Cluster means are computed columnar (posexplode → per-
+    * (cluster, dim) avg — k×dims rows, a tiny driver collect like the LSH
+    * plane matrix) and re-normalized; an emptied cluster keeps its previous
+    * centroid. Centroids are a driver-side k×dims array shipped in task
+    * closures — at 100 TB the corpus never moves for training, only the
+    * k×dims sufficient statistics do.
+    */
+  def ivfCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 3): Array[Array[Double]] = {
+    ensureRegistered(df)
+    val unit = unitNormalized(
+      df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v")), "v").persist()
+    var cents = unit.orderBy(col("id")).limit(k)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    var it = 0
+    while (it < iters) {
+      val assign = ivfAssignUdf(cents)
+      val rows = unit
+        .select(assign(col("v")).as("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      rows.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      cents = next.map { c =>
+        val n = math.sqrt(c.map(x => x * x).sum)
+        if (n == 0.0) c else c.map(_ / n)
+      }
+      it += 1
+    }
+    unit.unpersist(false)
+    cents
+  }
+
+  /** Cluster of a vector = argmax centroid dot product, ties to the lowest
+    * cluster index (matches `ORDER BY dot DESC, c ASC LIMIT 1` in SQL).
+    */
+  def ivfAssignUdf(cents: Array[Array[Double]]): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (v: Seq[Double]) =>
+      var best = 0
+      var bestDot = Double.NegativeInfinity
+      var c = 0
+      while (c < cents.length) {
+        val cent = cents(c)
+        var d = 0.0
+        var i = 0
+        val n = math.min(v.length, cent.length)
+        while (i < n) { d += v(i) * cent(i); i += 1 }
+        if (d > bestDot) { bestDot = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+  /** Top-`nProbe` clusters for a query (dot desc, index asc). */
+  def ivfProbesUdf(cents: Array[Array[Double]], nProbe: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (v: Seq[Double]) =>
+      cents.indices
+        .map { c =>
+          val cent = cents(c)
+          var d = 0.0
+          var i = 0
+          val n = math.min(v.length, cent.length)
+          while (i < n) { d += v(i) * cent(i); i += 1 }
+          (c, d)
+        }
+        .sortBy { case (c, d) => (-d, c) }
+        .take(nProbe)
+        .map(_._1)
+    }
+
+  /** IVF ANN: corpus vectors live in their nearest-centroid posting list;
+    * each query probes its `nProbe` nearest lists and re-ranks exactly
+    * inside them. The join shuffles on the CLUSTER id — posting lists are
+    * the unit of data movement, never the whole corpus (with nProbe = k
+    * every list is probed and the result equals brute force exactly).
+    * Output: (query_id, rank, corpus_id, cos) with rank <= k.
+    */
+  def ivfTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, cents: Array[Array[Double]], nProbe: Int = 2
+  ): DataFrame = {
+    ensureRegistered(df)
+    val assign = ivfAssignUdf(cents)
+    val probes = ivfProbesUdf(cents, nProbe)
+    val corpusLists = unitNormalized(
+      df.select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("cv")), "cv")
+      .withColumn("cluster", assign(col("cv")))
+    val queryProbes = unitNormalized(
+      queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).cast("array<double>").as("qv")), "qv")
+      .withColumn("cluster", explode(probes(col("qv"))))
+    val scored = queryProbes
+      .join(corpusLists, Seq("cluster"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("cos"))
+  }
+
+  /** Oracle side-channel (same trick as [[exportPlanes]]): the trained
+    * centroids exported as parquet (c, centroid) so an external engine can
+    * recompute assignment → probe → re-rank independently. Centroids are
+    * data-dependent, so the export is per (k, dims) and rewritten by each
+    * fresh JVM.
+    */
+  val CentroidExportBase = "/tmp/graft_ivf_centroids"
+  private val exportedCentroids = scala.collection.mutable.Set.empty[String]
+
+  def exportCentroids(spark: org.apache.spark.sql.SparkSession, cents: Array[Array[Double]]): String =
+    synchronized {
+      val path = s"$CentroidExportBase/c_${cents.length}_${cents.headOption.map(_.length).getOrElse(0)}"
+      if (!exportedCentroids.contains(path)) {
+        import spark.implicits._
+        cents.zipWithIndex.toSeq.map { case (row, c) => (c, row.toSeq) }
+          .toDF("c", "centroid")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(path)
+        exportedCentroids += path
+      }
+      path
+    }
 }

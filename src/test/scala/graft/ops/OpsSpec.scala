@@ -29,6 +29,29 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall too low")
   }
 
+  test("IVF ANN: probing every posting list equals brute force exactly; 2-of-8 probes keep useful recall") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val cents = VectorOps.ivfCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+    assert(cents.length == 8 && cents.forall(c => math.abs(c.map(x => x * x).sum - 1.0) < 1e-9))
+    val brute = VectorOps.bruteForceTopK(emb, "vec_id", "embedding", queries, "vec_id", "embedding", 5)
+      .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nProbe = k probes EVERY list -> candidate set is the whole corpus ->
+    // the exact brute-force result (the IVF correctness anchor)
+    val full = VectorOps.ivfTopK(emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+      k = 5, cents = cents, nProbe = 8)
+      .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == brute)
+    // the scale configuration (2 of 8 lists ~ 25% of the corpus scanned)
+    // still recovers a useful share of true neighbors on this random-ish
+    // corpus; clustered production embeddings recover far more
+    val probed = VectorOps.ivfTopK(emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+      k = 5, cents = cents, nProbe = 2)
+      .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect probed).size.toDouble / brute.size
+    info(s"IVF recall at nProbe=2/8: $recall")
+    assert(recall >= 0.3, s"recall $recall too low")
+  }
+
   test("LSH candidate generation is subquadratic (bucket join, not cross join)") {
     val queries = emb.filter(col("vec_id") < 20)
     val plan = VectorOps.lshTopK(emb, "vec_id", "embedding", queries, "vec_id", "embedding", 5)
