@@ -1599,7 +1599,7 @@ object QueryCatalog {
     )
   ) { (s, dir) =>
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-    val cents = VectorOps.ivfCentroids(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val cents = VectorOps.ivfCentroids(emb, "vec_id", "embedding", k = 8, iters = 2, sampleMod = 4)
     VectorOps.exportCentroids(s, cents)
     VectorOps.ivfTopK(emb, "vec_id", "embedding", emb.filter(col("vec_id") < 10), "vec_id", "embedding",
       k = 5, cents = cents, nProbe = 2)

@@ -249,10 +249,19 @@ object VectorOps {
     * closures — at 100 TB the corpus never moves for training, only the
     * k×dims sufficient statistics do.
     */
-  def ivfCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 3): Array[Array[Double]] = {
+  def ivfCentroids(
+      df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 3,
+      // train on a deterministic 1/sampleMod subset (xxhash64(id) bucket) —
+      // quantizer training never needs the full corpus; at 100 TB it runs
+      // on a thin sample while assignment touches everything exactly once
+      sampleMod: Int = 1
+  ): Array[Array[Double]] = {
     ensureRegistered(df)
+    val base =
+      if (sampleMod <= 1) df
+      else df.filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
     val unit = unitNormalized(
-      df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v")), "v").persist()
+      base.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v")), "v").persist()
     var cents = unit.orderBy(col("id")).limit(k)
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
     var it = 0
