@@ -113,13 +113,21 @@ object Robots {
 
   /** Per-JVM parse cache for the robots-TABLE join path (SCALE.md §Crawl
     * loop): when rules ride a join instead of a whole-map broadcast, each
-    * executor parses a host's robots body at most once. Bounded by a crude
-    * clear at 100k entries (a real deployment would LRU).
+    * executor parses a host's robots body at most once per DISTINCT
+    * (status, body) — the key includes the response status and a body hash
+    * (ADVICE r3 #2), so a refreshed robots table or a second crawl run in
+    * the same JVM never serves stale rules. Bounded by a crude clear at
+    * 100k entries (a real deployment would LRU); losing entries to a
+    * concurrent clear only costs a re-parse.
     */
   private val rulesCache = new java.util.concurrent.ConcurrentHashMap[String, RobotsRules]()
   def cachedFromFetch(host: String, statusCode: Int, body: String): RobotsRules = {
     if (rulesCache.size > 100000) rulesCache.clear()
-    rulesCache.computeIfAbsent(host, _ => fromFetch(s"https://$host", statusCode, body))
+    val bodyHash =
+      if (body == null) "null"
+      else scala.util.hashing.MurmurHash3.stringHash(body).toString + ":" + body.length
+    val key = s"$host|$statusCode|$bodyHash"
+    rulesCache.computeIfAbsent(key, _ => fromFetch(s"https://$host", statusCode, body))
   }
 
   def robotsUrl(anyUrlOnHost: String): String = {

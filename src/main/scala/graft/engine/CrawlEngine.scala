@@ -180,6 +180,15 @@ final class CrawlEngine(
     // the extended unique key (C2) comes straight from SeedRequest.
     if (cfg.preFillSessions > 0) sessionPool.fillTo(cfg.preFillSessions, 0L)
 
+    // Rebuild the bound-session-id set from persisted frontier state
+    // (ADVICE r3 #3): after a kill+resume the seeds of THIS run are empty,
+    // but rows already in the store may carry a `session_id` binding — the
+    // collision check must see them. One tiny aggregate per run start
+    // (bindings are rare; an unbound store contributes zero rows).
+    boundSessionIds ++= store.state()
+      .filter(col("session_id").isNotNull && col("status") =!= graft.schema.Status.Handled)
+      .select(col("session_id")).distinct().collect().map(_.getString(0))
+
     def enqueueSeeds(srs: Seq[SeedRequest]): Unit = {
       if (srs.isEmpty) return
       val seedAllowed = robotsAllowsDriver(srs.map(_.url))
@@ -237,8 +246,10 @@ final class CrawlEngine(
     // driver map.
     val crawlDelays: Map[String, Int] =
       if (robotsJoinMode && enforcePoliteness) {
+        // directive names are case-insensitive (the parser lowercases them)
+        // — the pre-filter must be too (ADVICE r3 #1)
         robotsRt
-          .filter(col("rb_body").contains("Crawl-delay") && col("rb_status") < 400)
+          .filter(lower(col("rb_body")).contains("crawl-delay") && col("rb_status") < 400)
           .collect()
           .map { r =>
             val host = r.getString(0)
@@ -361,9 +372,14 @@ final class CrawlEngine(
         // The bound-id set is tiny (only seeds can bind), so availability
         // is resolved driver-side once per batch and pushed down as an
         // isin literal — zero cost for unbound crawls.
+        // Session clock (ADVICE r3 #4): parity mode pins the session clock
+        // to 0L exactly like the oracle (sessions never age out), so long
+        // crawls can't drift engine-vs-oracle on age-based rotation; bench
+        // mode keeps the real virtual clock so maxAgeMs is honored.
+        val sessNow = if (trackOrder) 0L else nowMs
         val unavailableBound: Set[String] =
           if (boundSessionIds.isEmpty) Set.empty
-          else boundSessionIds.toSet.filter(id => !sessionPool.getById(id).exists(_.isUsable(nowMs)))
+          else boundSessionIds.toSet.filter(id => !sessionPool.getById(id).exists(_.isUsable(sessNow)))
         val (collided, allowed) =
           if (unavailableBound.isEmpty)
             (allowed0.filter(lit(false)), allowed0)
@@ -698,7 +714,7 @@ final class CrawlEngine(
             if (sessionAccounting && outcome != 11 && outcome != 12) {
               val sess = Option(r.getString(8)).flatMap(sessionPool.getById) match {
                 case Some(bound) => bound.markUsed(); bound
-                case None => sessionPool.getSession(nowMs)
+                case None => sessionPool.getSession(sessNow)
               }
               if (outcome == 4) sess.retire() // SessionError -> rotate
               else if (outcome == 0) sess.markGood()

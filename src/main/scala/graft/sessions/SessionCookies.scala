@@ -111,41 +111,33 @@ final class SessionCookies extends Serializable {
 }
 
 object SessionCookies {
-  private[sessions] def q(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  private[sessions] def q(s: String): String = graft.util.Json.quote(s)
 
-  private def strField(json: String, name: String): Option[String] = {
-    val m = java.util.regex.Pattern
-      .compile("\"" + name + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").matcher(json)
-    if (m.find()) Some(m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")) else None
-  }
-  private def boolField(json: String, name: String): Boolean = {
-    val m = java.util.regex.Pattern.compile("\"" + name + "\"\\s*:\\s*(true|false)").matcher(json)
-    m.find() && m.group(1) == "true"
-  }
-  private def longField(json: String, name: String): Option[Long] = {
-    val m = java.util.regex.Pattern.compile("\"" + name + "\"\\s*:\\s*(-?\\d+)").matcher(json)
-    if (m.find()) Some(m.group(1).toLong) else None
+  import graft.util.Json
+
+  /** Parsed JSON object -> cookie (escape-aware: values containing `"`,
+    * `]`, `}` or control chars round-trip exactly — ADVICE r3 #5).
+    */
+  private[sessions] def cookieFromValue(v: Any): CookieParam = {
+    val o = Json.obj(v)
+    def s(k: String, dflt: String): String = o.get(k).map(Json.str).getOrElse(dflt)
+    CookieParam(
+      name = s("name", ""),
+      value = s("value", ""),
+      domain = s("domain", ""),
+      path = s("path", "/"),
+      secure = o.get("secure").exists(Json.bool),
+      httpOnly = o.get("http_only").exists(Json.bool),
+      expires = o.get("expires").map(Json.long),
+      sameSite = o.get("same_site").map(Json.str)
+    )
   }
 
-  def cookieFromJson(json: String): CookieParam = CookieParam(
-    name = strField(json, "name").getOrElse(""),
-    value = strField(json, "value").getOrElse(""),
-    domain = strField(json, "domain").getOrElse(""),
-    path = strField(json, "path").getOrElse("/"),
-    secure = boolField(json, "secure"),
-    httpOnly = boolField(json, "http_only"),
-    expires = longField(json, "expires"),
-    sameSite = strField(json, "same_site")
-  )
+  def cookieFromJson(json: String): CookieParam = cookieFromValue(Json.parse(json))
 
   def fromJson(json: String): SessionCookies = {
     val c = new SessionCookies
-    // split the top-level array into objects (no nested braces in cookies)
-    val m = java.util.regex.Pattern.compile("\\{[^}]*\\}").matcher(json)
-    val buf = mutable.ArrayBuffer.empty[CookieParam]
-    while (m.find()) buf += cookieFromJson(m.group(0))
-    c.setCookies(buf.toSeq)
+    c.setCookies(Json.arr(Json.parse(json)).map(cookieFromValue))
     c
   }
 }

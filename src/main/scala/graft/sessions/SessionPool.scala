@@ -126,31 +126,28 @@ final class SessionPool(
 
   /** Restore pool state persisted by [[persistTo]]; a missing key leaves
     * the pool empty (fresh start). Returns whether state was restored.
+    * Escape-aware (ADVICE r3 #5): ids and cookie values containing quotes
+    * or brackets round-trip exactly through the real JSON parser.
     */
   def restoreFrom(kvs: graft.storage.KeyValueStore, key: String = "__SESSION_POOL_STATE"): Boolean =
     kvs.getJson(key) match {
       case None => false
       case Some(json) =>
-        def lf(name: String): Long = {
-          val m = java.util.regex.Pattern.compile("\"" + name + "\"\\s*:\\s*(-?\\d+)").matcher(json)
-          if (m.find()) m.group(1).toLong else 0L
-        }
+        import graft.util.Json
+        val root = Json.obj(Json.parse(json))
         sessions.clear()
-        createdTotal = lf("created_total")
-        retiredTotal = lf("retired_total")
-        rr = lf("rr").toInt
-        // each session object contains one nested cookies array — match
-        // session objects by their "id" anchor
-        val sm = java.util.regex.Pattern
-          .compile("\\{\"id\":\"([^\"]+)\",\"created_at\":(-?\\d+),\"usage\":(\\d+)," +
-            "\"error_score\":([0-9.eE+-]+),\"cookies\":(\\[.*?\\])\\}")
-          .matcher(json)
-        while (sm.find()) {
-          val s = new Session(sm.group(1), createdAtMs = sm.group(2).toLong,
+        createdTotal = root.get("created_total").map(Json.long).getOrElse(0L)
+        retiredTotal = root.get("retired_total").map(Json.long).getOrElse(0L)
+        rr = root.get("rr").map(Json.long).getOrElse(0L).toInt
+        root.get("sessions").map(Json.arr).getOrElse(Vector.empty).foreach { sv =>
+          val o = Json.obj(sv)
+          val s = new Session(Json.str(o("id")),
+            createdAtMs = o.get("created_at").map(Json.long).getOrElse(0L),
             maxAgeMs = maxAgeMs, maxErrorScore = maxErrorScore, maxUsageCount = maxUsageCount)
-          s.usageCount = sm.group(3).toInt
-          s.errorScore = sm.group(4).toDouble
-          s.cookies.setCookies(SessionCookies.fromJson(sm.group(5)).getCookiesAsDicts)
+          s.usageCount = o.get("usage").map(Json.long).getOrElse(0L).toInt
+          s.errorScore = o.get("error_score").map(Json.double).getOrElse(0.0)
+          o.get("cookies").map(Json.arr).getOrElse(Vector.empty)
+            .foreach(cv => s.cookies.setCookies(Seq(SessionCookies.cookieFromValue(cv))))
           sessions += s
         }
         if (rr >= sessions.size) rr = 0

@@ -185,6 +185,21 @@ class CanonSpec extends AnyFunSuite {
     assert(Hashing.shortHash("""{"key": "value"}""".getBytes("UTF-8")) == "9724c1e2")
   }
 
+  test("robots parse cache keys on (host, status, body) — no stale rules (ADVICE r3 #2)") {
+    val host = "cachekey-test.example"
+    val r1 = Robots.cachedFromFetch(host, 200, "User-agent: *\nDisallow: /private")
+    assert(!r1.isAllowed(s"https://$host/private/x"))
+    // same host, DIFFERENT body (e.g. refreshed robots table mid-crawl, or a
+    // second run in the same JVM): must re-parse, not serve the stale rules
+    val r2 = Robots.cachedFromFetch(host, 200, "User-agent: *\nAllow: /")
+    assert(r2.isAllowed(s"https://$host/private/x"))
+    // and a different STATUS flips semantics even with the same body
+    val r3 = Robots.cachedFromFetch(host, 503, "User-agent: *\nAllow: /")
+    assert(!r3.isAllowed(s"https://$host/anything"))
+    // identical triple hits the cache (same instance back)
+    assert(Robots.cachedFromFetch(host, 200, "User-agent: *\nAllow: /") eq r2)
+  }
+
   test("xxh64 known-answer vectors (seed 42, Spark-compatible)") {
     // Cross-checked against Spark's xxhash64 in SparkParitySpec
     assert(Hashing.xxh64(Array.emptyByteArray, 42L) == Hashing.xxh64("".getBytes("UTF-8"), 42L))

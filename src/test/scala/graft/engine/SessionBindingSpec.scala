@@ -116,6 +116,36 @@ class SessionBindingSpec extends SparkSpec {
     assert(engine.failedKeys == oracle.failedKeys)
   }
 
+  test("bound frontier rows survive a kill+resume: collision check sees persisted bindings (ADVICE r3 #3)") {
+    import spark.implicits._
+    val pagesDf = spark
+      .createDataset((0L until spec.totalPages.toLong).map(g => SyntheticWeb.pageAt(spec, g)))
+      .toDF()
+    val robots = SyntheticWeb.allRobots(spec)
+      .map(r => r.host -> Robots.fromFetch(s"https://${r.host}", r.status, r.body)).toMap
+    val root = Files.createTempDirectory("sessbind-resume").toString
+    val cfg1 = CrawlConfig(preFillSessions = 3, maxCrawlDepth = 0, maxRequestsPerCrawl = 1)
+    val seeds = Seq(
+      SeedRequest("https://h0.example.com/p/1"), // processed before the "kill"
+      SeedRequest("https://h0.example.com/p/9", sessionId = Some("session_999999")) // left pending
+    )
+    val e1 = new CrawlEngine(spark, new FrontierStore(spark, root), pagesDf, robots, cfg1,
+      claimBatchSize = 1)
+    val r1 = e1.runRequests(seeds)
+    assert(r1.processedCount == 1 && r1.collidedKeys.isEmpty)
+
+    // resume on the SAME store with a FRESH engine (empty seed list): the
+    // bound row comes from persisted state, not this run's seeds — the
+    // collision check must still fire (pre-fix it dispatched round-robin)
+    val cfg2 = cfg1.copy(maxRequestsPerCrawl = Long.MaxValue)
+    val e2 = new CrawlEngine(spark, new FrontierStore(spark, root), pagesDf, robots, cfg2,
+      claimBatchSize = 1)
+    val r2 = e2.runRequests(Seq.empty)
+    assert(r2.collidedKeys.size == 1)
+    assert(r2.failedKeys == r2.collidedKeys)
+    assert(!r2.crawlOrder.exists(_.endsWith("/p/9")))
+  }
+
   test("bound request uses exactly its session (usage accounting parity)") {
     val cfg = CrawlConfig(preFillSessions = 3, maxCrawlDepth = 0)
     // pick pages that fetch 200 on the first attempt so each seed is

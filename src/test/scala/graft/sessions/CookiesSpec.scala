@@ -58,6 +58,26 @@ class CookiesSpec extends SparkSpec {
     assert(a.copy() == a)
   }
 
+  test("hostile values round-trip: quotes, brackets, braces, control chars (ADVICE r3 #5)") {
+    val a = new SessionCookies
+    a.set("tricky", """va"l]u}e with \ and	tab""", domain = "d.com")
+    a.set("nested", """{"looks":"like json","arr":[1,2]}""", domain = "d.com")
+    a.set("nl", "line1\nline2", domain = "d.com")
+    assert(SessionCookies.fromJson(a.toJson) == a)
+    // a whole pool whose session carries hostile cookie values + a bound id
+    // with a quote persists and restores losslessly
+    val dir = Files.createTempDirectory("pool-hostile").toString
+    val pool = new SessionPool(maxPoolSize = 2, maxUsageCount = 100)
+    pool.fillTo(2, 0L)
+    val s = pool.getById("session_000000").get
+    s.cookies.set("k", """]}"quote""", domain = "x.com")
+    pool.persistTo(new KeyValueStore(spark, dir))
+    val pool2 = new SessionPool(maxPoolSize = 2, maxUsageCount = 100)
+    assert(pool2.restoreFrom(new KeyValueStore(spark, dir)))
+    assert(pool2.getById("session_000000").get.cookies.get("k").contains("""]}"quote"""))
+    assert(pool2.sessionCount == 2)
+  }
+
   test("pool persists sessions WITH cookies and counters; restore resumes rotation") {
     val dir = Files.createTempDirectory("pool-kvs").toString
     val pool = new SessionPool(maxPoolSize = 3, maxUsageCount = 100)
