@@ -846,6 +846,53 @@ object QueryCatalog {
       .orderBy(col("event_id"), col("loc"))
   }
 
+  // ---- L1b: selector-parametrized extraction (img/src) ---------------------
+  // Same analytic link set as l1, but the page markup carries the links as
+  // <img src="..."> and the generator runs with LinkSelector("img", "src")
+  // (reference _abstract_http_crawler.py:198-219 selector/attribute params).
+  register(
+    "l1b_extract_links_selector",
+    Some(
+      """SELECT event_id, loc FROM (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 5 = 0
+        |         THEN 'https://h' || (user_id % 7) || '.example.com/p/' || (event_id % 1000)
+        |         ELSE 'https://h' || (user_id % 7) || '.example.com/d/p/' || (event_id % 1000) END AS loc
+        |  FROM events WHERE event_id < 4000
+        |  UNION ALL
+        |  SELECT event_id, 'https://other.org/x/' || (event_id % 50) AS loc
+        |  FROM events WHERE event_id < 4000
+        |) ORDER BY event_id, loc""".stripMargin
+    )
+  ) { (s, dir) =>
+    UrlFunctions.register(s)
+    val selector = graft.oracle.LinkSelector("img", "src")
+    val pageUrl = concat(lit("https://h"), pmod(col("user_id"), lit(7)), lit(".example.com/d/index"))
+    val baseTag = when(pmod(col("event_id"), lit(5)) === 0,
+      concat(lit("<base href=\"https://h"), pmod(col("user_id"), lit(7)), lit(".example.com/\">")))
+      .otherwise(lit(""))
+    val body = concat(
+      lit("<html><head>"), baseTag, lit("</head><body>"),
+      // a decoy <a href> that the img/src selector must NOT extract
+      lit("<a href=\"/decoy/ignored\">nope</a>"),
+      lit("<img src=\"p/"), pmod(col("event_id"), lit(1000)), lit("\"/>"),
+      lit("<img alt=\"x\" src=\"https://other.org/x/"), pmod(col("event_id"), lit(50)), lit("\"/>"),
+      lit("</body></html>")
+    )
+    val base = t(s, dir, "events")
+      .filter(col("event_id") < 4000)
+      .select(col("event_id"), pageUrl.as("page_url"), body.as("p_body"))
+      .withColumn("base_href", regexp_extract(col("p_body"), graft.engine.CrawlEngine.BaseHrefPattern, 1))
+      .withColumn("base_url",
+        when(length(col("base_href")) > 0, col("base_href")).otherwise(col("page_url")))
+      .select(col("event_id"), col("base_url"),
+        explode(regexp_extract_all(col("p_body"), lit(selector.pattern), lit(1)))
+          .as("raw_link"))
+    base
+      .select(col("event_id"), UrlFunctions.resolveUrl(col("base_url"), col("raw_link")).as("loc"))
+      .orderBy(col("event_id"), col("loc"))
+  }
+
   // ---- D10/D11: CSV + JSON export round-trips -------------------------------
   register(
     "d10_csv_export",
@@ -1436,6 +1483,47 @@ object QueryCatalog {
          |FROM sh GROUP BY doc_id""".stripMargin
     )
   ) { (s, dir) => TextOps.fingerprints(t(s, dir, "documents"), "doc_id", "text", 8) }
+
+  // ---- HTML→text extraction (reference _parsel/_utils.py:16-76) ------------
+  // Oracle side-channel: the deterministic HTML corpus is generated from a
+  // document TREE and exported with the tree-walk expected text
+  // (graft.fixtures.HtmlDocs); the engine must recover that text by PARSING
+  // the serialized markup — generator and extractor share no code.
+  register(
+    "td_html_to_text",
+    Some(
+      """SELECT doc_id, expected AS text
+        |FROM read_parquet('/tmp/graft_html_docs/docs_400/*.parquet')
+        |ORDER BY doc_id""".stripMargin
+    )
+  ) { (s, _) =>
+    graft.expr.HtmlFunctions.register(s)
+    val path = graft.fixtures.HtmlDocs.export(s, 400)
+    s.read.parquet(path)
+      .select(col("doc_id"), graft.expr.HtmlFunctions.htmlToText(col("html")).as("text"))
+      .orderBy(col("doc_id"))
+  }
+
+  // Downstream text-pipeline composition (VERDICT r3 next-round #1): token
+  // counting fed from EXTRACTED text instead of raw bodies — the DuckDB
+  // side derives the same counts from the exported expected text with its
+  // own string ops, so the whole html→text→tokens chain is cross-checked.
+  register(
+    "td_html_text_tokens",
+    Some(
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(expected, '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(expected, '[a-zA-Z0-9]+')) +
+        |  len(regexp_extract_all(expected, '[^a-zA-Z0-9 \t\n]')) AS bpe_ish_tokens
+        |FROM read_parquet('/tmp/graft_html_docs/docs_400/*.parquet')""".stripMargin
+    )
+  ) { (s, _) =>
+    graft.expr.HtmlFunctions.register(s)
+    val path = graft.fixtures.HtmlDocs.export(s, 400)
+    val extracted = s.read.parquet(path)
+      .select(col("doc_id"), graft.expr.HtmlFunctions.htmlToText(col("html")).as("text"))
+    TextOps.tokenCounts(extracted, "doc_id", "text")
+  }
 
   register(
     "v_cosine_near_dup",

@@ -440,7 +440,10 @@ final class CrawlEngine(
             when(length(col("base_href")) > 0, col("base_href")).otherwise(col("loaded_url")))
           .withColumn("links",
             when(col("eff_status") === 200,
-              regexp_extract_all(col("p_body"), lit(HrefPattern), lit(1)))
+              // selector-parametrized generator (reference
+              // _abstract_http_crawler.py:198-219): the (tag, attribute)
+              // pair is user configuration, default <a href>
+              regexp_extract_all(col("p_body"), lit(cfg.linkSelector.pattern), lit(1)))
               .otherwise(array().cast("array<string>")))
           .drop("base_href")
         // localCheckpoint: materialize AND truncate lineage, so every
@@ -885,8 +888,10 @@ object CrawlEngine {
   def rateCapPerBatch(tasksPerMinute: Int, batchPeriodMs: Long): Long =
     math.max(1L, tasksPerMinute.toLong * batchPeriodMs / 60000L)
 
-  /** href extractor pattern (the L1 generator). */
-  val HrefPattern: String = "(?i)<a\\s[^>]*href\\s*=\\s*\"([^\"]*)\""
+  /** Default href extractor pattern (the L1 generator with the default
+    * LinkSelector; kept as a constant for catalog oracles).
+    */
+  val HrefPattern: String = graft.oracle.LinkSelector().pattern
   val BaseHrefPattern: String = "(?i)<base\\s[^>]*href\\s*=\\s*\"([^\"]*)\""
 
   import org.apache.spark.sql.functions.col

@@ -18,7 +18,12 @@ final case class WebSpec(
     skewHost: Int = -1, // if >=0: this host gets 4x out-degree toward itself (hot-host skew)
     nImages: Int = 1000,
     linkFactor: Int = 1, // out-degree multiplier (bench: real pages carry 50-150 links)
-    blockedEvery: Int = 0 // if >0: every Nth page body carries a blocked-content marker (F11)
+    blockedEvery: Int = 0, // if >0: every Nth page body carries a blocked-content marker (F11)
+    // how page links are marked up: ("a", "href") renders <a href="...">,
+    // ("img", "src") renders <img src="..."/> — exercises the
+    // selector-parametrized extractor (reference selector/attribute params)
+    linkTag: String = "a",
+    linkAttr: String = "href"
 ) {
   def totalPages: Int = hosts * pagesPerHost + otherOrgPages + subHostPages
 }
@@ -149,7 +154,12 @@ object SyntheticWeb {
     // detects — a blocked page stays blocked on refetch (rotation exhausts)
     if (spec.blockedEvery > 0 && i > 0 && i % spec.blockedEvery == 0)
       sb.append("""<iframe src="https://challenges.cloudflare.com/turnstile"></iframe>""")
-    links(spec, h, i).foreach(l => sb.append(s"""<p><a href="$l">link</a></p>"""))
+    links(spec, h, i).foreach { l =>
+      if (spec.linkTag == "a" && spec.linkAttr == "href")
+        sb.append(s"""<p><a href="$l">link</a></p>""")
+      else
+        sb.append(s"""<p><${spec.linkTag} ${spec.linkAttr}="$l">link</${spec.linkTag}></p>""")
+    }
     sb.append("</body></html>")
     sb.toString
   }

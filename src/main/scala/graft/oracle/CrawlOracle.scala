@@ -96,6 +96,21 @@ final class MemoryQueueOracle {
   */
 final case class RequestOptions(url: String, label: Option[String])
 
+/** Link-extraction selector (reference extract_links(selector=, attribute=),
+  * _abstract_http_crawler.py:198-219: `selector: str = 'a'`,
+  * `attribute: str = 'href'` are USER parameters — e.g. `img`/`src` or
+  * `link`/`href`). The engine compiles it into the regexp generator column;
+  * the oracle into its extraction regex. Tag/attribute are restricted to
+  * name characters so the pattern stays RE2-safe for SQL oracles.
+  */
+final case class LinkSelector(tag: String = "a", attribute: String = "href") extends Serializable {
+  require(tag.matches("[A-Za-z][A-Za-z0-9-]*"), s"bad selector tag: $tag")
+  require(attribute.matches("[A-Za-z][A-Za-z0-9-]*"), s"bad selector attribute: $attribute")
+
+  /** Java/RE2-compatible pattern; group 1 = the attribute value. */
+  def pattern: String = s"""(?i)<$tag\\s[^>]*$attribute\\s*=\\s*"([^"]*)""""
+}
+
 /** A fully-specified seed request (reference Request.from_url surface,
   * `_request.py:183-235`): method/payload/headers participate in the
   * extended unique key (C2) when `useExtendedUniqueKey` is set; `noRetry` /
@@ -177,7 +192,12 @@ final case class CrawlConfig(
     // per-label handler dispatch (reference router.py:20-121): requests are
     // routed to the registered handler for their label, falling back to the
     // default handler; an unmatched label with no default is an error
-    router: Option[graft.router.Router] = None
+    router: Option[graft.router.Router] = None,
+    // selector-parametrized link extraction (reference
+    // _abstract_http_crawler.py:198-219): which (tag, attribute) pairs count
+    // as links — default <a href>, e.g. LinkSelector("img", "src") for an
+    // image crawl
+    linkSelector: LinkSelector = LinkSelector()
 ) extends Serializable
 
 final case class OracleResult(
@@ -227,6 +247,10 @@ object CrawlOracle {
 
     val include = cfg.includePatterns.map(Globs.compile)
     val exclude = cfg.excludePatterns.map(Globs.compile)
+    // selector-parametrized extraction (_abstract_http_crawler.py:198-219)
+    val linkRe = cfg.linkSelector.pattern.r
+    def extractLinks(body: String): Seq[String] =
+      linkRe.findAllMatchIn(body).map(_.group(1)).toSeq
 
     def patternsOk(url: String): Boolean = {
       if (exclude.exists(_.matcher(url).matches())) return false
@@ -377,7 +401,7 @@ object CrawlOracle {
                   // handler: extract links, enqueue, emit images (L1-L4)
                   if (handlerOpt.forall(_.extractLinks)) {
                     val base = extractBase(page.body).getOrElse(loadedUrl)
-                    val links = extractHrefs(page.body).iterator
+                    val links = extractLinks(page.body).iterator
                       .map(l => if (UrlCanon.isAbsolute(l)) l else UrlCanon.resolve(base, l))
                       .filter(_ != null)
                       .toSeq

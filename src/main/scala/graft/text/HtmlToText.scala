@@ -1,0 +1,247 @@
+package graft.text
+
+/** HTML → newline-separated plain text, Spark-free (SURVEY §2 text surface;
+  * VERDICT r3 "missing" #1).
+  *
+  * Reproduces the reference's html_to_text semantics
+  * (/root/reference/src/crawlee/_utils/html_to_text.py:1-36 constants;
+  * /root/reference/src/crawlee/crawlers/_parsel/_utils.py:16-76 walker):
+  *   - SKIP_TAGS subtrees (script/style/canvas/svg/noscript/title) drop
+  *   - text outside <pre> compresses any whitespace run to one space; a
+  *     leading space/newline is dropped when the accumulated text is empty
+  *     or already ends with whitespace
+  *   - text whose DIRECT parent is <pre> is kept raw
+  *   - BLOCK_TAGS are newline-surrounded (no duplicate newlines)
+  *   - <br> emits '\n'; <td> emits its children then '\t'
+  *   - comments / doctypes / processing instructions are skipped (the
+  *     reference's parsel walker skips non-string tags,
+  *     _parsel/_utils.py:56; the bs4 variant's Comment inclusion is a
+  *     quirk of bs4's type hierarchy, not intended semantics)
+  *   - the result is trimmed
+  *
+  * The parser is a lenient stack-based HTML tokenizer (void elements,
+  * self-closing, attribute values containing '>', raw-text elements,
+  * mismatched closes) — real-web HTML never guarantees well-formedness.
+  */
+object HtmlToText {
+
+  val SkipTags: Set[String] = Set("script", "style", "canvas", "svg", "noscript", "title")
+
+  val BlockTags: Set[String] = Set(
+    "p", "h1", "h2", "h3", "h4", "h5", "h6", "ol", "ul", "li", "pre", "address",
+    "blockquote", "dl", "div", "fieldset", "form", "table", "tr", "select", "option")
+
+  /** Elements whose raw content runs to the matching close tag (may contain
+    * markup-looking text).
+    */
+  private val RawTextTags: Set[String] = Set("script", "style", "title", "textarea")
+
+  private val VoidTags: Set[String] = Set(
+    "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+    "meta", "param", "source", "track", "wbr")
+
+  // ---- document model ------------------------------------------------------
+
+  sealed trait Node
+  final case class Elem(tag: String, children: scala.collection.Seq[Node]) extends Node
+  final case class Text(s: String) extends Node
+
+  // ---- public API ----------------------------------------------------------
+
+  def convert(html: String): String = {
+    if (html == null) return null
+    val roots = parse(html)
+    val sb = new StringBuilder
+    walk(roots, sb, rawText = false)
+    trimWs(sb.toString)
+  }
+
+  /** Codegen entry point (UTF8String in/out keeps the expression inside
+    * whole-stage codegen without string-copy games in generated code).
+    */
+  def convertUTF8(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String =
+    if (s == null) null
+    else org.apache.spark.unsafe.types.UTF8String.fromString(convert(s.toString))
+
+  // ---- walker (reference whitespace rules) ---------------------------------
+
+  private def isWs(c: Char): Boolean = Character.isWhitespace(c) || c == ' '
+
+  private def trimWs(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && isWs(s.charAt(a))) a += 1
+    while (b > a && isWs(s.charAt(b - 1))) b -= 1
+    s.substring(a, b)
+  }
+
+  private def compressWs(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var inRun = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (isWs(c)) { if (!inRun) sb.append(' '); inRun = true }
+      else { sb.append(c); inRun = false }
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def endsWithWs(sb: StringBuilder): Boolean =
+    sb.isEmpty || isWs(sb.charAt(sb.length - 1))
+
+  private def endsWithNl(sb: StringBuilder): Boolean =
+    sb.isEmpty || sb.charAt(sb.length - 1) == '\n'
+
+  private def walk(nodes: scala.collection.Seq[Node], sb: StringBuilder, rawText: Boolean): Unit =
+    nodes.foreach {
+      case Text(t) =>
+        var compr = if (rawText) t else compressWs(t)
+        if (compr.nonEmpty && (compr.charAt(0) == ' ' || compr.charAt(0) == '\n') && endsWithWs(sb))
+          compr = compr.substring(1)
+        sb.append(compr)
+      case Elem(tag, children) =>
+        if (SkipTags.contains(tag)) ()
+        else if (tag == "br") sb.append('\n')
+        else if (tag == "td") { walk(children, sb, rawText = false); sb.append('\t') }
+        else {
+          val isBlock = BlockTags.contains(tag)
+          if (isBlock && !endsWithNl(sb)) sb.append('\n')
+          walk(children, sb, rawText = tag == "pre")
+          if (isBlock && !(sb.nonEmpty && sb.charAt(sb.length - 1) == '\n')) sb.append('\n')
+        }
+    }
+
+  // ---- lenient HTML parser -------------------------------------------------
+
+  def parse(html: String): Seq[Node] = {
+    val n = html.length
+    val rootChildren = scala.collection.mutable.ArrayBuffer.empty[Node]
+    // stack of (tag, children buffer); root sentinel has tag ""
+    var stack = List(("", rootChildren))
+    def top: scala.collection.mutable.ArrayBuffer[Node] = stack.head._2
+
+    def closeTo(tag: String): Unit =
+      if (stack.exists(_._1 == tag)) {
+        while (stack.head._1 != tag) popOne()
+        popOne()
+      } // unmatched close: ignore
+    def popOne(): Unit = {
+      val (t, children) = stack.head
+      stack = stack.tail
+      stack.head._2 += Elem(t, children)
+    }
+
+    var i = 0
+    var textStart = 0
+    def flushText(until: Int): Unit =
+      if (until > textStart) top += Text(decodeEntities(html.substring(textStart, until)))
+
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<' && i + 1 < n) {
+        val c1 = html.charAt(i + 1)
+        if (c1 == '!') {
+          flushText(i)
+          if (html.startsWith("<!--", i)) {
+            val end = html.indexOf("-->", i + 4)
+            i = if (end < 0) n else end + 3
+          } else {
+            val end = html.indexOf('>', i)
+            i = if (end < 0) n else end + 1
+          }
+          textStart = i
+        } else if (c1 == '?') {
+          flushText(i)
+          val end = html.indexOf('>', i)
+          i = if (end < 0) n else end + 1
+          textStart = i
+        } else if (c1 == '/') {
+          flushText(i)
+          val end = html.indexOf('>', i)
+          if (end < 0) { i = n }
+          else {
+            val tag = html.substring(i + 2, end).trim.toLowerCase
+            closeTo(tag)
+            i = end + 1
+          }
+          textStart = i
+        } else if (Character.isLetter(c1)) {
+          flushText(i)
+          // tag name
+          var j = i + 1
+          while (j < n && (Character.isLetterOrDigit(html.charAt(j)) || html.charAt(j) == '-')) j += 1
+          val tag = html.substring(i + 1, j).toLowerCase
+          // scan to tag end, attribute-quote-aware ('>' inside quotes is data)
+          var quote: Char = 0
+          var selfClose = false
+          var k = j
+          var done = false
+          while (k < n && !done) {
+            val ch = html.charAt(k)
+            if (quote != 0) { if (ch == quote) quote = 0 }
+            else if (ch == '"' || ch == '\'') quote = ch
+            else if (ch == '>') {
+              selfClose = k > j && html.charAt(k - 1) == '/'
+              done = true
+            }
+            k += 1
+          }
+          i = k
+          if (VoidTags.contains(tag) || selfClose) top += Elem(tag, Nil)
+          else if (RawTextTags.contains(tag)) {
+            // raw content to the matching close tag (case-insensitive)
+            val lower = html.toLowerCase
+            val close = lower.indexOf(s"</$tag", i)
+            val end = if (close < 0) n else close
+            top += Elem(tag, Seq(Text(html.substring(i, end))))
+            if (close < 0) i = n
+            else {
+              val gt = html.indexOf('>', close)
+              i = if (gt < 0) n else gt + 1
+            }
+          } else stack = (tag, scala.collection.mutable.ArrayBuffer.empty[Node]) :: stack
+          textStart = i
+        } else i += 1
+      } else i += 1
+    }
+    flushText(n)
+    while (stack.head._1 != "") popOne()
+    rootChildren.toSeq
+  }
+
+  // ---- entities ------------------------------------------------------------
+
+  private val Named = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
+    "nbsp" -> " ", "copy" -> "©", "mdash" -> "—", "ndash" -> "–")
+
+  def decodeEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        if (semi > i && semi - i <= 10) {
+          val body = s.substring(i + 1, semi)
+          val decoded =
+            if (body.startsWith("#x") || body.startsWith("#X"))
+              try Some(new String(Character.toChars(Integer.parseInt(body.substring(2), 16))))
+              catch { case _: Exception => None }
+            else if (body.startsWith("#"))
+              try Some(new String(Character.toChars(Integer.parseInt(body.substring(1)))))
+              catch { case _: Exception => None }
+            else Named.get(body)
+          decoded match {
+            case Some(d) => sb.append(d); i = semi + 1
+            case None => sb.append(c); i += 1
+          }
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}

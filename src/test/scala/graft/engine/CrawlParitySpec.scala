@@ -59,6 +59,28 @@ class CrawlParitySpec extends SparkSpec {
     assert(engine.emittedImageIds.sorted == oracle.emittedImageIds.sorted)
   }
 
+  test("selector-parametrized extraction: img/src crawl parity (_abstract_http_crawler.py:198-219)") {
+    // the same web rendered with <img src="..."> markup: crawling with the
+    // img/src selector must walk it exactly like the default a/href crawl
+    // walks the default markup
+    val imgSpec = smallSpec.copy(linkTag = "img", linkAttr = "src")
+    val cfg = CrawlConfig(linkSelector = graft.oracle.LinkSelector("img", "src"))
+    val oracle = CrawlOracle.run(imgSpec, seeds, cfg)
+    val engine = mkEngine(imgSpec, cfg, batchSize = 1).run(seeds)
+    assert(engine.crawlOrder == oracle.crawlOrder)
+    assert(engine.seenKeys == oracle.seenKeys)
+    assert(engine.handledOkKeys == oracle.handledOkKeys)
+    // the img-markup web holds real links — the selector crawl went past the seeds
+    assert(oracle.seenKeys.size > seeds.size)
+
+    // and the DEFAULT a/href selector finds nothing on the img-markup web:
+    // only the two seeds are ever seen
+    val defOracle = CrawlOracle.run(imgSpec, seeds, CrawlConfig())
+    val defEngine = mkEngine(imgSpec, CrawlConfig(), batchSize = 8).run(seeds)
+    assert(defEngine.seenKeys == defOracle.seenKeys)
+    assert(defEngine.seenKeys.size <= seeds.size)
+  }
+
   test("max_requests_per_crawl exactness at concurrency 1 (test_basic_crawler.py:1094-1122)") {
     val cfg = CrawlConfig(maxRequestsPerCrawl = 3)
     val engine = mkEngine(smallSpec, cfg, batchSize = 1).run(seeds)
