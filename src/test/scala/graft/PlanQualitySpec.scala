@@ -109,6 +109,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan(routed).contains("CartesianProduct"), plan(routed))
   }
 
+  test("vector signature/assignment stages carry NO Scala UDF (native expressions)") {
+    val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    // LSH signature pass (VecSigns)
+    val sigs = graft.ops.VectorOps.lshSignatures(emb, "vec_id", "embedding", 8, 12)
+    val ps = plan(sigs)
+    assert(!ps.toLowerCase.contains("scalaudf"), ps)
+    assert(ps.contains("vec_signs") || ps.contains("vecsigns"), ps)
+    // IVF assignment + probe pass (ArgmaxDot / TopProbes)
+    val cents = graft.ops.VectorOps.ivfCentroids(emb, "vec_id", "embedding", 4, iters = 1)
+    val topk = graft.ops.VectorOps.ivfTopK(
+      emb, "vec_id", "embedding", emb.filter(col("vec_id") < 5), "vec_id", "embedding", 3, cents)
+    val pt = plan(topk)
+    assert(!pt.toLowerCase.contains("scalaudf"), pt)
+  }
+
   test("router dispatch compiles to a when-chain inside codegen — no UDF, no join") {
     val router = new graft.router.Router()
       .defaultHandler(graft.router.PageHandler(tag = "DEF"))
