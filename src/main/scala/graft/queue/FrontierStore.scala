@@ -716,7 +716,12 @@ final class FrontierStore(
       nowMs: Long,
       hostQuota: Map[String, Int] = Map.empty,
       defaultQuota: Int = Int.MaxValue,
-      blockedHosts: Set[String] = Set.empty
+      blockedHosts: Set[String] = Set.empty,
+      // Politeness quotas as a TABLE (host, quota) joined into the claim
+      // (SCALE.md / VERDICT r3 "wrong" #2): the set of delay-declaring
+      // hosts is unbounded at 10^10-frontier scale, so it must never be a
+      // collected driver map. Hosts absent from the table get defaultQuota.
+      quotaTable: Option[DataFrame] = None
   ): DataFrame = synchronized {
     if (maxN <= 0) return emptyEvents(spark).withColumn("claim_rank", lit(0))
     // NOTE a parallel range-sort rank variant (sort unbounded + rank filter,
@@ -724,7 +729,7 @@ final class FrontierStore(
     // local shape — TakeOrderedAndProject's map-side top-k + one merge is
     // the better constant here; at 10^6+-row cluster claims the range-sort
     // form (pickTop(bound = false) + withClaimRank(maxN)) is the swap-in.
-    withClaimRank(pickTop(maxN, nowMs, hostQuota, defaultQuota, blockedHosts), maxN)
+    withClaimRank(pickTop(maxN, nowMs, hostQuota, defaultQuota, blockedHosts, quotaTable = quotaTable), maxN)
   }
 
   /** Shared claim selection: bucket pruning + epoch cutoff + eligibility +
@@ -740,14 +745,15 @@ final class FrontierStore(
       hostQuota: Map[String, Int],
       defaultQuota: Int,
       blockedHosts: Set[String],
-      bound: Boolean = true
+      bound: Boolean = true,
+      quotaTable: Option[DataFrame] = None
   ): DataFrame = {
     val st = state() // FIRST: a resumed store builds the driver summaries here
     val prunedState = claimableBuckets() match {
       case Some(bs) => st.filter(bucketCol.isin(bs: _*))
       case None => st
     }
-    val noQuota = hostQuota.isEmpty && defaultQuota == Int.MaxValue
+    val noQuota = hostQuota.isEmpty && defaultQuota == Int.MaxValue && quotaTable.isEmpty
     // epoch cutoff: only when nothing host-level can exclude head rows
     val preFiltered =
       if (noQuota && blockedHosts.isEmpty && claimBucketPruning)
@@ -768,14 +774,27 @@ final class FrontierStore(
     val underQuota =
       if (noQuota) base
       else {
-        val quotaUdf = udf((host: String) => hostQuota.getOrElse(host, defaultQuota))
-        base
-          .withColumn(
-            "__host_rank",
-            row_number().over(Window.partitionBy(col("host"))
-              .orderBy(col("forefront").desc, col("__sort").asc, col("unique_key"))))
-          .filter(col("__host_rank") <= quotaUdf(col("host")))
-          .drop("__host_rank")
+        val hostRank = row_number().over(Window.partitionBy(col("host"))
+          .orderBy(col("forefront").desc, col("__sort").asc, col("unique_key")))
+        quotaTable match {
+          case Some(qt) =>
+            // TABLE form: quotas ride a join keyed by host — only hosts
+            // actually present in the (pruned, eligible) claim scan move,
+            // and the quota set itself is never collected to the driver.
+            base
+              .join(
+                qt.select(col("host").as("__q_host"), col("quota").as("__quota")),
+                base("host") === col("__q_host"), "left")
+              .withColumn("__host_rank", hostRank)
+              .filter(col("__host_rank") <= coalesce(col("__quota"), lit(defaultQuota)))
+              .drop("__host_rank", "__q_host", "__quota")
+          case None =>
+            val quotaUdf = udf((host: String) => hostQuota.getOrElse(host, defaultQuota))
+            base
+              .withColumn("__host_rank", hostRank)
+              .filter(col("__host_rank") <= quotaUdf(col("host")))
+              .drop("__host_rank")
+        }
       }
     val ordered = underQuota.orderBy(col("forefront").desc, col("__sort").asc, col("unique_key"))
     (if (bound) ordered.limit(maxN) else ordered).drop("__sort")

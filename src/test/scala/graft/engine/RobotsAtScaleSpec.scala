@@ -67,6 +67,54 @@ class RobotsAtScaleSpec extends SparkSpec {
     assert(joinRes.seenKeys.nonEmpty)
   }
 
+  test("politeness delays ride the quota-table claim join — map mode and table mode agree (VERDICT r3 #2)") {
+    import spark.implicits._
+    // small web for speed; h1 (h%4==1) declares Crawl-delay: 2 -> quota 1/batch
+    val pspec = WebSpec(hosts = 2, pagesPerHost = 14, otherOrgPages = 4, subHostPages = 4, nImages = 10)
+    val pRows = SyntheticWeb.allRobots(pspec)
+    def pPages = {
+      spark.createDataset((0L until pspec.totalPages.toLong).map(g => SyntheticWeb.pageAt(pspec, g))).toDF()
+    }
+    def pStatus: (String, Int) => Int = { val sp = pspec
+      (url, attempt) => {
+        val host = graft.canon.UrlCanon.parse(url).host
+        SyntheticWeb.statusAt(sp, CrawlOracle.hostIdx(sp, host), CrawlOracle.pageIdx(url), attempt)
+      }
+    }
+    val seeds = Seq(SeedRequest("https://h1.example.com/p/0"))
+    val cfg = CrawlConfig()
+
+    val mapRes = new CrawlEngine(
+      spark, new FrontierStore(spark, Files.createTempDirectory("pol-map").toString),
+      pPages, pRows.map(r => r.host -> Robots.fromFetch(s"https://${r.host}", r.status, r.body)).toMap,
+      cfg, claimBatchSize = 16, enforcePoliteness = true, statusAtFn = pStatus).runRequests(seeds)
+
+    val joinRes = new CrawlEngine(
+      spark, new FrontierStore(spark, Files.createTempDirectory("pol-join").toString),
+      pPages, Map.empty, cfg, claimBatchSize = 16, enforcePoliteness = true, statusAtFn = pStatus,
+      robotsTable = Some(spark.createDataset(pRows).toDF())).runRequests(seeds)
+
+    // delay actually bit in BOTH modes: every h1 fetch needed its own batch
+    assert(mapRes.batches >= mapRes.crawlOrder.size)
+    assert(joinRes.batches >= joinRes.crawlOrder.size,
+      s"table-mode quota not enforced: ${joinRes.batches} batches < ${joinRes.crawlOrder.size} fetches")
+    assert(joinRes.seenKeys == mapRes.seenKeys)
+    assert(joinRes.handledOkKeys == mapRes.handledOkKeys)
+    assert(joinRes.batches == mapRes.batches)
+
+    // ADVICE r3 #1 regression: a lowercase "crawl-delay:" directive is
+    // still enforced in table mode (the parser lowercases, the pre-filter
+    // must too)
+    val lowerRows = pRows.map(r => r.copy(body = r.body.replace("Crawl-delay", "crawl-delay")))
+    val lowerRes = new CrawlEngine(
+      spark, new FrontierStore(spark, Files.createTempDirectory("pol-lower").toString),
+      pPages, Map.empty, cfg, claimBatchSize = 16, enforcePoliteness = true, statusAtFn = pStatus,
+      robotsTable = Some(spark.createDataset(lowerRows).toDF())).runRequests(seeds)
+    assert(lowerRes.batches >= lowerRes.crawlOrder.size,
+      "lowercase crawl-delay was silently unenforced")
+    assert(lowerRes.seenKeys == joinRes.seenKeys)
+  }
+
   test("join mode enforces robots: disallowed /private seed never enqueues, disallow-all host skips at fetch") {
     import spark.implicits._
     val cfg = CrawlConfig()
