@@ -1694,8 +1694,24 @@ object QueryCatalog {
       .select(col("query_id"), col("rank"), col("corpus_id"), round(col("cos"), 4).as("cos"))
   }
 
-  register("mm_image_features", None) { (s, _) =>
+  // Half-oracled (VERDICT r3 next-round #8): the distributed decode
+  // pipeline must recover the generator's deterministic features (w, h,
+  // fmt, phash-of-decoded-pixels) from the raw binary column; the expected
+  // values are exported by the fixture. Disclosed exclusion: mean_luma
+  // (float accumulation over decoder output) stays out of the oracle and
+  // remains covered by ImagesSpec + the rows-only mm_payload_validate.
+  register(
+    "mm_image_features",
+    Some(
+      """SELECT id, w, h, fmt, phash
+        |FROM read_parquet('/tmp/graft_image_features/f_64/*.parquet')
+        |ORDER BY id""".stripMargin
+    )
+  ) { (s, _) =>
+    graft.fixtures.Images.exportExpectedFeatures(s, 64)
     graft.ops.Multimodal.imageFeatures(graft.ops.Multimodal.syntheticMediaTable(s, 64)).toDF()
+      .select(col("id"), col("w"), col("h"), col("fmt"), col("phash"))
+      .orderBy(col("id"))
   }
 
   register("mm_payload_validate", None) { (s, _) =>

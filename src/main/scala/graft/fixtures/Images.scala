@@ -152,6 +152,33 @@ object Images {
     ImageRow(id, bytes, w, h, fmt, captionOf(id), ph)
   }
 
+  /** Oracle side-channel (VERDICT r3 next-round #8, same trick as the LSH
+    * plane export): the fixture's expected per-image features — everything
+    * deterministic given the generator: dimensions, format, and the phash
+    * of the decoded payload — exported as parquet so the SQL oracle can
+    * check the engine's distributed decode pipeline recovered them from
+    * the raw bytes. mean_luma stays EXCLUDED (float accumulation over
+    * decoder output; disclosed rows-only remainder with PSNR).
+    */
+  val FeatureExportBase = "/tmp/graft_image_features"
+  private val exportedFeatures = scala.collection.mutable.Set.empty[String]
+
+  def exportExpectedFeatures(spark: org.apache.spark.sql.SparkSession, n: Int): String =
+    synchronized {
+      val path = s"$FeatureExportBase/f_$n"
+      if (!exportedFeatures.contains(path)) {
+        import spark.implicits._
+        (0 until n).map { i =>
+          val r = rowAt(i.toLong)
+          (r.image_id, r.w, r.h, r.fmt, r.phash)
+        }.toDF("id", "w", "h", "fmt", "phash")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(path)
+        exportedFeatures += path
+      }
+      path
+    }
+
   /** Per-row validation per BASELINE.json input_hint: lossless formats must
     * decode bit-identically to the procedural render; lossy must reach
     * PSNR >= 40 dB; caption must match exactly.

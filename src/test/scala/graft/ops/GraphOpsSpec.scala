@@ -22,6 +22,22 @@ class GraphOpsSpec extends SparkSpec {
       "x" -> "x", "y" -> "x", "z" -> "x"))
   }
 
+  test("adversarial chain graph converges in O(log diameter) rounds (pointer jumping)") {
+    import spark.implicits._
+    // a pure path 0-1-2-...-255: diameter 255. Plain hash-min label
+    // propagation needs ~255 rounds; with the per-round pointer jump the
+    // distance to the minimum at least halves every round -> <= ~log2(256)
+    // + small constant. Zero-padded ids keep lexicographic == numeric order.
+    val n = 256
+    val edges = (0 until n - 1).map(i => (f"n$i%04d", f"n${i + 1}%04d")).toDF("src", "dst")
+    val comp = GraphOps.connectedComponents(edges, "src", "dst", maxIter = 20)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(comp.size == n)
+    assert(comp.values.toSet == Set("n0000"), s"non-canonical labels: ${comp.values.toSet.take(5)}")
+    assert(GraphOps.lastIterations <= 12,
+      s"chain took ${GraphOps.lastIterations} rounds — pointer jumping not effective")
+  }
+
   test("dedupSurvivors marks exactly one canonical per cluster") {
     import spark.implicits._
     val edges = Seq(("doc9", "doc2"), ("doc2", "doc5"), ("doc8", "doc7")).toDF("src", "dst")
