@@ -78,7 +78,10 @@ final class CrawlEngine(
       batches: Int,
       handledTags: Map[String, String] = Map.empty, // uniqueKey -> router handler tag
       collidedKeys: Set[String] = Set.empty, // session-collision terminal failures
-      proxyAssignments: Map[String, (String, Option[Int])] = Map.empty // key -> (url, tier)
+      proxyAssignments: Map[String, (String, Option[Int])] = Map.empty, // key -> (url, tier)
+      // key -> the dispatched session's generated browser-like headers
+      // (fingerprint_suite surface; stable per session)
+      headerAssignments: Map[String, Map[String, String]] = Map.empty
   )
 
   def run(seeds: Seq[String]): EngineResult = runRequests(seeds.map(u => SeedRequest(u)))
@@ -228,10 +231,35 @@ final class CrawlEngine(
     val handledTags = mutable.HashMap.empty[String, String]
     val collidedSessions = mutable.HashSet.empty[String]
     val proxyAssignments = mutable.HashMap.empty[String, (String, Option[Int])]
-    // driver-held last_proxy_tier per in-flight request (the reference
-    // persists it on the Request row; here it only matters across retries
-    // WITHIN a run — parity mode is driver-tracked like the oracle)
+    val headersByKey = mutable.HashMap.empty[String, Map[String, String]]
+    // last_proxy_tier per IN-FLIGHT request (reference `last_proxy_tier`
+    // persisted on the Request row, _request.py:52-53). Tier assignment
+    // happens in the driver-side disposition pass, which runs CONCURRENTLY
+    // with the batch commit — so the tier can't ride the already-committed
+    // retry event row; instead the map (plus the rotation/tier-tracker
+    // state) persists to a KVS beside the frontier on the flush cadence
+    // and restores at run start, so a resumed crawl CONTINUES its tier
+    // climb instead of restarting it (VERDICT r3 next-round #4). Terminal
+    // requests are evicted, so the map holds only in-flight keys.
     val lastProxyTierByKey = mutable.HashMap.empty[String, Option[Int]]
+    val proxyKvs: Option[graft.storage.KeyValueStore] =
+      cfg.proxyConfiguration.map(_ => new graft.storage.KeyValueStore(spark, s"${store.root}/proxy_kvs"))
+    proxyKvs.foreach { kvs =>
+      kvs.getJson("__PROXY_CONF_STATE").foreach(cfg.proxyConfiguration.get.restoreStateFromJson)
+      kvs.getJson("__PROXY_TIERS_BY_KEY").foreach { j =>
+        graft.util.Json.obj(graft.util.Json.parse(j)).foreach { case (k, v) =>
+          lastProxyTierByKey(k) = Option(v).map(graft.util.Json.long(_).toInt)
+        }
+      }
+    }
+    def persistProxyState(): Unit = proxyKvs.foreach { kvs =>
+      kvs.setJson("__PROXY_CONF_STATE", cfg.proxyConfiguration.get.stateToJson)
+      val tiers = lastProxyTierByKey.toSeq.sortBy(_._1)
+        .map { case (k, t) => s"${graft.util.Json.quote(k)}:${t.map(_.toString).getOrElse("null")}" }
+        .mkString("{", ",", "}")
+      kvs.setJson("__PROXY_TIERS_BY_KEY", tiers)
+      kvs.persist()
+    }
     val handledOk = mutable.HashSet.empty[String]
     val failedKeys = mutable.HashSet.empty[String]
     val skippedRobots = mutable.HashSet.empty[String]
@@ -282,6 +310,7 @@ final class CrawlEngine(
         .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(metricsDir)
       metricsBuf.clear()
       runStats.persist() // PERSIST_STATE cadence rides the metrics flush
+      persistProxyState() // proxy tier/rotation state rides the same cadence
       events.emit(graft.events.Event.PersistState, batchIdx) // X6
     }
     def appendMetrics(batch: Int, nowMs: Long, claimed: Long, terminal: Long,
@@ -513,6 +542,33 @@ final class CrawlEngine(
           case None => canRetry0
         }
 
+        // --- error snapshots (reference _error_snapshotter.py:1-77) -----------
+        // every failing dispatch (client error, retryable, blocked) persists
+        // the fetched body under a name deduped by (error location, message
+        // prefix) — identical errors collapse to ONE snapshot key, exactly
+        // the reference's test contract. Failing rows are few by
+        // construction; the body rejoin touches only them.
+        if (cfg.captureErrorSnapshots) {
+          val failing = unioned.filter(col("eff_status") =!= 200 || col("is_blocked"))
+            .select(col("url"), col("loaded_url"), col("eff_status"), col("is_blocked"))
+          val snapRows = failing
+            .join(pagesDf.select(col("p_url").as("snap_url"), col("p_body").as("snap_body")),
+              failing("loaded_url") === col("snap_url"), "left")
+            .select(col("url"), col("eff_status"), col("is_blocked"), col("snap_body"))
+            .collect()
+          snapRows.foreach { r =>
+            val st = r.getInt(1)
+            val (msg, loc) =
+              if (r.getBoolean(2)) ("session blocked by target site", "CrawlEngine.scala:blocked")
+              else if (st == 429) (s"HTTP $st too many requests", "CrawlEngine.scala:retryable")
+              else if (st >= 500) (s"HTTP $st server error", "CrawlEngine.scala:retryable")
+              else (s"HTTP $st client error", "CrawlEngine.scala:client")
+            errorSnapshotter.capture(msg, loc, Option(r.getString(3)).getOrElse(""),
+              url = r.getString(0), status = st)
+          }
+          if (snapRows.nonEmpty) errorSnapshotter.persist()
+        }
+
         // --- router dispatch (reference router.py:113-121) --------------------
         // handler resolution is a tiny per-label lookup riding as columns on
         // the fetched rows; exact-match, default fallback, error when
@@ -732,6 +788,9 @@ final class CrawlEngine(
                 case Some(bound) => bound.markUsed(); bound
                 case None => sessionPool.getSession(sessNow)
               }
+              // the dispatch rides the session's generated header identity
+              // (fingerprint_suite: same session, same headers)
+              headersByKey(key) = sess.headers
               if (outcome == 4) sess.retire() // SessionError -> rotate
               else if (outcome == 0) sess.markGood()
               // proxy assignment for this dispatch (reference
@@ -748,6 +807,10 @@ final class CrawlEngine(
                 }
               }
             }
+            // terminal request: its in-flight tier record is dead (the
+            // persisted map holds only live retry/rotation chains)
+            if (outcome == 0 || outcome == 1 || outcome == 3 || outcome == 10 || outcome == 12)
+              lastProxyTierByKey.remove(key)
             if (enforcePoliteness) {
               claimedPerHost = claimedPerHost.updated(host, claimedPerHost.getOrElse(host, 0L) + 1)
               if (r.getBoolean(6)) images429 = images429.updated(host, images429.getOrElse(host, 0L) + 1)
@@ -825,6 +888,7 @@ final class CrawlEngine(
     runStats.addRuntime((System.nanoTime() - runT0) / 1000000L)
     flushMetrics()
     runStats.persist()
+    persistProxyState()
     if (stopRequested) events.emit(graft.events.Event.Aborting, "stop")
     events.emit(graft.events.Event.Exit, processedTotal) // X6: final state durable
     delaysDf.foreach(_.unpersist(false))
@@ -841,7 +905,8 @@ final class CrawlEngine(
       batchIdx,
       handledTags.toMap,
       collidedSessions.toSet,
-      proxyAssignments.toMap
+      proxyAssignments.toMap,
+      headersByKey.toMap
     )
   }
 
@@ -876,6 +941,13 @@ final class CrawlEngine(
     */
   val runStats = new graft.stats.RunStatistics(
     new graft.storage.KeyValueStore(spark, s"${store.root}/stats_kvs"))
+
+  /** Error snapshots (reference statistics/_error_snapshotter.py): failing
+    * pages' bodies land in a KVS beside the frontier under deduped
+    * ERROR_SNAPSHOT_* names; enabled via cfg.captureErrorSnapshots.
+    */
+  lazy val errorSnapshotter = new graft.stats.ErrorSnapshotter(
+    new graft.storage.KeyValueStore(spark, s"${store.root}/snapshots_kvs"))
 
   /** Session ids any seed has ever bound to (reference `session_id`,
     * _request.py:61-62) — collision checks only consult this small set, so

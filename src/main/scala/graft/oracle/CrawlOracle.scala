@@ -197,7 +197,11 @@ final case class CrawlConfig(
     // _abstract_http_crawler.py:198-219): which (tag, attribute) pairs count
     // as links — default <a href>, e.g. LinkSelector("img", "src") for an
     // image crawl
-    linkSelector: LinkSelector = LinkSelector()
+    linkSelector: LinkSelector = LinkSelector(),
+    // error snapshots (reference statistics/_error_snapshotter.py:1-77):
+    // persist failing pages' bodies to a KVS under deduped
+    // ERROR_SNAPSHOT_* names for postmortem evidence
+    captureErrorSnapshots: Boolean = false
 ) extends Serializable
 
 final case class OracleResult(

@@ -24,6 +24,12 @@ final class Session(
     */
   val cookies = new SessionCookies
 
+  /** Per-session browser-like header identity (reference fingerprint_suite
+    * _header_generator.py via the session pool): deterministic in the
+    * session id, stable across every dispatch of this session.
+    */
+  lazy val headers: Map[String, String] = graft.fingerprint.HeaderGenerator.forSession(id)
+
   def isBlocked: Boolean = errorScore >= maxErrorScore
   def isMaxUsageCountReached: Boolean = usageCount >= maxUsageCount
   def isExpired(nowMs: Long): Boolean = nowMs - createdAtMs > maxAgeMs

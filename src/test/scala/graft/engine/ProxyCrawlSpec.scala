@@ -23,7 +23,10 @@ class ProxyCrawlSpec extends SparkSpec {
 
   val spec: WebSpec = WebSpec(hosts = 2, pagesPerHost = 300, otherOrgPages = 6, subHostPages = 6, nImages = 40)
 
-  private def mkEngine(cfg: CrawlConfig, batchSize: Int): CrawlEngine = {
+  private def mkEngine(cfg: CrawlConfig, batchSize: Int): CrawlEngine =
+    mkEngineAt(Files.createTempDirectory("proxycrawl").toString, cfg, batchSize)
+
+  private def mkEngineAt(root: String, cfg: CrawlConfig, batchSize: Int): CrawlEngine = {
     import spark.implicits._
     val pagesDf = spark
       .createDataset((0L until spec.totalPages.toLong).map(g => SyntheticWeb.pageAt(spec, g)))
@@ -33,7 +36,7 @@ class ProxyCrawlSpec extends SparkSpec {
       .map(r => r.host -> Robots.fromFetch(s"https://${r.host}", r.status, r.body))
       .toMap
     new CrawlEngine(
-      spark, new FrontierStore(spark, Files.createTempDirectory("proxycrawl").toString),
+      spark, new FrontierStore(spark, root),
       pagesDf, robots, cfg,
       claimBatchSize = batchSize,
       statusAtFn = { val sp = spec
@@ -103,5 +106,37 @@ class ProxyCrawlSpec extends SparkSpec {
 
     val e1 = mkEngine(cfg(), batchSize = 1).runRequests(seeds)
     assert(e1.proxyAssignments == oracle.proxyAssignments)
+  }
+
+  test("kill + resume continues the tier climb — persisted proxy state (VERDICT r3 #4)") {
+    def cfg() = CrawlConfig(
+      maxCrawlDepth = 0, maxRetries = 3,
+      preFillSessions = 1, sessionPoolSize = 1, sessionMaxUsage = 1000,
+      proxyConfiguration = Some(new ProxyConfiguration(tieredProxyUrls = Seq(
+        Seq(Some("http://t0.proxy.com:1000")),
+        Seq(Some("http://t1.proxy.com:1001")),
+        Seq(Some("http://t2.proxy.com:1002"))))))
+    // hard-500 first: it gets one dispatch (retry), then the healthy seed's
+    // terminal hits the budget and "kills" the run mid-climb
+    val seeds = Seq(
+      SeedRequest(s"https://h0.example.com/p/$iHard500"),
+      SeedRequest(s"https://h0.example.com/p/${okIdx(0)}"))
+    val hardKey = seeds.head.uniqueKey
+
+    val full = mkEngine(cfg(), batchSize = 1).runRequests(seeds)
+    assert(full.proxyAssignments(hardKey)._2.exists(_ > 0), "fixture must climb tiers")
+
+    val root = Files.createTempDirectory("proxyresume").toString
+    val p1 = mkEngineAt(root, cfg().copy(maxRequestsPerCrawl = 1), batchSize = 1).runRequests(seeds)
+    assert(p1.processedCount == 1)
+    assert(p1.proxyAssignments(hardKey)._2.contains(0)) // climb only started
+
+    // resume with a FRESH config instance on the same store: rotation,
+    // tier histograms and the request's last tier restore from the KVS —
+    // the final assignment equals the uninterrupted run's
+    val p2 = mkEngineAt(root, cfg(), batchSize = 1).runRequests(Seq.empty)
+    assert(p2.proxyAssignments(hardKey) == full.proxyAssignments(hardKey),
+      s"resumed climb ${p2.proxyAssignments.get(hardKey)} != uninterrupted ${full.proxyAssignments.get(hardKey)}")
+    assert(p1.failedKeys ++ p2.failedKeys == full.failedKeys)
   }
 }
