@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked `runMain` output through UNPREFIXED: sbt's default logger
+// wraps every child line in "[info] "/"[error] ", which breaks any
+// harness that expects graft.Bench's single bare JSON line on stdout
+// (the per-round BENCH capture parsed as None through round 3).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
