@@ -1525,6 +1525,86 @@ object QueryCatalog {
     TextOps.tokenCounts(extracted, "doc_id", "text")
   }
 
+  // ---- ML: rendering-type predictor batch scoring --------------------------
+  // (reference _rendering_type_predictor.py:117-247). Trained driver-side on
+  // a deterministic corpus; stored detections + LR weights export to parquet
+  // and the oracle RECOMPUTES features (DuckDB jaro_winkler_similarity
+  // matches UrlSimilarity.jaroWinkler exactly), sigmoid, and routing.
+  register(
+    "ml_rendering_type",
+    Some(
+      """WITH cand AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 4 IN (0,1) THEN 'shop' || (event_id % 2) || '.example.com'
+        |         WHEN event_id % 4 = 2 THEN 'app' || (event_id % 2) || '.example.com'
+        |         ELSE 'other' || (event_id % 3) || '.example.com' END AS host,
+        |    CASE WHEN event_id % 4 IN (0,1) THEN 'catalog'
+        |         WHEN event_id % 4 = 2 THEN 'app' ELSE 'misc' END AS seg1,
+        |    CASE WHEN event_id % 4 IN (0,1) THEN 'item-' || (event_id % 30)
+        |         WHEN event_id % 4 = 2 THEN 'view-' || (event_id % 30)
+        |         ELSE 'z' || (event_id % 50) END AS seg2
+        |  FROM events WHERE event_id < 2000
+        |),
+        |stored AS (SELECT s_type, s_comps FROM read_parquet('/tmp/graft_rtp/q1/stored/*.parquet')),
+        |model AS (SELECT * FROM read_parquet('/tmp/graft_rtp/q1/model/*.parquet')),
+        |pairs AS (
+        |  SELECT c.event_id, s.s_type,
+        |    CASE WHEN c.host <> s.s_comps[1] THEN 0.0
+        |         WHEN [c.host, c.seg1, c.seg2] = s.s_comps THEN 1.0
+        |         ELSE ((CASE WHEN jaro_winkler_similarity(c.seg1, coalesce(s.s_comps[2], '')) > 0.8
+        |                     THEN 1.0 ELSE 0.0 END) +
+        |               (CASE WHEN jaro_winkler_similarity(c.seg2, coalesce(s.s_comps[3], '')) > 0.8
+        |                     THEN 1.0 ELSE 0.0 END)) / 2.0
+        |         END AS sim
+        |  FROM cand c CROSS JOIN stored s
+        |),
+        |feats AS (
+        |  SELECT event_id,
+        |    coalesce(avg(CASE WHEN s_type = 'static' THEN sim END), 0) AS fs,
+        |    coalesce(avg(CASE WHEN s_type = 'client only' THEN sim END), 0) AS fc
+        |  FROM pairs GROUP BY event_id
+        |)
+        |SELECT f.event_id,
+        |  round(f.fs, 6) AS f_static, round(f.fc, 6) AS f_client,
+        |  round(1/(1+exp(-(m.w_static*f.fs + m.w_client*f.fc + m.bias))), 6) AS p_static,
+        |  CASE WHEN 1/(1+exp(-(m.w_static*f.fs + m.w_client*f.fc + m.bias))) >= 0.5
+        |       THEN 'static' ELSE 'client only' END AS rendering_type
+        |FROM feats f CROSS JOIN model m ORDER BY f.event_id""".stripMargin
+    )
+  ) { (s, dir) =>
+    val p = new graft.ml.RenderingTypePredictor()
+    (0 until 5).foreach { k =>
+      p.storeResult(s"http://shop${k % 2}.example.com/catalog/item-$k", "static")
+      p.storeResult(s"http://app${k % 2}.example.com/app/view-$k", "client only")
+    }
+    graft.ml.RenderingTypePredictor.exportModel(s, p, "q1")
+    val host = when(pmod(col("event_id"), lit(4)).isin(0, 1),
+        concat(lit("shop"), pmod(col("event_id"), lit(2)), lit(".example.com")))
+      .when(pmod(col("event_id"), lit(4)) === 2,
+        concat(lit("app"), pmod(col("event_id"), lit(2)), lit(".example.com")))
+      .otherwise(concat(lit("other"), pmod(col("event_id"), lit(3)), lit(".example.com")))
+    val seg1 = when(pmod(col("event_id"), lit(4)).isin(0, 1), lit("catalog"))
+      .when(pmod(col("event_id"), lit(4)) === 2, lit("app"))
+      .otherwise(lit("misc"))
+    val seg2 = when(pmod(col("event_id"), lit(4)).isin(0, 1),
+        concat(lit("item-"), pmod(col("event_id"), lit(30))))
+      .when(pmod(col("event_id"), lit(4)) === 2,
+        concat(lit("view-"), pmod(col("event_id"), lit(30))))
+      .otherwise(concat(lit("z"), pmod(col("event_id"), lit(50))))
+    val cand = t(s, dir, "events")
+      .filter(col("event_id") < 2000)
+      .select(col("event_id"),
+        concat(lit("http://"), host, lit("/"), seg1, lit("/"), seg2).as("url"),
+        lit("").as("label"))
+    p.scoreDataFrame(cand, "url", "label")
+      .select(col("event_id"),
+        round(col("f_static"), 6).as("f_static"),
+        round(col("f_client"), 6).as("f_client"),
+        round(col("p_static"), 6).as("p_static"),
+        col("rendering_type"))
+      .orderBy(col("event_id"))
+  }
+
   register(
     "v_cosine_near_dup",
     Some(
