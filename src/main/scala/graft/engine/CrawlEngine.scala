@@ -323,6 +323,18 @@ final class CrawlEngine(
       if (metricsBuf.size >= 16) flushMetrics()
     }
 
+    // Pipelined claiming (bench fast path): with no ordering contract, no
+    // politeness quotas and a fixed batch size, the NEXT batch's claim is
+    // prefetched CONCURRENTLY with the current batch's commit — the claim
+    // plan is built over the pre-commit state snapshot excluding the
+    // in-flight keys (a valid, slightly-stale claim; adds landed by the
+    // concurrent commit become visible one batch later). This removes the
+    // claim+checkpoint from the serial critical path: per-batch wall =
+    // max(commit, next-claim) instead of their sum.
+    val pipelined = !trackOrder && !enforcePoliteness && batchSizer.isEmpty &&
+      cfg.maxTasksPerMinute.isEmpty
+    var prefetched: Option[DataFrame] = None
+
     var done = false
     while (!done && !stopRequested && processedTotal < cfg.maxRequestsPerCrawl) {
       val batchT0 = System.nanoTime()
@@ -379,12 +391,23 @@ final class CrawlEngine(
       // pipeline runs wide from the first operator — claim_rank already
       // carries the order as data. Parity mode keeps the sorted layout
       // (image-emission order is part of the oracle contract).
-      val picked = store.claimSet(budget, nowMs, hostQuota = quota, blockedHosts = blocked,
-        quotaTable = quotaTable)
-      val spread =
-        if (trackOrder) picked
-        else picked.repartition(spark.sparkContext.defaultParallelism)
-      val batch = trace("claim")(spread.localCheckpoint(true))
+      def freshClaim(): DataFrame = {
+        val picked = store.claimSet(budget, nowMs, hostQuota = quota, blockedHosts = blocked,
+          quotaTable = quotaTable)
+        val spread =
+          if (trackOrder) picked
+          else picked.repartition(spark.sparkContext.defaultParallelism)
+        trace("claim")(spread.localCheckpoint(true))
+      }
+      val batch = prefetched match {
+        case Some(b) =>
+          prefetched = None
+          // a stale-empty prefetch must be confirmed against FRESH state
+          // before concluding the frontier is drained (the concurrent
+          // commit may have added rows the snapshot couldn't see)
+          if (b.count() > 0) b else freshClaim()
+        case None => freshClaim()
+      }
       val claimedCount = batch.count()
 
       if (claimedCount == 0) {
@@ -741,6 +764,35 @@ final class CrawlEngine(
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
         import scala.concurrent.ExecutionContext.Implicits.global
+
+        // kick off the NEXT batch's claim before the commit starts: the
+        // plan binds to the pre-commit state snapshot (claimPlan) and its
+        // execution + checkpoint (rankClaim) runs lock-free alongside the
+        // commit below. Budget is conservative (assumes every in-flight
+        // row terminates), so the R6 cap can never be over-claimed.
+        val prefetchF: Option[Future[DataFrame]] =
+          if (!pipelined) None
+          else {
+            val nextBudget = math.min(
+              claimBatchSize.toLong,
+              cfg.maxRequestsPerCrawl - processedTotal - claimedCount).toInt
+            // only prefetch when the PRE-commit frontier already holds a
+            // full next batch beyond the in-flight keys: a shallow-frontier
+            // prefetch returns a stale sliver that splits batches (more
+            // per-batch fixed cost than the overlap saves); deep frontiers
+            // — the cluster-scale regime — get the full overlap
+            val deepEnough = store.pendingEstimate - claimedCount >= nextBudget
+            if (nextBudget <= 0 || !deepEnough) None
+            else {
+              val plan = store.claimPlan(nextBudget, nowMs + batchPeriodMs,
+                excludeKeys = Some(batch.select(col("unique_key"))),
+                excludePad = claimedCount.toInt)
+              val par = spark.sparkContext.defaultParallelism
+              Some(Future {
+                store.rankClaim(plan, nextBudget).repartition(par).localCheckpoint(true)
+              })
+            }
+          }
         if (trackOrder) {
           val dispositionF = Future(disposition.collect().sortBy(_.getInt(0)))
           trace("commit-results")(store.commitBatch(
@@ -909,6 +961,10 @@ final class CrawlEngine(
               rows429.map(r => r.getString(0) -> r.getLong(1)).toMap, retryAfterByHost(unioned))
           }
         }
+
+        // collect the prefetched next batch (usually already finished —
+        // its checkpoint ran alongside the commit)
+        prefetched = prefetchF.map(f => trace("prefetch-await")(Await.result(f, Duration.Inf)))
 
         unioned.unpersist(false)
         val batchWallMs = (System.nanoTime() - batchT0) / 1000000

@@ -145,6 +145,13 @@ final class FrontierStore(
       }
   }
 
+  /** Driver-side pending-row estimate from the epoch summaries (may
+    * UNDERCOUNT — lease-expired rows aren't counted; exact at compaction
+    * boundaries). Callers gating optional work (claim prefetch) on
+    * frontier depth only need the conservative bound.
+    */
+  def pendingEstimate: Long = synchronized { epochPending.valuesIterator.map(math.max(0L, _)).sum }
+
   /** Smallest epoch C whose cumulative pending count reaches `maxN`
     * (None = no pruning possible — fewer than maxN counted rows).
     */
@@ -218,12 +225,19 @@ final class FrontierStore(
 
   /** Persist the current chain (lazily — the next consumer materializes
     * it; skipping the forcing count saves one action per commit) and
-    * release the previous base. Recompute of an evicted chain walks to
-    * parquet roots, so laziness is safe.
+    * release the base from TWO generations ago. The one-generation grace
+    * keeps the previous base cached while a concurrently-running claim
+    * PREFETCH (engine pipelining, claimPlan/rankClaim) may still be
+    * reading it — by the time the grace base is released, nothing holds a
+    * plan over it. Recompute of an evicted chain walks to parquet roots,
+    * so laziness stays safe for the live base.
     */
+  private var graceBase: DataFrame = _
   private def materialize(): Unit = {
     val newBase = stateDf.persist(StorageLevel.MEMORY_AND_DISK)
-    if (persistedBase != null && (persistedBase ne newBase)) persistedBase.unpersist(false)
+    if (graceBase != null && (graceBase ne newBase) && (graceBase ne persistedBase))
+      graceBase.unpersist(false)
+    graceBase = persistedBase
     persistedBase = newBase
     stateDf = newBase
   }
@@ -284,6 +298,12 @@ final class FrontierStore(
   }
 
   private def commitEvents(events: DataFrame): Long = synchronized {
+    // a compaction from the PREVIOUS commit left superseded files behind:
+    // reclaim them now, before any new work. Deferring vacuum one commit
+    // guarantees a concurrently-prefetched claim (engine pipelining) has
+    // finished its checkpoint before the files its lineage could reference
+    // disappear — prefetches are always awaited before the next commit.
+    if (vacuumPending) { trace("vacuum")(vacuum()); vacuumPending = false }
     val bid = manifest.batchId + 1
     val deltaName = f"delta-$bid%06d"
     val deltaPath = s"$logDir/$deltaName"
@@ -324,9 +344,19 @@ final class FrontierStore(
     manifest = finalManifest
     // reclaim superseded epochs once the new manifest is durable — at
     // cluster scale the un-vacuumed log grows without bound (every
-    // compaction strands a snapshot epoch + compactEvery delta files)
-    if (compacted && vacuumOnCompact) trace("vacuum")(vacuum())
+    // compaction strands a snapshot epoch + compactEvery delta files).
+    // Deferred to the START of the next commit (see above).
+    if (compacted && vacuumOnCompact) vacuumPending = true
     n
+  }
+
+  /** Set when a compaction superseded files; the next commit vacuums. */
+  @volatile private var vacuumPending = false
+
+  /** Run any deferred vacuum now (for callers who stop committing). */
+  def vacuumNow(): Long = synchronized {
+    vacuumPending = false
+    vacuum()
   }
 
   /** Delete log entries the CURRENT manifest no longer references:
@@ -731,6 +761,50 @@ final class FrontierStore(
     // form (pickTop(bound = false) + withClaimRank(maxN)) is the swap-in.
     withClaimRank(pickTop(maxN, nowMs, hostQuota, defaultQuota, blockedHosts, quotaTable = quotaTable), maxN)
   }
+
+  // ---- pipelined claim (engine prefetch) -----------------------------------
+  //
+  // `claimPlan` builds the claim PLAN under the store lock (cheap — pure
+  // Catalyst construction over a snapshot of the state chain + driver
+  // summaries) so a caller can then EXECUTE it via `rankClaim` with NO
+  // lock held — concurrently with the previous batch's commitBatch. The
+  // plan is fully determined at build time (state reference, bucket/epoch
+  // pruning literals), so a concurrent commit cannot change its result.
+  // `excludeKeys` removes the in-flight batch's keys (their status in the
+  // snapshot predates the concurrent commit); rows added by that commit
+  // are simply not visible yet — a valid, slightly-stale claim, which is
+  // exactly the relaxation bench mode (no ordering contract) permits.
+
+  /** Build the claim plan over the current state snapshot (no execution).
+    * `excludePad` must bound |excludeKeys| (the engine passes the in-flight
+    * batch's row count): the top-k is padded by it so the anti-join can
+    * never underfill the returned maxN rows.
+    */
+  def claimPlan(
+      maxN: Int,
+      nowMs: Long,
+      excludeKeys: Option[DataFrame] = None,
+      excludePad: Int = 0
+  ): DataFrame = synchronized {
+    if (maxN <= 0) return emptyEvents(spark)
+    excludeKeys match {
+      // anti-join BEFORE the limit would change top-k semantics; after the
+      // limit it could underfill by up to |exclude| rows — take a padded
+      // top-(maxN + pad) first; rankClaim re-limits to maxN in order
+      case Some(ex) =>
+        pickTop(maxN + excludePad, nowMs, Map.empty, Int.MaxValue, Set.empty)
+          .join(broadcast(ex.select(col("unique_key").as("__ex_key"))),
+            col("unique_key") === col("__ex_key"), "left_anti")
+          .drop("__ex_key")
+      case None => pickTop(maxN, nowMs, Map.empty, Int.MaxValue, Set.empty)
+    }
+  }
+
+  /** Execute a claimPlan: order is already baked in; assign claim_rank and
+    * bound to maxN. Lock-free — safe to run concurrently with a commit.
+    */
+  def rankClaim(plan: DataFrame, maxN: Int): DataFrame =
+    withClaimRank(plan, maxN)
 
   /** Shared claim selection: bucket pruning + epoch cutoff + eligibility +
     * (only when host quotas actually constrain) the per-host rank window,

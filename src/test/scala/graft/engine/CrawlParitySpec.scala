@@ -59,6 +59,38 @@ class CrawlParitySpec extends SparkSpec {
     assert(engine.emittedImageIds.sorted == oracle.emittedImageIds.sorted)
   }
 
+  test("pipelined bench mode reaches the identical final state (prefetched claims, compaction crossed)") {
+    import spark.implicits._
+    val cfg = CrawlConfig()
+    val parity = mkEngine(smallSpec, cfg, batchSize = 4).run(seeds)
+
+    val pagesDf = spark
+      .createDataset((0L until smallSpec.totalPages.toLong).map(g => SyntheticWeb.pageAt(smallSpec, g)))
+      .toDF()
+    val robots = SyntheticWeb.allRobots(smallSpec)
+      .map(r => r.host -> Robots.fromFetch(s"https://${r.host}", r.status, r.body)).toMap
+    // compactEvery=2: the pipelined run crosses several compaction+vacuum
+    // boundaries while prefetched claims are in flight
+    val store = new FrontierStore(
+      spark, Files.createTempDirectory("pipelined").toString, compactEvery = 2)
+    val sp = smallSpec
+    val engine = new CrawlEngine(
+      spark, store, pagesDf, robots, cfg,
+      claimBatchSize = 4, trackOrder = false, trackImages = false,
+      statusAtFn = (url, attempt) => {
+        val host = graft.canon.UrlCanon.parse(url).host
+        SyntheticWeb.statusAt(sp, CrawlOracle.hostIdx(sp, host), CrawlOracle.pageIdx(url), attempt)
+      })
+    val bench = engine.run(seeds)
+    // same terminal work, same seen set size, same image volume — the
+    // pipelined claim relaxes only ORDER, never membership
+    assert(bench.processedCount == parity.processedCount)
+    assert(engine.seenCount == parity.seenKeys.size)
+    assert(bench.emittedImageCount == parity.emittedImageIds.size)
+    // the store's final state agrees key-for-key with the parity run
+    assert(store.state().select("unique_key").collect().map(_.getString(0)).toSet == parity.seenKeys)
+  }
+
   test("selector-parametrized extraction: img/src crawl parity (_abstract_http_crawler.py:198-219)") {
     // the same web rendered with <img src="..."> markup: crawling with the
     // img/src selector must walk it exactly like the default a/href crawl
