@@ -30,7 +30,7 @@ object Bench {
       "p4_crawl_delay_quota", "p3_retry_after_priority", "r4_session_rotation",
       "d4_skip_empty", "d5_fields", "d6_omit", "d8_flatten", "d9_clean",
       "d10_csv_export", "d11_json_export", "s2_request_list_cursor",
-      "a8_queue_metadata", "d12_d13_kvs_resume", "x4_rate_cap",
+      "a8_queue_metadata", "d12_d13_kvs_resume", "x4_rate_cap", "mm_resize",
       "s5_sitemap_nested", "s4_sitemap_txt_gzip", "r6_budget_exactness",
       "f11_blocked_content", "mm_image_features", "mm_payload_validate",
       "r4_session_binding", "a7_stats_resume", "w3_stream_request_ingest")

@@ -1800,6 +1800,27 @@ object QueryCatalog {
     graft.ops.Multimodal.validatePayload(s, images).filter(col("valid"))
   }
 
+  // Resize pipeline round trip: decode → scale to 32x32 → re-encode PNG →
+  // re-DECODE; the oracle states the recovered metadata analytically (the
+  // engine must actually run the whole decode/encode chain per partition
+  // to produce it). Pixel content stays rows-only like mm_payload_validate.
+  register(
+    "mm_resize",
+    Some(
+      """SELECT 'img-' || lpad(CAST(i AS VARCHAR), 8, '0') AS id,
+        |       32 AS w, 32 AS h, 'png' AS fmt
+        |FROM generate_series(0, 47) t(i) ORDER BY id""".stripMargin
+    )
+  ) { (s, _) =>
+    import s.implicits._
+    val resized = graft.ops.Multimodal.resize(graft.ops.Multimodal.syntheticMediaTable(s, 48), 32, 32)
+    // metadata comes from RE-DECODING the resized payload, not the meta row
+    resized.map { r =>
+      val img = graft.fixtures.Images.decode(r.bytes)
+      (r.id, img.getWidth, img.getHeight, r.meta.fmt)
+    }.toDF("id", "w", "h", "fmt").orderBy(col("id"))
+  }
+
   // ---- S3: sitemap XML parse (the flatMap generator over documents) --------
   // XML bodies synthesized from events; the oracle knows the loc list
   // analytically. The Spark side runs the real SAX parser.
