@@ -39,10 +39,21 @@ final class StreamingRequestIngest(
   /** Start the ingest; `Trigger.AvailableNow` drains everything currently
     * in the directory then stops (test/bounded mode); pass a processing-
     * time trigger for continuous ingest.
+    *
+    * `maxFilesPerTrigger` is the BOUNDED BUFFER (SURVEY S6, reference
+    * `_sitemap_request_loader.py:43-100` `max_buffer_size` back-pressure):
+    * each micro-batch admits at most that many source files, so an
+    * unbounded producer can never flood one frontier commit — the
+    * streaming-native form of the reference's bounded read-ahead queue.
     */
-  def start(checkpointDir: String, trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    spark.readStream
-      .schema(inputSchema)
+  def start(
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Option[Int] = None
+  ): StreamingQuery = {
+    val reader = spark.readStream.schema(inputSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader
       .parquet(inputDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
@@ -60,6 +71,7 @@ final class StreamingRequestIngest(
         ()
       }
       .start()
+  }
 
   /** Drain whatever is in the input directory right now and wait. */
   def drainAvailable(checkpointDir: String): Unit = {

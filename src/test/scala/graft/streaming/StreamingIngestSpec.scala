@@ -42,4 +42,22 @@ class StreamingIngestSpec extends SparkSpec {
     assert(store.metadata()("pending_request_count") == 30)
     assert(store.metadata()("total_request_count") == 30)
   }
+
+  test("bounded buffer (S6): maxFilesPerTrigger caps each frontier commit's intake") {
+    val in = Files.createTempDirectory("bb-in").toString
+    val ck = Files.createTempDirectory("bb-ck").toString
+    val store = new FrontierStore(spark, Files.createTempDirectory("bb-store").toString)
+    val ingest = new StreamingRequestIngest(spark, store, in)
+
+    // five producer files of 6 urls each, dropped BEFORE the query starts
+    (0 until 5).foreach(f => addsFile(in, (0 until 6).map(i => s"https://stream.example.com/b/$f/$i")))
+    val before = store.batchId
+    val q = ingest.start(ck, maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+    // everything landed exactly once...
+    assert(store.metadata()("pending_request_count") == 30)
+    // ...but across BOUNDED micro-batches: one commit per file, not one
+    // flood commit (the reference's max_buffer_size back-pressure shape)
+    assert(store.batchId - before == 5, s"expected 5 bounded commits, got ${store.batchId - before}")
+  }
 }
