@@ -493,7 +493,7 @@ object QueryCatalog {
         |  (1, 1, CAST(2000 AS BIGINT)),
         |  (2, 2, CAST(40000 AS BIGINT)),
         |  (3, 3, CAST(110000 AS BIGINT)),
-        |  (4, 0, CAST(110000 AS BIGINT)),
+        |  (4, 0, CAST(0 AS BIGINT)),
         |  (5, 1, CAST(212000 AS BIGINT))
         |) AS t(step, consecutive_429, throttled_until_ms)""".stripMargin
     )
@@ -509,7 +509,9 @@ object QueryCatalog {
     th.update(0L, Map(host -> 1L), Map(host -> 1L)); rec(1) // exp: 2s
     th.update(10000L, Map(host -> 1L), Map(host -> 1L), Map(host -> 30)); rec(2) // header 30s wins
     th.update(50000L, Map(host -> 1L), Map(host -> 1L), Map(host -> 600)); rec(3) // capped at 60s
-    th.update(150000L, Map(host -> 1L), Map.empty); rec(4) // success resets the counter
+    // success EVICTS the host's entry (schedule reset; driver state holds
+    // only hosts in an active 429 episode) — getOrElse reads back (0, 0)
+    th.update(150000L, Map(host -> 1L), Map.empty); rec(4)
     th.update(210000L, Map(host -> 1L), Map(host -> 1L)); rec(5) // schedule restarts at 2s
     out.toSeq.toDF("step", "consecutive_429", "throttled_until_ms")
   }

@@ -578,9 +578,25 @@ final class CrawlEngine(
         if (cfg.captureErrorSnapshots) {
           val failing = unioned.filter(col("eff_status") =!= 200 || col("is_blocked"))
             .select(col("url"), col("loaded_url"), col("eff_status"), col("is_blocked"))
-          val snapRows = failing
+          // snapshot names dedupe on (error location, message prefix) which
+          // is a pure function of (blocked?, status) — so sample ONE
+          // deterministic row per snapshot key EXECUTOR-SIDE and collect only
+          // the handful of distinct keys, never every failing body (a
+          // high-failure batch would otherwise ship 10^5+ page bodies to the
+          // driver only to be overwritten onto the same few KVS keys).
+          val sampled = failing
+            .withColumn("snap_key",
+              when(col("is_blocked"), lit("blocked"))
+                .otherwise(col("eff_status").cast("string")))
+            .groupBy(col("snap_key"))
+            .agg(min_by(
+              struct(col("url"), col("loaded_url"), col("eff_status"), col("is_blocked")),
+              col("url")).as("s"))
+            .select(col("s.url").as("url"), col("s.loaded_url").as("loaded_url"),
+              col("s.eff_status").as("eff_status"), col("s.is_blocked").as("is_blocked"))
+          val snapRows = sampled
             .join(pagesDf.select(col("p_url").as("snap_url"), col("p_body").as("snap_body")),
-              failing("loaded_url") === col("snap_url"), "left")
+              sampled("loaded_url") === col("snap_url"), "left")
             .select(col("url"), col("eff_status"), col("is_blocked"), col("snap_body"))
             .collect()
           snapRows.foreach { r =>
@@ -984,6 +1000,11 @@ final class CrawlEngine(
     flushMetrics()
     runStats.persist()
     persistProxyState()
+    // a compaction on the final commit defers its vacuum to "the next
+    // commit" — which never comes once the crawl ends. Reclaim the
+    // superseded snapshot/delta files now (the last prefetch was awaited
+    // above, so no concurrent reader holds the old generation).
+    store.vacuumNow()
     if (stopRequested) events.emit(graft.events.Event.Aborting, "stop")
     events.emit(graft.events.Event.Exit, processedTotal) // X6: final state durable
     delaysDf.foreach(_.unpersist(false))

@@ -32,6 +32,10 @@ final class RenderingTypePredictor(
 
   import RenderingTypePredictor._
 
+  /** Clamped at construction exactly like the reference
+    * (`max(0, min(1, detection_ratio))`, _rendering_type_predictor.py). */
+  private val detectionRatioClamped: Double = math.max(0.0, math.min(1.0, detectionRatio))
+
   /** stored detections: (renderingType, label) -> list of component lists */
   private val stored = mutable.LinkedHashMap.empty[(String, String), mutable.ArrayBuffer[Seq[String]]]
   private val labelCoefficients = mutable.HashMap.empty[String, Double] // default 5.0
@@ -67,7 +71,7 @@ final class RenderingTypePredictor(
         val p = sigmoid(w1 * f1 + w2 * f2 + b) // P(static)
         val detection =
           if (math.abs(1 - 2 * p) < SimilarityThreshold) 1.0
-          else detectionRatio * labelCoefficient(lbl)
+          else detectionRatioClamped * labelCoefficient(lbl)
         (if (p >= 0.5) Static else ClientOnly, detection)
       case None => (ClientOnly, 1.0) // no data yet (:209-210)
     }
@@ -155,12 +159,12 @@ final class RenderingTypePredictor(
     val (w1, w2, b) = weights.getOrElse((0.0, 0.0, 0.0))
     val hasModel = weights.isDefined
     val storedDf = storedRows.toDF("s_type", "s_label", "s_comps")
-    val coeffRows = labelCoefficients.toSeq
-    val dr = detectionRatio
+    val coeffMap = labelCoefficients.toMap // immutable snapshot hoisted out of the UDF
+    val dr = detectionRatioClamped
     val compsUdf = udf { (u: String) => UrlSimilarity.urlComponents(u) }
     val simUdf = udf { (a: Seq[String], bb: Seq[String]) => UrlSimilarity.urlSimilarity(a, bb) }
     val coeffUdf = udf { (lbl: String) =>
-      coeffRows.toMap.getOrElse(Option(lbl).getOrElse(""), InitialCoefficient)
+      coeffMap.getOrElse(Option(lbl).getOrElse(""), InitialCoefficient)
     }
     val cand = df
       .withColumn("__comps", compsUdf(col(urlCol)))

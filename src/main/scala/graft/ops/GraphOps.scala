@@ -74,13 +74,18 @@ object GraphOps {
       val jumped =
         if (it < 2) stepped
         else {
-          val jumpSrc = stepped.select(col("node").as("j_node"), col("comp").as("j_comp"))
-          stepped
-            .join(jumpSrc, stepped("comp") === col("j_node"), "left")
+          // materialize the step result ONCE before the self-join — the
+          // jump references `stepped` twice (left side and jump source),
+          // and an unmaterialized frame would execute the neighbor-min
+          // join lineage twice per round
+          val steppedM = stepped.localCheckpoint(true)
+          val jumpSrc = steppedM.select(col("node").as("j_node"), col("comp").as("j_comp"))
+          steppedM
+            .join(jumpSrc, steppedM("comp") === col("j_node"), "left")
             .select(
-              stepped("node"),
-              stepped("p_comp"),
-              least(stepped("comp"), coalesce(col("j_comp"), stepped("comp"))).as("comp"))
+              steppedM("node"),
+              steppedM("p_comp"),
+              least(steppedM("comp"), coalesce(col("j_comp"), steppedM("comp"))).as("comp"))
         }
       val next = jumped.localCheckpoint(true)
       // convergence detection rides the checkpointed frame itself — the

@@ -70,7 +70,12 @@ final class DomainThrottle(crawlDelaySecs: Map[String, Int]) extends Serializabl
         }
         throttledUntilMs(host) = nowMs + delayMs
       } else {
-        consecutive429(host) = 0
+        // success resets the schedule — REMOVE the entries rather than
+        // writing 0, so driver state size tracks hosts in an active 429
+        // episode only, never every host ever claimed (at the 10^10 design
+        // point ~10^8 distinct hosts would otherwise accumulate here).
+        consecutive429.remove(host)
+        throttledUntilMs.remove(host)
         // crawl-delay dispatch push: next batch naturally rate-limited by quota
       }
     }

@@ -190,6 +190,27 @@ class RequestSemanticsSpec extends SparkSpec {
     assert(t.blockedHosts(110000L) == Set.empty)
   }
 
+  test("throttle driver state tracks only hosts in an active 429 episode, never every claimed host") {
+    val t = new DomainThrottle(Map.empty)
+    // 10^4 distinct hosts claimed, 3 of them 429ing: state must hold 3
+    // entries — the 10^10 design point has ~10^8 distinct hosts and an
+    // entry per claimed host would be a silent multi-GB driver structure
+    val hosts = (0 until 10000).map(i => s"h$i.example.com")
+    val claimed = hosts.map(_ -> 1L).toMap
+    val got429 = Map("h1.example.com" -> 1L, "h2.example.com" -> 2L, "h3.example.com" -> 1L)
+    t.update(0L, claimed, got429)
+    assert(t.state.size == 3, s"state must track 429-ing hosts only, got ${t.state.size}")
+    assert(t.state.keySet == got429.keySet)
+    // a success on a previously-429ing host REMOVES its entry (schedule
+    // reset), it does not write a zero
+    t.update(100000L, Map("h1.example.com" -> 1L), Map.empty)
+    assert(t.state.size == 2)
+    assert(!t.state.contains("h1.example.com"))
+    // and the next 429 on that host restarts the schedule at step 1 (2s)
+    t.update(200000L, Map("h1.example.com" -> 1L), Map("h1.example.com" -> 1L))
+    assert(t.state("h1.example.com") == ((1, 202000L)))
+  }
+
   test("Retry-After header parser matches the reference (test_throttling_request_manager.py:533-575)") {
     val now = 1700000000000L
     assert(DomainThrottle.parseRetryAfter(null, now).isEmpty)
