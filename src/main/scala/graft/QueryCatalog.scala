@@ -1796,10 +1796,27 @@ object QueryCatalog {
       .orderBy(col("id"))
   }
 
-  register("mm_payload_validate", None) { (s, _) =>
+  // Fully oracled (VERDICT r4 next-round #1): the corpus is the fixture
+  // table with a deterministic tamper per row (kind = i % 6 — see
+  // Images.tamperedRowAt), so the expected per-image verdict (valid bit +
+  // which check fired) is analytic — the SQL states it from i % 6 with NO
+  // image decoding, while the Spark side must run the real distributed
+  // decode → PSNR → caption → phash pipeline to recover it. Raw PSNR dB
+  // stays excluded (float accumulation over decoder output; disclosed).
+  register(
+    "mm_payload_validate",
+    Some(
+      """SELECT 'img-' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+        |       (i % 6 = 0) AS valid,
+        |       CASE i % 6 WHEN 0 THEN 'ok' WHEN 1 THEN 'caption'
+        |            WHEN 2 THEN 'phash' WHEN 3 THEN 'quality'
+        |            WHEN 4 THEN 'dims' ELSE 'quality' END AS failed_check
+        |FROM generate_series(0, 47) t(i) ORDER BY image_id""".stripMargin
+    )
+  ) { (s, _) =>
     import s.implicits._
-    val images = s.range(48).map(i => graft.fixtures.Images.rowAt(i)).toDF()
-    graft.ops.Multimodal.validatePayload(s, images).filter(col("valid"))
+    val images = s.range(48).map(i => graft.fixtures.Images.tamperedRowAt(i)).toDF()
+    graft.ops.Multimodal.validatePayloadVerdict(s, images).orderBy(col("image_id"))
   }
 
   // Resize pipeline round trip: decode → scale to 32x32 → re-encode PNG →

@@ -68,19 +68,25 @@ object Images {
     * the 40 dB PSNR gate of the input_hint invariant (default quality
     * lands ~35 dB on this pattern).
     */
-  def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+  def encode(img: BufferedImage, fmt: String): Array[Byte] =
+    if (fmt == "jpeg") encodeJpeg(img, 0.95f)
+    else {
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+
+  def encodeJpeg(img: BufferedImage, quality: Float): Array[Byte] = {
     val out = new ByteArrayOutputStream()
-    if (fmt == "jpeg") {
-      val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
-      val params = writer.getDefaultWriteParam
-      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-      params.setCompressionQuality(0.95f)
-      val ios = ImageIO.createImageOutputStream(out)
-      writer.setOutput(ios)
-      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
-      ios.close()
-      writer.dispose()
-    } else ImageIO.write(img, fmt, out)
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val ios = ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    ios.close()
+    writer.dispose()
     out.toByteArray
   }
 
@@ -181,15 +187,72 @@ object Images {
 
   /** Per-row validation per BASELINE.json input_hint: lossless formats must
     * decode bit-identically to the procedural render; lossy must reach
-    * PSNR >= 40 dB; caption must match exactly.
+    * PSNR >= 40 dB; caption must match exactly. Returns (valid,
+    * failed_check) where the check names fire in a FIXED order — dims →
+    * quality → caption → phash — so a tampered row reports exactly the
+    * check its tamper targets; "ok" when all pass.
     */
-  def validate(row: ImageRow): Boolean = {
+  def validateVerdict(row: ImageRow): (Boolean, String) = {
     val decoded = decode(row.bytes)
-    if (decoded == null || decoded.getWidth != row.w || decoded.getHeight != row.h) return false
+    if (decoded == null || decoded.getWidth != row.w || decoded.getHeight != row.h)
+      return (false, "dims")
     val expected = renderPixels(row.image_id, row.w, row.h)
     val quality =
       if (row.fmt == "png") psnr(decoded, expected) >= 99.0
       else psnr(decoded, expected) >= 40.0
-    quality && row.caption == captionOf(row.image_id) && row.phash == phash(decoded)
+    if (!quality) (false, "quality")
+    else if (row.caption != captionOf(row.image_id)) (false, "caption")
+    else if (row.phash != phash(decoded)) (false, "phash")
+    else (true, "ok")
+  }
+
+  def validate(row: ImageRow): Boolean = validateVerdict(row)._1
+
+  /** Deterministically TAMPERED corpus for the payload-validation oracle
+    * (VERDICT r4 next-round #1). kind = i % 6:
+    *
+    *   0 → untampered                        ⇒ (true,  "ok")
+    *   1 → caption corrupted                 ⇒ (false, "caption")
+    *   2 → stored phash bit-flipped          ⇒ (false, "phash")
+    *   3 → re-encoded JPEG at quality 0.30   ⇒ (false, "quality")  [< 40 dB]
+    *   4 → stored width off by one           ⇒ (false, "dims")
+    *   5 → one PNG pixel perturbed           ⇒ (false, "quality")  [not bit-exact]
+    *
+    * For byte-tampering kinds (3, 5) the stored phash is recomputed over
+    * the tampered decoded payload so the phash check PASSES and the
+    * quality check is the one that fires. The expected verdicts are thus
+    * knowable BY CONSTRUCTION — the DuckDB oracle states them analytically
+    * from i % 6 with no image decoding on its side, while the Spark path
+    * must run the full distributed decode/PSNR/caption/phash pipeline to
+    * recover them. ImagesSpec pins the two analytic PSNR claims (quality
+    * 0.30 lands < 40 dB on every fixture size; a one-pixel PNG perturb
+    * breaks bit-exactness) against real decodes.
+    */
+  def tamperedRowAt(i: Long): ImageRow = {
+    val base = rowAt(i)
+    (i % 6) match {
+      case 0 => base
+      case 1 => base.copy(caption = base.caption + " CORRUPT")
+      case 2 => base.copy(phash = base.phash ^ 1L)
+      case 3 =>
+        val lossy = encodeJpeg(renderPixels(base.image_id, base.w, base.h), 0.30f)
+        base.copy(bytes = lossy, fmt = "jpeg", phash = phash(decode(lossy)))
+      case 4 => base.copy(w = base.w + 1)
+      case _ =>
+        val img = renderPixels(base.image_id, base.w, base.h)
+        img.setRGB(0, 0, img.getRGB(0, 0) ^ 0x00404040)
+        val bytes2 = encode(img, "png")
+        base.copy(bytes = bytes2, fmt = "png", phash = phash(decode(bytes2)))
+    }
+  }
+
+  /** The analytic expected verdict for tamperedRowAt(i) — pure i % 6. */
+  def expectedVerdict(i: Long): (Boolean, String) = (i % 6) match {
+    case 0 => (true, "ok")
+    case 1 => (false, "caption")
+    case 2 => (false, "phash")
+    case 3 => (false, "quality")
+    case 4 => (false, "dims")
+    case _ => (false, "quality")
   }
 }

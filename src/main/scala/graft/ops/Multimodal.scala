@@ -102,14 +102,24 @@ object Multimodal {
 
   /** Per-row payload validation (BASELINE.json input_hint): PSNR >= 40 dB
     * for lossy, bit-exact for lossless, caption + phash equality. Returns
-    * (image_id, valid).
+    * (image_id, valid, failed_check) where failed_check names the first
+    * failing gate in the fixed order dims → quality → caption → phash
+    * ("ok" when valid) — the oracle-checkable verdict column. Raw PSNR dB
+    * stays excluded (float accumulation over decoder output; disclosed).
     */
-  def validatePayload(spark: org.apache.spark.sql.SparkSession, images: DataFrame): DataFrame = {
+  def validatePayloadVerdict(spark: org.apache.spark.sql.SparkSession, images: DataFrame): DataFrame = {
     import spark.implicits._
     images
       .select(col("image_id"), col("bytes"), col("w"), col("h"), col("fmt"), col("caption"), col("phash"))
       .as[graft.schema.ImageRow]
-      .map(r => (r.image_id, Images.validate(r)))
-      .toDF("image_id", "valid")
+      .map { r =>
+        val (valid, check) = Images.validateVerdict(r)
+        (r.image_id, valid, check)
+      }
+      .toDF("image_id", "valid", "failed_check")
   }
+
+  /** Boolean-only form of [[validatePayloadVerdict]]. */
+  def validatePayload(spark: org.apache.spark.sql.SparkSession, images: DataFrame): DataFrame =
+    validatePayloadVerdict(spark, images).select(col("image_id"), col("valid"))
 }
