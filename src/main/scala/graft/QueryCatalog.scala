@@ -197,19 +197,29 @@ object QueryCatalog {
         |)""".stripMargin
     )
   ) { (s, dir) =>
-    val base = t(s, dir, "events")
+    // drives the REAL FrontierStore (VERDICT r4 next-round #7): enqueue the
+    // mixed forefront/regular candidates through addBatch and let
+    // pickTop's two-level ordering produce claim_rank — the oracle states
+    // the expected order analytically (forefront LIFO first, regular FIFO)
+    val store = new graft.queue.FrontierStore(s, tmpDir("q4order"), leaseMs = 100000L)
+    val adds = t(s, dir, "events")
       .filter(col("event_id") <= 1000)
-      .select(col("event_id"), (pmod(col("event_id"), lit(10)) === 0).as("is_forefront"))
-    val sortKey = when(col("is_forefront"), -col("event_id")).otherwise(col("event_id"))
-    // rank over the sorted frame via zipWithIndex — the same
-    // no-unpartitioned-window claim ranking the FrontierStore uses
-    val sorted = base.orderBy(col("is_forefront").desc, sortKey.asc)
-    val schema = sorted.schema.add("claim_rank", org.apache.spark.sql.types.IntegerType)
-    s.createDataFrame(
-      sorted.rdd.zipWithIndex.map { case (r, i) =>
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1).toInt)
-      },
-      schema)
+      .select(
+        concat(lit("k"), col("event_id")).as("unique_key"),
+        concat(lit("https://q.example.com/"), col("event_id")).as("url"),
+        lit("q.example.com").as("host"),
+        lit(null).cast("string").as("label"),
+        lit("GET").as("method"),
+        lit(0).as("depth"),
+        (pmod(col("event_id"), lit(10)) === 0).as("forefront"),
+        col("event_id").cast("long").as("cand_order")
+      )
+    store.addBatch(adds)
+    store.claimSet(1001, nowMs = 0L)
+      .select(
+        substring(col("unique_key"), 2, 10).cast("long").as("event_id"),
+        col("forefront").as("is_forefront"),
+        col("claim_rank"))
   }
 
   // ---- A1-A4: statistics aggregations (SURVEY §2.8) ------------------------
