@@ -97,6 +97,19 @@ final class CrawlEngine(
     r
   }
 
+  /** Per-batch materialization tier (VERDICT r4 next-round #3). Local
+    * checkpoints are executor-resident: fast, but NOT fault-tolerant — on a
+    * real cluster an executor loss mid-batch kills the job, and recompute
+    * is not an option here because the claim's post-zipWithIndex lineage is
+    * deliberately non-deterministic. With `cfg.reliableCheckpointDir` set,
+    * the same sites write RELIABLE checkpoints (HDFS/object store), so a
+    * long batch survives executor loss; results are identical either way
+    * (ReliableCheckpointSpec pins that).
+    */
+  private def materialize(df: DataFrame): DataFrame =
+    if (cfg.reliableCheckpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(true)
+
   def runRequests(seeds: Seq[SeedRequest]): EngineResult = {
     val runT0 = System.nanoTime()
     stopRequested = false // each run() honors only ITS stop() calls
@@ -108,6 +121,7 @@ final class CrawlEngine(
     if (cfg.errorHandler.isDefined) store.keysMayChangeBuckets = true
 
     val sc = spark.sparkContext
+    cfg.reliableCheckpointDir.foreach(sc.setCheckpointDir)
     val robotsBc = sc.broadcast(robotsByHost)
     val respectRobots = cfg.respectRobots
     val robotsAllowedUdf = udf { (url: String) =>
@@ -397,7 +411,7 @@ final class CrawlEngine(
         val spread =
           if (trackOrder) picked
           else picked.repartition(spark.sparkContext.defaultParallelism)
-        trace("claim")(spread.localCheckpoint(true))
+        trace("claim")(materialize(spread))
       }
       val batch = prefetched match {
         case Some(b) =>
@@ -520,10 +534,9 @@ final class CrawlEngine(
         // is planned over a flat in-memory scan instead of re-carrying the
         // whole fetch-join tree through Catalyst each time — per-batch
         // planning time is a serial driver cost that caps scaling.
-        val unioned = trace("fetch-pin")(digestBody(directLoaded)
+        val unioned = trace("fetch-pin")(materialize(digestBody(directLoaded)
           .select(resultCols: _*)
-          .unionByName(digestBody(redirOk).select(resultCols: _*))
-          .localCheckpoint(true))
+          .unionByName(digestBody(redirOk).select(resultCols: _*))))
 
         // --- classification (F12 / R1) ---------------------------------------
         // retryable = 429 or any 5xx; EVERYTHING else non-200 is a terminal
@@ -805,7 +818,7 @@ final class CrawlEngine(
                 excludePad = claimedCount.toInt)
               val par = spark.sparkContext.defaultParallelism
               Some(Future {
-                store.rankClaim(plan, nextBudget).repartition(par).localCheckpoint(true)
+                materialize(store.rankClaim(plan, nextBudget).repartition(par))
               })
             }
           }

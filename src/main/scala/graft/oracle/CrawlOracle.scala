@@ -201,7 +201,18 @@ final case class CrawlConfig(
     // error snapshots (reference statistics/_error_snapshotter.py:1-77):
     // persist failing pages' bodies to a KVS under deduped
     // ERROR_SNAPSHOT_* names for postmortem evidence
-    captureErrorSnapshots: Boolean = false
+    captureErrorSnapshots: Boolean = false,
+    // Cluster fault-tolerance tier: the engine's per-batch materializations
+    // default to localCheckpoint (executor-resident — fast, but an executor
+    // loss mid-batch kills the job, because the claim's post-zipWithIndex
+    // lineage is deliberately non-deterministic and must NOT recompute).
+    // Setting a directory here switches those sites to RELIABLE
+    // checkpoints (HDFS/object store on a real cluster), so a long batch
+    // survives executor loss at the cost of a durable write per
+    // materialization. The manifest-replay crash story is unchanged — this
+    // tier covers executor loss INSIDE a batch; driver loss still replays
+    // the uncommitted batch.
+    reliableCheckpointDir: Option[String] = None
 ) extends Serializable
 
 final case class OracleResult(
