@@ -84,7 +84,10 @@ final class CrawlEngine(
       headerAssignments: Map[String, Map[String, String]] = Map.empty,
       // bench mode (trackOrder=false): proxy url -> dispatch count — the
       // assignment MULTISET (per-key maps are a parity-mode surface)
-      proxyAssignmentCounts: Map[String, Long] = Map.empty
+      proxyAssignmentCounts: Map[String, Long] = Map.empty,
+      // batches served from a pipelined prefetch (diagnostic: specs assert
+      // the overlap actually engaged / correctly fell back)
+      prefetchedBatches: Int = 0
   )
 
   def run(seeds: Seq[String]): EngineResult = runRequests(seeds.map(u => SeedRequest(u)))
@@ -337,17 +340,34 @@ final class CrawlEngine(
       if (metricsBuf.size >= 16) flushMetrics()
     }
 
-    // Pipelined claiming (bench fast path): with no ordering contract, no
-    // politeness quotas and a fixed batch size, the NEXT batch's claim is
-    // prefetched CONCURRENTLY with the current batch's commit — the claim
-    // plan is built over the pre-commit state snapshot excluding the
-    // in-flight keys (a valid, slightly-stale claim; adds landed by the
-    // concurrent commit become visible one batch later). This removes the
-    // claim+checkpoint from the serial critical path: per-batch wall =
+    // Pipelined claiming: the NEXT batch's claim is prefetched CONCURRENTLY
+    // with the current batch's commit — the claim plan binds to the
+    // pre-commit state snapshot excluding the in-flight keys. This removes
+    // the claim+checkpoint from the serial critical path: per-batch wall =
     // max(commit, next-claim) instead of their sum.
-    val pipelined = !trackOrder && !enforcePoliteness && batchSizer.isEmpty &&
-      cfg.maxTasksPerMinute.isEmpty
+    //
+    // Bench mode (trackOrder=false): always legal — no ordering contract;
+    // adds landed by the concurrent commit become visible one batch later
+    // (a valid, slightly-stale claim).
+    //
+    // Parity mode (VERDICT r4 next-round #4): the prefetch is EXACT — not
+    // just valid — under the strict-ordering gate, because with FIFO-only
+    // ordering every row the concurrent commit introduces lands BEHIND all
+    // pre-commit pending rows (adds get seq in (maxSeq, maxSeq+S]; reclaims
+    // get maxSeq+S+pos), and the deep-frontier gate guarantees the next
+    // top-k never reaches them: post-commit top-k == pre-commit top-k minus
+    // in-flight keys, which is precisely what claimPlan computes. The gate:
+    //   - static: no forefront enqueue path (cfg.enqueueForefront), so
+    //     in-flight ADDS can never jump the queue;
+    //   - per-batch: no forefront row in the in-flight batch (covers
+    //     resumed stores holding forefront rows from an earlier run, whose
+    //     RECLAIM would jump the queue) — checked on the pinned claim.
+    // Politeness/autoscaling/rate caps still force the serial path (their
+    // per-batch driver state feeds the next claim's arguments).
+    val pipelined = !enforcePoliteness && batchSizer.isEmpty &&
+      cfg.maxTasksPerMinute.isEmpty && (!trackOrder || !cfg.enqueueForefront)
     var prefetched: Option[DataFrame] = None
+    var prefetchHits = 0
 
     var done = false
     while (!done && !stopRequested && processedTotal < cfg.maxRequestsPerCrawl) {
@@ -419,7 +439,7 @@ final class CrawlEngine(
           // a stale-empty prefetch must be confirmed against FRESH state
           // before concluding the frontier is drained (the concurrent
           // commit may have added rows the snapshot couldn't see)
-          if (b.count() > 0) b else freshClaim()
+          if (b.count() > 0) { prefetchHits += 1; b } else freshClaim()
         case None => freshClaim()
       }
       val claimedCount = batch.count()
@@ -809,16 +829,30 @@ final class CrawlEngine(
             // full next batch beyond the in-flight keys: a shallow-frontier
             // prefetch returns a stale sliver that splits batches (more
             // per-batch fixed cost than the overlap saves); deep frontiers
-            // — the cluster-scale regime — get the full overlap
+            // — the cluster-scale regime — get the full overlap. In parity
+            // mode the depth gate is also what makes the prefetch EXACT
+            // (new rows land behind >= nextBudget older pending rows).
             val deepEnough = store.pendingEstimate - claimedCount >= nextBudget
-            if (nextBudget <= 0 || !deepEnough) None
+            // strict-ordering per-batch gate: an in-flight forefront row's
+            // reclaim would jump the queue, which the snapshot can't see —
+            // cheap take(1) scan on the PINNED claim; only resumed stores
+            // with pre-existing forefront rows ever pay a fallback here
+            val noForefrontInFlight =
+              !trackOrder || batch.filter(col("forefront")).isEmpty
+            if (sys.env.contains("GRAFT_TRACE"))
+              println(s"[trace] batch=$batchIdx prefetch-gate nextBudget=$nextBudget " +
+                s"pending=${store.pendingEstimate} claimed=$claimedCount deep=$deepEnough noFf=$noForefrontInFlight")
+            if (nextBudget <= 0 || !deepEnough || !noForefrontInFlight) None
             else {
               val plan = store.claimPlan(nextBudget, nowMs + batchPeriodMs,
                 excludeKeys = Some(batch.select(col("unique_key"))),
                 excludePad = claimedCount.toInt)
               val par = spark.sparkContext.defaultParallelism
               Some(Future {
-                materialize(store.rankClaim(plan, nextBudget).repartition(par))
+                val ranked = store.rankClaim(plan, nextBudget)
+                // parity keeps the sorted single-partition layout (image-
+                // emission order rides physical row order); bench spreads
+                materialize(if (trackOrder) ranked else ranked.repartition(par))
               })
             }
           }
@@ -1036,7 +1070,8 @@ final class CrawlEngine(
       collidedSessions.toSet,
       proxyAssignments.toMap,
       headersByKey.toMap,
-      proxyAssignmentCounts.toMap
+      proxyAssignmentCounts.toMap,
+      prefetchedBatches = prefetchHits
     )
   }
 
