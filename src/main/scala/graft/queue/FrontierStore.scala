@@ -577,10 +577,26 @@ final class FrontierStore(
       col("forefront_seq").as("ex_ffseq"),
       col("state").as("ex_state"),
       col("handled_ok").as("ex_ok"),
-      col("lock_expires_at").as("ex_lock")
+      col("lock_expires_at").as("ex_lock"),
+      col("last_proxy_tier").as("ex_last_tier")
     )
 
-    val joined = firsts.join(st, firsts("unique_key") === st("ex_key"), "left")
+    // Exact-mode candidate↔state resolution WITHOUT shuffling the big side
+    // (VERDICT r4 #9): plain parquet state has no bucketed catalog, so a
+    // straight left join sort-merges BOTH sides — a full O(state) shuffle
+    // per commit. Instead the batch's keys broadcast into a semi-join that
+    // SCANS the cached state once (BroadcastHashJoin; the state side keeps
+    // its layout and never exchanges), and the batch-bounded match set
+    // left-joins back onto the candidates (resolveExisting). Bulk adds too
+    // big to broadcast fall back to the shuffled join. The persist makes
+    // the count, the enqueue join and the add report read ONE evaluation
+    // of the (engine-side link-extraction) candidate pipeline.
+    val exactCand: Option[(DataFrame, Long)] =
+      if (bloomDedup) None
+      else {
+        val firstsP = firsts.persist(StorageLevel.MEMORY_AND_DISK)
+        Some((firstsP, firstsP.count()))
+      }
 
     val isNew = col("ex_key").isNull
     val wasHandled = !isNew && col("ex_status") === Status.Handled
@@ -648,10 +664,12 @@ final class FrontierStore(
             lit(0L).as("lock_expires_at"),
             (lit(maxEv) + col("__pos")).as("event_seq"),
             lit(batchId + 1).as("batch_id"),
-            lit(null).cast("long").as("prev_epoch") // brand-new pending position
+            lit(null).cast("long").as("prev_epoch"), // brand-new pending position
+            lit(null).cast("int").as("last_proxy_tier")
           )
       case None =>
-        joined
+        val (firstsP, nCand) = exactCand.get
+        FrontierStore.resolveExisting(firstsP, st, nCand)
           .filter(isNew || (pendingDup && col("forefront")))
           .withColumn("__pos", col("cand_order") + 1)
           .withColumn("__ffpos", col("__last_order") + 1)
@@ -683,7 +701,8 @@ final class FrontierStore(
             lit(batchId + 1).as("batch_id"),
             when(isNew, lit(null).cast("long"))
               .otherwise(when(col("ex_ffseq") >= 0, lit(-1L)).otherwise(shiftright(col("ex_seq"), 42)))
-              .as("prev_epoch")
+              .as("prev_epoch"),
+            when(isNew, lit(null).cast("int")).otherwise(col("ex_last_tier")).as("last_proxy_tier")
           )
     }
 
@@ -706,7 +725,11 @@ final class FrontierStore(
       }
     }
 
-    // Add report (for every candidate incl. in-batch duplicates)
+    exactCand.foreach { case (firstsP, _) => firstsP.unpersist(false) }
+
+    // Add report (for every candidate incl. in-batch duplicates); the exact
+    // branch rides the same broadcast-semi resolution as the enqueue join
+    // (the report is consumed lazily — an ignored report costs nothing)
     if (bloomDedup) {
       probed.get.select(
         col("unique_key"),
@@ -714,8 +737,7 @@ final class FrontierStore(
         lit(false).as("was_already_handled") // single seen-filter: handled state not separable
       )
     } else
-      cand
-        .join(st, cand("unique_key") === st("ex_key"), "left")
+      FrontierStore.resolveExisting(cand, st, exactCand.get._2)
         .select(
           cand("unique_key"),
           (col("ex_key").isNotNull || col("__dup_in_batch")).as("was_already_present"),
@@ -1051,6 +1073,31 @@ final class FrontierStore(
 
 object FrontierStore {
 
+  /** Candidate batches above this row count fall back to the shuffled
+    * left join in [[resolveExisting]] (a broadcast of ~10^6 keys is the
+    * same order as [[mergeDelta]]'s gating trade).
+    */
+  private[queue] val FlipJoinMaxCandidates: Long = 1L << 20
+
+  /** Left-join `left` (batch-bounded candidates, keyed `unique_key`)
+    * against the `ex_*`-renamed state frame `st` WITHOUT shuffling the
+    * state side: the batch keys broadcast into a LeftSemi
+    * BroadcastHashJoin that scans `st` once in place, and the batch-
+    * bounded match set left-joins back onto `left`. Row-identical to
+    * `left.join(st, left("unique_key") === st("ex_key"), "left")` (state
+    * holds at most one row per key), which is also the fallback for
+    * batches too large to broadcast.
+    */
+  private[queue] def resolveExisting(left: DataFrame, st: DataFrame, leftRows: Long): DataFrame =
+    if (leftRows > FlipJoinMaxCandidates)
+      left.join(st, left("unique_key") === st("ex_key"), "left")
+    else {
+      val matchedEx = st.join(
+        broadcast(left.select(col("unique_key").as("__ck"))),
+        st("ex_key") === col("__ck"), "left_semi")
+      left.join(matchedEx, left("unique_key") === matchedEx("ex_key"), "left")
+    }
+
   import org.apache.spark.sql.types._
 
   val eventSchema: StructType = StructType(Seq(
@@ -1086,7 +1133,13 @@ object FrontierStore {
     // session binding (reference _request.py:61-62): id of the Session this
     // request is strictly bound to, or null. Deltas written before this
     // column existed read as null (= unbound), so old stores stay correct.
-    StructField("session_id", StringType)
+    StructField("session_id", StringType),
+    // tier of the request's previous dispatch (reference `last_proxy_tier`
+    // persisted on the Request row, _request.py:52-53): the vehicle for
+    // executor-side tiered-proxy assignment — a retried row counts an
+    // error against this tier on its next dispatch. Null = never
+    // dispatched under a tiered config; old deltas read null.
+    StructField("last_proxy_tier", IntegerType)
   ))
 
   val eventCols: Seq[org.apache.spark.sql.Column] =
@@ -1133,6 +1186,8 @@ object FrontierStore {
     if (!d.columns.contains("no_retry")) d = d.withColumn("no_retry", lit(false))
     if (!d.columns.contains("max_retries")) d = d.withColumn("max_retries", lit(null).cast(IntegerType))
     if (!d.columns.contains("session_id")) d = d.withColumn("session_id", lit(null).cast(StringType))
+    if (!d.columns.contains("last_proxy_tier"))
+      d = d.withColumn("last_proxy_tier", lit(null).cast(IntegerType))
     d
   }
 

@@ -346,4 +346,46 @@ class FrontierStoreSpec extends SparkSpec {
     store.addBatch(cand(Seq("d3"), forefront = false))
     assert(drainOrder(store) == Seq("d3"))
   }
+
+  test("exact-mode resolution never shuffles the state side (flip broadcast-semi)") {
+    // VERDICT r4 #9: plain-parquet state has no bucketed catalog, so the
+    // naive candidate-vs-state left join sort-merges BOTH sides — a full
+    // O(state) shuffle per commit. resolveExisting must (a) be
+    // row-identical to that join and (b) keep the state side exchange-free
+    // (batch keys broadcast into a LeftSemi that scans state in place).
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val left = (0 until 50).map(i => (s"k$i", i.toLong)).toDF("unique_key", "cand_order")
+      // half-overlapping state incl. a key the batch doesn't carry
+      val st = (25 until 100).map(i => (s"k$i", Status.Pending, i.toLong))
+        .toDF("ex_key", "ex_status", "ex_seq")
+      val flipped = FrontierStore.resolveExisting(left, st, leftRows = 50)
+      val shuffled = left.join(st, left("unique_key") === st("ex_key"), "left")
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.collect().toSeq
+          .map((r: Row) => s"${r.getString(0)}|${Option(r.getAs[String]("ex_key")).orNull}")
+          .sorted
+      assert(rows(flipped) == rows(shuffled))
+      assert(flipped.columns.sameElements(shuffled.columns))
+      val semis = flipped.queryExecution.executedPlan.collect {
+        case j: BroadcastHashJoinExec if j.joinType == LeftSemi => j
+      }
+      assert(semis.nonEmpty, flipped.queryExecution.executedPlan.toString)
+      // streamed (state) side of the semi join: no exchange above the scan
+      assert(semis.forall(_.left.collect { case e: ShuffleExchangeExec => e }.isEmpty),
+        flipped.queryExecution.executedPlan.toString)
+      // bulk batches (> FlipJoinMaxCandidates) fall back to the shuffled join
+      val bulk = FrontierStore.resolveExisting(left, st, leftRows = FrontierStore.FlipJoinMaxCandidates + 1)
+      assert(rows(bulk) == rows(shuffled))
+      assert(bulk.queryExecution.executedPlan.collect {
+        case j: BroadcastHashJoinExec if j.joinType == LeftSemi => j
+      }.isEmpty)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
 }
