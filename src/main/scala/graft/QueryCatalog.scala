@@ -1617,6 +1617,113 @@ object QueryCatalog {
       .orderBy(col("event_id"))
   }
 
+  // ---- ML: adaptive delegation routing (VERDICT r4 next-round #6) ----------
+  // The full per-request decision of the reference's delegation loop
+  // (_adaptive_playwright_crawler.py:376-446): prediction + decaying
+  // detection probability -> detection roll -> sub-crawler route -> the
+  // push-data-only comparator's detection verdict. DuckDB recomputes every
+  // stage — features/sigmoid from the exported model (as ml_rendering_type),
+  // the coefficient schedule from the exported coeffs, the roll from data,
+  // and the comparator from the derived push arrays.
+  register(
+    "ml_adaptive_route",
+    Some(
+      """WITH cand AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 4 IN (0,1) THEN 'shop' || (event_id % 2) || '.example.com'
+        |         WHEN event_id % 4 = 2 THEN 'app' || (event_id % 2) || '.example.com'
+        |         ELSE 'other' || (event_id % 3) || '.example.com' END AS host,
+        |    CASE WHEN event_id % 4 IN (0,1) THEN 'catalog'
+        |         WHEN event_id % 4 = 2 THEN 'app' ELSE 'misc' END AS seg1,
+        |    CASE WHEN event_id % 4 IN (0,1) THEN 'item-' || (event_id % 30)
+        |         WHEN event_id % 4 = 2 THEN 'view-' || (event_id % 30)
+        |         ELSE 'z' || (event_id % 50) END AS seg2,
+        |    (event_id % 997) / 997.0 AS roll,
+        |    ['i-' || (event_id % 7)] AS push_static,
+        |    CASE WHEN event_id % 4 = 2
+        |         THEN ['i-' || (event_id % 7), 'r-' || (event_id % 5)] END AS push_rendered
+        |  FROM events WHERE event_id < 2000
+        |),
+        |stored AS (SELECT s_type, s_comps FROM read_parquet('/tmp/graft_rtp/adaptive/stored/*.parquet')),
+        |model AS (SELECT * FROM read_parquet('/tmp/graft_rtp/adaptive/model/*.parquet')),
+        |coeff AS (SELECT coalesce((SELECT c_coeff
+        |  FROM read_parquet('/tmp/graft_rtp/adaptive/coeffs/*.parquet') WHERE c_label = ''), 5.0) AS c),
+        |pairs AS (
+        |  SELECT c.event_id, s.s_type,
+        |    CASE WHEN c.host <> s.s_comps[1] THEN 0.0
+        |         WHEN [c.host, c.seg1, c.seg2] = s.s_comps THEN 1.0
+        |         ELSE ((CASE WHEN jaro_winkler_similarity(c.seg1, coalesce(s.s_comps[2], '')) > 0.8
+        |                     THEN 1.0 ELSE 0.0 END) +
+        |               (CASE WHEN jaro_winkler_similarity(c.seg2, coalesce(s.s_comps[3], '')) > 0.8
+        |                     THEN 1.0 ELSE 0.0 END)) / 2.0
+        |         END AS sim
+        |  FROM cand c CROSS JOIN stored s
+        |),
+        |feats AS (
+        |  SELECT event_id,
+        |    coalesce(avg(CASE WHEN s_type = 'static' THEN sim END), 0) AS fs,
+        |    coalesce(avg(CASE WHEN s_type = 'client only' THEN sim END), 0) AS fc
+        |  FROM pairs GROUP BY event_id
+        |),
+        |dec AS (
+        |  SELECT c.event_id, c.roll, c.push_static, c.push_rendered,
+        |    CASE WHEN 1/(1+exp(-(m.w_static*f.fs + m.w_client*f.fc + m.bias))) >= 0.5
+        |         THEN 'static' ELSE 'client only' END AS rendering_type,
+        |    CASE WHEN abs(1 - 2*(1/(1+exp(-(m.w_static*f.fs + m.w_client*f.fc + m.bias))))) < 0.1
+        |         THEN 1.0 ELSE m.detection_ratio * co.c END AS dp
+        |  FROM feats f JOIN cand c USING (event_id) CROSS JOIN model m CROSS JOIN coeff co
+        |)
+        |SELECT event_id,
+        |  round(dp, 6) AS detection_prob,
+        |  rendering_type,
+        |  roll < dp AS should_detect,
+        |  CASE WHEN NOT (roll < dp) AND rendering_type = 'static'
+        |       THEN 'static' ELSE 'browser' END AS route,
+        |  CASE WHEN roll < dp THEN
+        |    CASE WHEN coalesce(push_rendered, push_static) = push_static
+        |         THEN 'static' ELSE 'client only' END
+        |  END AS detection
+        |FROM dec ORDER BY event_id""".stripMargin
+    )
+  ) { (s, dir) =>
+    val p = new graft.ml.RenderingTypePredictor()
+    (0 until 5).foreach { k =>
+      p.storeResult(s"http://shop${k % 2}.example.com/catalog/item-$k", "static")
+      p.storeResult(s"http://app${k % 2}.example.com/app/view-$k", "client only")
+    }
+    graft.ml.RenderingTypePredictor.exportModel(s, p, "adaptive")
+    val m4 = pmod(col("event_id"), lit(4))
+    val host = when(m4.isin(0, 1), concat(lit("shop"), pmod(col("event_id"), lit(2)), lit(".example.com")))
+      .when(m4 === 2, concat(lit("app"), pmod(col("event_id"), lit(2)), lit(".example.com")))
+      .otherwise(concat(lit("other"), pmod(col("event_id"), lit(3)), lit(".example.com")))
+    val seg1 = when(m4.isin(0, 1), lit("catalog")).when(m4 === 2, lit("app")).otherwise(lit("misc"))
+    val seg2 = when(m4.isin(0, 1), concat(lit("item-"), pmod(col("event_id"), lit(30))))
+      .when(m4 === 2, concat(lit("view-"), pmod(col("event_id"), lit(30))))
+      .otherwise(concat(lit("z"), pmod(col("event_id"), lit(50))))
+    val cand = t(s, dir, "events")
+      .filter(col("event_id") < 2000)
+      .select(col("event_id"),
+        concat(lit("http://"), host, lit("/"), seg1, lit("/"), seg2).as("url"),
+        lit("").as("label"),
+        (pmod(col("event_id"), lit(997)).cast("double") / lit(997.0)).as("roll"),
+        array(concat(lit("i-"), pmod(col("event_id"), lit(7)))).as("push_static"),
+        when(m4 === 2, array(
+          concat(lit("i-"), pmod(col("event_id"), lit(7))),
+          concat(lit("r-"), pmod(col("event_id"), lit(5))))).as("push_rendered"))
+    graft.ml.AdaptiveDelegation
+      .routeColumns(graft.ml.AdaptiveCrawl(p, rollExpr = Some(col("roll"))),
+        cand, "url", "label", "event_id")
+      .select(col("event_id"),
+        round(col("__dp"), 6).as("detection_prob"),
+        col("__rt").as("rendering_type"),
+        col("__detect").as("should_detect"),
+        col("__route").as("route"),
+        when(col("__detect"),
+          graft.ml.AdaptiveDelegation.detectionCol(col("push_static"), col("push_rendered")))
+          .as("detection"))
+      .orderBy(col("event_id"))
+  }
+
   register(
     "v_cosine_near_dup",
     Some(

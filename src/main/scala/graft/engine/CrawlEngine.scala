@@ -2,6 +2,7 @@ package graft.engine
 
 import graft.canon.{EnqueueStrategy, Globs, Robots, RobotsRules, UrlCanon}
 import graft.expr.UrlFunctions
+import graft.ml.AdaptiveDelegation
 import graft.oracle.{CrawlConfig, RequestOptions, SeedRequest}
 import graft.queue.FrontierStore
 import graft.schema.RequestState
@@ -90,7 +91,14 @@ final class CrawlEngine(
       prefetchedBatches: Int = 0,
       // tier -> dispatch count (tiered proxy configs; both modes) — the
       // multiset form of the tier climb, comparable across parity/bench
-      proxyTierCounts: Map[Int, Long] = Map.empty
+      proxyTierCounts: Map[Int, Long] = Map.empty,
+      // adaptive delegation (reference AdaptivePlaywrightCrawlerStatisticState
+      // counters + the detection log): static-only dispatches, browser
+      // dispatches, checker-failed static runs, url -> detected type
+      httpOnlyRuns: Long = 0L,
+      browserRuns: Long = 0L,
+      renderingMispredictions: Long = 0L,
+      adaptiveDetections: Map[String, String] = Map.empty
   )
 
   def run(seeds: Seq[String]): EngineResult = runRequests(seeds.map(u => SeedRequest(u)))
@@ -189,13 +197,20 @@ final class CrawlEngine(
       else includeP.isEmpty || includeP.exists(g => Globs.matches(g, url))
     }
 
+    // Adaptive mode reads the "browser" sub-crawler's view from optional
+    // rendered_body / rendered_images columns (null or absent = the page
+    // renders identically under both sub-crawlers).
     val pagesDf = pages
       .select(
         col("url").as("p_url"),
         col("status").as("p_status"),
         col("redirect_to").as("p_redirect"),
         col("body").as("p_body"),
-        col("image_ids").as("p_images")
+        col("image_ids").as("p_images"),
+        (if (pages.columns.contains("rendered_body")) col("rendered_body")
+         else lit(null).cast("string")).as("p_rbody"),
+        (if (pages.columns.contains("rendered_images")) col("rendered_images")
+         else lit(null).cast("array<string>")).as("p_rimages")
       )
       .persist()
     traceTop("pages-pin")(pagesDf.count())
@@ -330,6 +345,12 @@ final class CrawlEngine(
     var processedTotal = 0L
     seenCount = 0L
     var batchIdx = 0
+    // adaptive delegation counters (reference track_* methods,
+    // _adaptive_playwright_crawler.py:496-503) + the detection log
+    var httpOnlyRunsAcc = 0L
+    var browserRunsAcc = 0L
+    var mispredictionsAcc = 0L
+    val adaptiveDetectionLog = mutable.LinkedHashMap.empty[String, String]
     // Politeness delays. Map mode: from the (already-bounded) driver robots
     // map. TABLE mode (SCALE.md / VERDICT r3 "wrong" #2): delays stay a
     // DataFrame — (host, delay) derived from the robots table with a
@@ -531,9 +552,24 @@ final class CrawlEngine(
             (allowed0.filter(col("session_id").isInCollection(unavailableBound)),
              allowed0.filter(col("session_id").isNull || !col("session_id").isInCollection(unavailableBound)))
 
+        // --- adaptive delegation: predict + route BEFORE the fetch -----------
+        // (reference _adaptive_playwright_crawler.py:385-446). Scoring is a
+        // broadcast of the small model against a (key, url, label)
+        // projection of the batch; route/detect become claim columns.
+        val allowedR = cfg.adaptive match {
+          case Some(ac) =>
+            graft.ml.AdaptiveDelegation.routeColumns(ac, allowed, "url", "label", "unique_key")
+          case None =>
+            allowed
+              .withColumn("__rt", lit(null).cast("string"))
+              .withColumn("__dp", lit(null).cast("double"))
+              .withColumn("__detect", lit(false))
+              .withColumn("__route", lit(graft.ml.AdaptiveDelegation.RouteStatic))
+        }
+
         // --- synthetic fetch: join page table; resolve one redirect hop ------
-        val fetched = allowed
-          .join(pagesDf, allowed("url") === pagesDf("p_url"), "left")
+        val fetched = allowedR
+          .join(pagesDf, allowedR("url") === pagesDf("p_url"), "left")
           .withColumn(
             "eff_status",
             when(col("p_url").isNull, lit(404))
@@ -553,16 +589,20 @@ final class CrawlEngine(
         val p2 = pagesDf.select(
           col("p_url").as("t_url"),
           col("p_body").as("t_body"),
-          col("p_images").as("t_images")
+          col("p_images").as("t_images"),
+          col("p_rbody").as("t_rbody"),
+          col("p_rimages").as("t_rimages")
         )
         val redirOk = redirResolved
           .filter(col("strategy_ok"))
-          .drop("p_url", "p_status", "p_redirect", "p_body", "p_images")
+          .drop("p_url", "p_status", "p_redirect", "p_body", "p_images", "p_rbody", "p_rimages")
           .join(p2, col("loaded_url") === col("t_url"), "left")
           .withColumn("eff_status", statusUdf(col("loaded_url"), col("retry_count")))
           .withColumn("p_body", col("t_body"))
           .withColumn("p_images", col("t_images"))
-          .drop("t_url", "t_body", "t_images")
+          .withColumn("p_rbody", col("t_rbody"))
+          .withColumn("p_rimages", col("t_rimages"))
+          .drop("t_url", "t_body", "t_images", "t_rbody", "t_rimages")
 
         val directLoaded = direct.withColumn("loaded_url", col("url"))
         // Digest the body BEFORE the pin: the checkpoint then materializes
@@ -573,6 +613,44 @@ final class CrawlEngine(
         // enter the handler.
         val blockedUdf = udf { (st: Int, body: String) =>
           graft.canon.Blocked.blockedReason(st, body).isDefined
+        }
+        // --- adaptive sub-crawler selection (reference :400-446) -------------
+        // A checker-failed static run is a tracked misprediction that falls
+        // through to the browser sub-crawler; detection rows compare the two
+        // sub-runs' pushed data (push-data-only comparator); the ROUTED
+        // body/images drive everything downstream — blocked detection, link
+        // extraction, image emission — so a browser-routed page crawls its
+        // rendered DOM.
+        def applyRoute(df: DataFrame): DataFrame = cfg.adaptive match {
+          case None =>
+            df.withColumn("__mispred", lit(false))
+              .withColumn("__detection", lit(null).cast("string"))
+              .drop("p_rbody", "p_rimages")
+          case Some(ac) =>
+            val checkerFail = ac.resultChecker match {
+              case Some(ck) =>
+                val ckUdf = udf { (st: Int, imgs: Seq[String]) =>
+                  !ck(st, Option(imgs).getOrElse(Seq.empty))
+                }
+                col("__route") === AdaptiveDelegation.RouteStatic &&
+                  ckUdf(col("eff_status"), col("p_images"))
+              case None => lit(false)
+            }
+            df.withColumn("__mispred", checkerFail)
+              .withColumn("__route",
+                when(col("__mispred"), lit(AdaptiveDelegation.RouteBrowser))
+                  .otherwise(col("__route")))
+              .withColumn("__detection",
+                when(col("__detect") && col("eff_status") === 200,
+                  AdaptiveDelegation.detectionCol(col("p_images"), col("p_rimages")))
+                  .otherwise(lit(null).cast("string")))
+              .withColumn("p_body",
+                when(col("__route") === AdaptiveDelegation.RouteBrowser,
+                  coalesce(col("p_rbody"), col("p_body"))).otherwise(col("p_body")))
+              .withColumn("p_images",
+                when(col("__route") === AdaptiveDelegation.RouteBrowser,
+                  coalesce(col("p_rimages"), col("p_images"))).otherwise(col("p_images")))
+              .drop("p_rbody", "p_rimages")
         }
         def digestBody(df: DataFrame): DataFrame = df
           .withColumn("is_blocked",
@@ -595,9 +673,35 @@ final class CrawlEngine(
         // is planned over a flat in-memory scan instead of re-carrying the
         // whole fetch-join tree through Catalyst each time — per-batch
         // planning time is a serial driver cost that caps scaling.
-        val unioned = trace("fetch-pin")(materialize(digestBody(directLoaded)
+        val unioned = trace("fetch-pin")(materialize(digestBody(applyRoute(directLoaded))
           .select(resultCols: _*)
-          .unionByName(digestBody(redirOk).select(resultCols: _*))))
+          .unionByName(digestBody(applyRoute(redirOk)).select(resultCols: _*))))
+
+        // --- adaptive feedback (reference :429-446) --------------------------
+        // Detection rows feed the predictor IN CLAIM ORDER (the reference's
+        // sequential store_result calls); run counters ride one bounded
+        // aggregate. Only detection rows — a fraction bounded by the
+        // decaying detection probability — reach the driver. Reads the
+        // checkpointed frame, so nothing recomputes.
+        cfg.adaptive.foreach { ac =>
+          val agg = unioned.agg(
+            sum(when(col("__route") === AdaptiveDelegation.RouteStatic || col("__mispred"), 1L)
+              .otherwise(0L)),
+            sum(when(col("__route") === AdaptiveDelegation.RouteBrowser, 1L).otherwise(0L)),
+            sum(when(col("__mispred"), 1L).otherwise(0L))).head()
+          httpOnlyRunsAcc += (if (agg.isNullAt(0)) 0L else agg.getLong(0))
+          browserRunsAcc += (if (agg.isNullAt(1)) 0L else agg.getLong(1))
+          mispredictionsAcc += (if (agg.isNullAt(2)) 0L else agg.getLong(2))
+          unioned.filter(col("__detection").isNotNull && !col("is_blocked"))
+            .select(col("claim_rank"), col("url"), col("label"), col("__detection"))
+            .collect()
+            .sortBy(_.getInt(0))
+            .foreach { r =>
+              val url = r.getString(1)
+              ac.predictor.storeResult(url, r.getString(3), Option(r.getString(2)))
+              adaptiveDetectionLog(url) = r.getString(3)
+            }
+        }
 
         // --- classification (F12 / R1) ---------------------------------------
         // retryable = 429 or any 5xx; EVERYTHING else non-200 is a terminal
@@ -1213,7 +1317,11 @@ final class CrawlEngine(
       headersByKey.toMap,
       proxyAssignmentCounts.toMap,
       prefetchedBatches = prefetchHits,
-      proxyTierCounts = proxyTierCounts.toMap
+      proxyTierCounts = proxyTierCounts.toMap,
+      httpOnlyRuns = httpOnlyRunsAcc,
+      browserRuns = browserRunsAcc,
+      renderingMispredictions = mispredictionsAcc,
+      adaptiveDetections = adaptiveDetectionLog.toMap
     )
   }
 
@@ -1294,7 +1402,9 @@ object CrawlEngine {
   val resultCols: Seq[org.apache.spark.sql.Column] =
     graft.queue.FrontierStore.eventSchema.fieldNames.toSeq.map(col) ++ Seq(
       col("claim_rank"), col("loaded_url"), col("eff_status"),
-      col("links"), col("base_url"), col("is_blocked"), col("p_images")
+      col("links"), col("base_url"), col("is_blocked"), col("p_images"),
+      // adaptive delegation columns (constant literals when adaptive is off)
+      col("__route"), col("__mispred"), col("__detection")
     )
 
   /** One dispatched request entering the bench-mode tier fold: the claim

@@ -147,6 +147,8 @@ final class RenderingTypePredictor(
   def storedRows: Seq[(String, String, Seq[String])] =
     stored.toSeq.flatMap { case ((rt, lbl), lists) => lists.map(l => (rt, lbl, l)) }
   def modelWeights: Option[(Double, Double, Double)] = weights
+  def coefficientRows: Seq[(String, Double)] = labelCoefficients.toSeq.sortBy(_._1)
+  def detectionRatioValue: Double = detectionRatioClamped
 
   /** Score a DataFrame of candidates: `df(urlCol, labelCol)` →
     * + (f_static, f_client, p_static, rendering_type, detection_prob).
@@ -240,8 +242,13 @@ object RenderingTypePredictor {
     p.storedRows.toDF("s_type", "s_label", "s_comps")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stored")
     val (w1, w2, b) = p.modelWeights.getOrElse((0.0, 0.0, 0.0))
-    Seq((w1, w2, b)).toDF("w_static", "w_client", "bias")
+    Seq((w1, w2, b, p.detectionRatioValue)).toDF("w_static", "w_client", "bias", "detection_ratio")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/model")
+    // label coefficients (detection-probability decay schedule) — consumers
+    // coalesce a missing label to the initial 5.0
+    val coeffs = if (p.coefficientRows.nonEmpty) p.coefficientRows else Seq(("", InitialCoefficient))
+    coeffs.toDF("c_label", "c_coeff")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/coeffs")
     dir
   }
 }

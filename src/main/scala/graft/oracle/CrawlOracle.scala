@@ -212,7 +212,15 @@ final case class CrawlConfig(
     // materialization. The manifest-replay crash story is unchanged — this
     // tier covers executor loss INSIDE a batch; driver loss still replays
     // the uncommitted batch.
-    reliableCheckpointDir: Option[String] = None
+    reliableCheckpointDir: Option[String] = None,
+    // Adaptive rendering-type delegation (reference
+    // _adaptive_playwright_crawler.py:376-446): per claim, the predictor
+    // routes between the static fetch (page body) and the "browser" fetch
+    // (the pages table's rendered_body/rendered_images columns); a
+    // decaying fraction runs both, compares pushed data, and feeds the
+    // detection back into the predictor. Engine-only surface (the parity
+    // oracle models a static-only crawler).
+    adaptive: Option[graft.ml.AdaptiveCrawl] = None
 ) extends Serializable
 
 final case class OracleResult(
