@@ -1957,6 +1957,29 @@ object QueryCatalog {
     }.toDF("id", "w", "h", "fmt").orderBy(col("id"))
   }
 
+  // REAL video decode (closes the r4 stub): the engine receives only the
+  // concatenated MJPEG streams and must recover per-frame bytes by parsing
+  // JPEG marker structure, decode them, and hash the pixels; the expected
+  // (frame_idx, ts, phash) rows are exported from the generator's
+  // PER-FRAME bytes before concatenation — generator and splitter share
+  // no code path (same independence argument as mm_image_features).
+  register(
+    "mm_video_frames",
+    Some(
+      """SELECT id, frame_idx, ts_ms, frame_phash
+        |FROM read_parquet('/tmp/graft_video_frames/f_48/*.parquet')
+        |ORDER BY id, frame_idx""".stripMargin
+    )
+  ) { (s, _) =>
+    graft.fixtures.Mjpeg.exportExpectedFrames(s, 48)
+    graft.ops.Multimodal
+      .sampleFrames(graft.ops.Multimodal.syntheticVideoTable(s, 48),
+        everyMs = graft.fixtures.Mjpeg.FrameIntervalMs)
+      .toDF()
+      .select(col("id"), col("frame_idx"), col("ts_ms"), col("frame_phash"))
+      .orderBy(col("id"), col("frame_idx"))
+  }
+
   // ---- S3: sitemap XML parse (the flatMap generator over documents) --------
   // XML bodies synthesized from events; the oracle knows the loc list
   // analytically. The Spark side runs the real SAX parser.

@@ -72,21 +72,52 @@ object Multimodal {
     }
   }
 
-  /** Video frame sampling — STUB decode (no video codecs in this
-    * container): emits `everyMs`-spaced frames whose phash is a
-    * deterministic function of (id, frame index), preserving the real
-    * operator's schema, row multiplication, and partition batching.
+  /** Video frame sampling, `everyMs`-spaced. REAL decode for MJPEG
+    * (fmt == "mjpeg"): the concatenated-JPEG stream is split by walking
+    * the JPEG marker structure (`fixtures.Mjpeg.splitFrames` — no shared
+    * state with the fixture generator), the sampled frames decode through
+    * javax.imageio, and the emitted phash is computed from the pixels.
+    * Other container formats have no JVM codec here and keep the
+    * deterministic STUB phash behind the same schema (disclosed).
     */
   def sampleFrames(media: Dataset[MediaRow], everyMs: Long): Dataset[FrameSample] = {
     implicit val enc = Encoders.product[FrameSample]
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        val frames = (r.meta.duration_ms / everyMs).toInt
-        (0 until frames).iterator.map { i =>
-          // ??? real decoder goes here; deterministic fake keeps tests honest
-          FrameSample(r.id, i, i * everyMs, graft.canon.Hashing.xxh64(s"${r.id}#frame$i"))
-        }
+        val samples = (r.meta.duration_ms / everyMs).toInt
+        if (r.meta.fmt == "mjpeg") {
+          val frames = graft.fixtures.Mjpeg.splitFrames(r.bytes)
+          if (frames.isEmpty) Iterator.empty
+          else {
+            val interval = math.max(1L, r.meta.duration_ms / frames.size)
+            // decode each DISTINCT sampled frame once per row, not per sample
+            val wanted = (0 until samples).map(k => (k * everyMs / interval).toInt min (frames.size - 1))
+            val decoded = wanted.distinct.map { idx =>
+              idx -> Images.phash(Images.decode(frames(idx)))
+            }.toMap
+            (0 until samples).iterator.map { k =>
+              val idx = wanted(k)
+              FrameSample(r.id, idx, k * everyMs, decoded(idx))
+            }
+          }
+        } else
+          (0 until samples).iterator.map { i =>
+            // stub phash for codec-less formats; schema/row shape identical
+            FrameSample(r.id, i, i * everyMs, graft.canon.Hashing.xxh64(s"${r.id}#frame$i"))
+          }
       }
+    }
+  }
+
+  /** Wrap the deterministic MJPEG fixture as a media table of `n` videos. */
+  def syntheticVideoTable(spark: org.apache.spark.sql.SparkSession, n: Long): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    import spark.implicits._
+    spark.range(n).map { v =>
+      val id = graft.fixtures.Mjpeg.idOf(v)
+      val (w, h) = graft.fixtures.Mjpeg.dims(id)
+      MediaRow(id, graft.fixtures.Mjpeg.videoBytes(v),
+        MediaMeta("video", w, h, "mjpeg", graft.fixtures.Mjpeg.durationMs(v)))
     }
   }
 
