@@ -960,6 +960,59 @@ object QueryCatalog {
     list.fromCursor(next, key).select(col("seq"), col("url"))
   }
 
+  // ---- S10: streamed fetch (chunked download, size-cap abort) --------------
+  // (reference http_clients/_base.py:160-189 stream()/read_stream();
+  // _file_download_crawler.py stream=True). Bodies are deterministic chunk
+  // sequences derived from the url, so DuckDB rebuilds each consumed
+  // prefix with the SAME chunk-granular cap rule (a running-sum window),
+  // re-aggregates the text, and sha256's it — digest, byte counts, chunk
+  // counts, and the truncation bit all cross-check. The engine side
+  // consumes lazily through an incremental digest (never a whole body).
+  register(
+    "s10_streamed_fetch",
+    Some(
+      """WITH u AS (
+        |  SELECT event_id, 'https://files.example.com/f/' || event_id AS url,
+        |         1 + event_id % 9 AS n
+        |  FROM events WHERE event_id < 500
+        |),
+        |chunks AS (
+        |  SELECT u.url, u.n, t.k, u.url || '#chunk' || t.k || ';' AS chunk
+        |  FROM u, LATERAL (SELECT unnest(generate_series(0, CAST(u.n - 1 AS INT))) AS k) t
+        |),
+        |kept AS (
+        |  SELECT * FROM (
+        |    SELECT url, n, k, chunk,
+        |      sum(strlen(chunk)) OVER (PARTITION BY url ORDER BY k) AS cum
+        |    FROM chunks) WHERE cum <= 150
+        |),
+        |agg AS (
+        |  SELECT url, CAST(count(*) AS INT) AS n_chunks,
+        |    CAST(sum(strlen(chunk)) AS BIGINT) AS total_bytes,
+        |    sha256(string_agg(chunk, '' ORDER BY k)) AS sha256,
+        |    CAST(count(*) AS BIGINT) < max(n) AS truncated
+        |  FROM kept GROUP BY url
+        |)
+        |SELECT u.url, coalesce(a.n_chunks, 0) AS n_chunks,
+        |  coalesce(a.total_bytes, 0) AS total_bytes,
+        |  coalesce(a.sha256, sha256('')) AS sha256,
+        |  coalesce(a.truncated, TRUE) AS truncated
+        |FROM u LEFT JOIN agg a USING (url) ORDER BY u.url""".stripMargin
+    )
+  ) { (s, dir) =>
+    val urls = t(s, dir, "events")
+      .filter(col("event_id") < 500)
+      .select(concat(lit("https://files.example.com/f/"), col("event_id")).as("url"))
+    val source: String => Iterator[Array[Byte]] = { url =>
+      val id = url.substring(url.lastIndexOf('/') + 1).toLong
+      (0 until (1 + id % 9).toInt).iterator.map(k => s"$url#chunk$k;".getBytes("UTF-8"))
+    }
+    graft.sources.StreamedFetch.stream(urls, "url", source, maxBytes = 150L)
+      .toDF()
+      .select(col("url"), col("n_chunks"), col("total_bytes"), col("sha256"), col("truncated"))
+      .orderBy(col("url"))
+  }
+
   // ---- A8: queue metadata counters (real FrontierStore) ---------------------
   register(
     "a8_queue_metadata",
