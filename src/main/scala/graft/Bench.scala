@@ -33,7 +33,10 @@ object Bench {
       "a8_queue_metadata", "d12_d13_kvs_resume", "x4_rate_cap", "mm_resize",
       "s5_sitemap_nested", "s4_sitemap_txt_gzip", "r6_budget_exactness",
       "f11_blocked_content", "mm_image_features", "mm_payload_validate",
-      "r4_session_binding", "a7_stats_resume", "w3_stream_request_ingest")
+      "r4_session_binding", "a7_stats_resume", "w3_stream_request_ingest",
+      "mm_video_frames", "s10_streamed_fetch",
+      // drives a real FrontierStore claim loop since r5 (was inline before)
+      "q4_claim_ordering")
     // Untimed JVM/codegen warm-up: the first timed query otherwise absorbs
     // one-time Catalyst/whole-stage-codegen/classloading cost (~3-4 s) that
     // belongs to the JVM, not the query (r3 bench read a 5-row aggregate at
