@@ -235,11 +235,17 @@ final class CrawlEngine(
       val seedAllowed = robotsAllowsDriver(srs.map(_.url))
       val rows = srs.zipWithIndex.collect {
         case (sr, i) if seedAllowed(sr.url) =>
-          // C7 always_enqueue: deterministic per-run salt defeats dedup
-          // (reference _request.py:309-310; salt substitution like C6)
+          // C7 always_enqueue: the salt defeats dedup (reference
+          // _request.py:309-310). Default is a deterministic per-run
+          // counter (parity-comparable); randomAlwaysEnqueueSalt uses the
+          // reference's crypto-random object id (C6, crypto.py:21-24).
           val key =
-            if (sr.alwaysEnqueue) { val k = f"ae$aeCounter%06d|${sr.uniqueKey}"; aeCounter += 1; k }
-            else sr.uniqueKey
+            if (sr.alwaysEnqueue) {
+              val salt =
+                if (cfg.randomAlwaysEnqueueSalt) graft.canon.Ids.randomObjectId()
+                else { val c = f"ae$aeCounter%06d"; aeCounter += 1; c }
+              s"$salt|${sr.uniqueKey}"
+            } else sr.uniqueKey
           org.apache.spark.sql.Row(
             key,
             sr.url,

@@ -132,14 +132,26 @@ final case class SeedRequest(
     useExtendedUniqueKey: Boolean = false,
     // C7 always_enqueue (reference _request.py:284-310): the unique key is
     // prefixed with a per-enqueue salt so the request enqueues even when an
-    // identical one is already present. The reference salts with a crypto-
-    // random id; engine and oracle salt with a deterministic per-run
-    // counter (documented substitution, like C6) applied at enqueue time.
-    alwaysEnqueue: Boolean = false
+    // identical one is already present. The reference salts with a
+    // crypto-random id (C6, crypto.py:21-24); engine and oracle default to
+    // a deterministic per-run counter so runs are parity-comparable, and
+    // `CrawlConfig.randomAlwaysEnqueueSalt` switches the engine to the
+    // reference's `Ids.randomObjectId()` salt.
+    alwaysEnqueue: Boolean = false,
+    // Custom unique key (reference Request.from_url `unique_key=` param,
+    // _request.py:258-263): overrides the computed C2 key verbatim.
+    uniqueKeyOverride: Option[String] = None
 ) extends Serializable {
-  def uniqueKey: String =
+  // reference _request.py:291-292: custom unique_key + always_enqueue is a
+  // ValueError at construction
+  require(
+    !(uniqueKeyOverride.isDefined && alwaysEnqueue),
+    "`always_enqueue` cannot be used with a custom `unique_key`"
+  )
+
+  def uniqueKey: String = uniqueKeyOverride.getOrElse(
     UniqueKey.compute(url, method, headers, payload, null, keepUrlFragment = false,
-      useExtendedUniqueKey = useExtendedUniqueKey)
+      useExtendedUniqueKey = useExtendedUniqueKey))
 }
 
 final case class CrawlConfig(
@@ -220,7 +232,12 @@ final case class CrawlConfig(
     // decaying fraction runs both, compares pushed data, and feeds the
     // detection back into the predictor. Engine-only surface (the parity
     // oracle models a static-only crawler).
-    adaptive: Option[graft.ml.AdaptiveCrawl] = None
+    adaptive: Option[graft.ml.AdaptiveCrawl] = None,
+    // C6/C7: salt always_enqueue keys with the reference's crypto-random
+    // 17-char object id instead of the deterministic per-run counter.
+    // Random salts defeat dedup identically but make the run
+    // non-reproducible, so parity tests keep the default off.
+    randomAlwaysEnqueueSalt: Boolean = false
 ) extends Serializable
 
 final case class OracleResult(

@@ -56,6 +56,13 @@ final class FrontierStore(
 
   import FrontierStore._
 
+  /** C6 storage id (reference `crypto_random_object_id` at creation,
+    * persisted in metadata — e.g. _sql/_client_mixin.py:125). Derived
+    * deterministically from the store identity so a re-open yields the
+    * same id without extra persisted state.
+    */
+  val id: String = graft.canon.Ids.deterministicObjectId(s"rq|$root|${name.getOrElse("")}")
+
   private val logDir = s"$root/log"
   private val bloomDir = s"$root/bloom"
   private val manifestPath = Paths.get(s"$root/manifest.json")

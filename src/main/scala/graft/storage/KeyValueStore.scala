@@ -18,6 +18,9 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 final class KeyValueStore(spark: SparkSession, root: String) {
 
+  /** C6 storage id — deterministic from identity (see `Ids`). */
+  val id: String = graft.canon.Ids.deterministicObjectId(s"kvs|$root")
+
   private val manifestPath = Paths.get(s"$root/kv-manifest")
   Files.createDirectories(Paths.get(root))
 

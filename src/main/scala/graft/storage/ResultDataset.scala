@@ -18,6 +18,9 @@ import org.apache.spark.sql.functions._
   */
 final class ResultDataset(spark: SparkSession, root: String) {
 
+  /** C6 storage id — deterministic from identity (see `Ids`). */
+  val id: String = graft.canon.Ids.deterministicObjectId(s"ds|$root")
+
   private val dir = s"$root/data"
   java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
   private var appendCount: Long = currentDf().count()

@@ -107,4 +107,16 @@ class EventsSpec extends SparkSpec {
     val e2 = mkEngine(cfg, batchSize = 1).runRequests(unsalted)
     assert(e2.crawlOrder == o2.crawlOrder)
   }
+
+  test("C6 random salt mode: crypto-random always_enqueue salts still defeat dedup") {
+    val url = s"https://h0.example.com/p/${okIdx(0)}"
+    val salted = Seq(SeedRequest(url, alwaysEnqueue = true), SeedRequest(url, alwaysEnqueue = true))
+    val cfg = CrawlConfig(maxCrawlDepth = 0, randomAlwaysEnqueueSalt = true)
+    val res = mkEngine(cfg, batchSize = 1).runRequests(salted)
+    assert(res.crawlOrder.count(_ == url) == 2)
+    // both keys carry a 17-char alphabet salt prefix, and the salts differ
+    val salts = res.handledOkKeys.toSeq.map(_.split("\\|", 2)(0))
+    assert(salts.size == 2 && salts.distinct.size == 2)
+    assert(salts.forall(s => s.length == 17 && s.forall(graft.canon.Ids.Alphabet.contains(_))))
+  }
 }
