@@ -36,7 +36,9 @@ object Bench {
       "r4_session_binding", "a7_stats_resume", "w3_stream_request_ingest",
       "mm_video_frames", "s10_streamed_fetch",
       // drives a real FrontierStore claim loop since r5 (was inline before)
-      "q4_claim_ordering")
+      "q4_claim_ordering",
+      // drives all four storage backends request-by-request (S11)
+      "s11_backend_parity")
     // Untimed JVM/codegen warm-up: the first timed query otherwise absorbs
     // one-time Catalyst/whole-stage-codegen/classloading cost (~3-4 s) that
     // belongs to the JVM, not the query (r3 bench read a 5-row aggregate at

@@ -124,6 +124,127 @@ object QueryCatalog {
       )
   }
 
+  // ---- C6: object id — deterministic variant (SURVEY §2.2) -----------------
+  // The random form (`Ids.randomObjectId`) is spec-tested (IdsSpec: length/
+  // alphabet/uniqueness); the oracle checks the sha256→alphabet mapping the
+  // deterministic variant and the column form share, recomputed in DuckDB
+  // via hex-nibble arithmetic.
+  private def duckObjectIdSql(hCol: String, length: Int = 17): String =
+    (0 until length).map { i =>
+      val hi = s"(strpos('0123456789abcdef', substr($hCol, ${2 * i + 1}, 1)) - 1)"
+      val lo = s"(strpos('0123456789abcdef', substr($hCol, ${2 * i + 2}, 1)) - 1)"
+      s"substr('${graft.canon.Ids.Alphabet}', ((($hi * 16 + $lo) % 62) + 1), 1)"
+    }.mkString(" || ")
+
+  register(
+    "c6_object_id",
+    Some(
+      s"""SELECT event_id, ${duckObjectIdSql("h")} AS object_id
+         |FROM (SELECT event_id, sha256('id-' || event_id) AS h
+         |      FROM events WHERE event_id % 11 = 0) t""".stripMargin
+    )
+  ) { (s, dir) =>
+    t(s, dir, "events")
+      .filter(pmod(col("event_id"), lit(11)) === 0)
+      .select(
+        col("event_id"),
+        graft.canon.Ids.deterministicObjectIdCol(concat(lit("id-"), col("event_id"))).as("object_id"))
+  }
+
+  // ---- C10: request-id filename hash (SURVEY §2.2) -------------------------
+  // The reference FS/SQL storage clients name each request by
+  // sha256(unique_key)[:15] (_file_system/_request_queue_client.py:832-846);
+  // the column form must bit-match DuckDB's sha256.
+  register(
+    "c10_request_id",
+    Some(
+      """SELECT event_id, substr(sha256('k-' || event_id), 1, 15) AS request_id
+        |FROM events WHERE event_id % 13 = 0""".stripMargin
+    )
+  ) { (s, dir) =>
+    t(s, dir, "events")
+      .filter(pmod(col("event_id"), lit(13)) === 0)
+      .select(
+        col("event_id"),
+        graft.queue.QueueRequest.requestIdCol(concat(lit("k-"), col("event_id"))).as("request_id"))
+  }
+
+  // ---- S11: storage-backend parity (SURVEY §2.1) ---------------------------
+  // One scripted scenario driven through all FOUR RequestQueueClient
+  // backends (memory, file-system, Derby-SQL, FrontierStore adapter):
+  //   batch A (regular):   keys 1..10 new, then in-batch duplicates of 1,2
+  //   batch B (forefront): keys 13..16 new
+  //   batch C (forefront): re-add of pending keys 3 then 7 (repositions)
+  //   then a full fetch+markHandled drain recording fetch_order.
+  // The oracle states the expected dispositions analytically (forefront
+  // LIFO — repositioned last-first, then batch B newest-first — then
+  // regular FIFO) and CROSS JOINs them with the four backend names:
+  // identical rows per backend IS the parity claim.
+  register(
+    "s11_backend_parity",
+    Some(
+      """SELECT b.backend, k.key_id,
+        |  CAST(row_number() OVER (PARTITION BY b.backend ORDER BY
+        |    CASE WHEN k.key_id IN (3,7) THEN 0 WHEN k.key_id >= 13 THEN 1 ELSE 2 END,
+        |    CASE WHEN k.key_id IN (3,7) OR k.key_id >= 13 THEN -k.key_id ELSE k.key_id END
+        |  ) AS INT) AS fetch_order,
+        |  FALSE AS first_add_present,
+        |  CASE WHEN k.key_id <= 2 THEN TRUE ELSE NULL END AS dup_add_present,
+        |  CASE WHEN k.key_id IN (3,7) THEN TRUE ELSE NULL END AS readd_present
+        |FROM (SELECT event_id AS key_id FROM events
+        |      WHERE (event_id BETWEEN 1 AND 10) OR (event_id BETWEEN 13 AND 16)) k
+        |CROSS JOIN (VALUES ('memory'),('fs'),('sql'),('frontier')) b(backend)""".stripMargin
+    )
+  ) { (s, dir) =>
+    import graft.queue._
+    val keyIds = t(s, dir, "events")
+      .filter((col("event_id") >= 1 && col("event_id") <= 10) ||
+        (col("event_id") >= 13 && col("event_id") <= 16))
+      .select(col("event_id").cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    val regular = keyIds.filter(_ <= 10)
+    val forefrontNew = keyIds.filter(_ >= 13)
+    def rq(k: Long) = QueueRequest(s"https://par.example.com/$k", s"https://par.example.com/$k")
+    def keyId(uk: String): Long = uk.substring(uk.lastIndexOf('/') + 1).toLong
+
+    val backends: Seq[(String, RequestQueueClient)] = Seq(
+      "memory" -> new MemoryRequestQueueClient(),
+      "fs" -> new FileSystemRequestQueueClient(tmpDir("s11fs")),
+      "sql" -> new SqlRequestQueueClient(tmpDir("s11sql") + "/db"),
+      "frontier" -> new FrontierQueueClient(new FrontierStore(s, tmpDir("s11fr")))
+    )
+    val rows = backends.flatMap { case (label, c) =>
+      val first = scala.collection.mutable.HashMap.empty[Long, Boolean]
+      val dup = scala.collection.mutable.HashMap.empty[Long, Boolean]
+      val a = c.addBatch(regular.map(rq) ++ Seq(rq(1), rq(2)))
+      a.processed.take(regular.length).foreach(p => first(keyId(p.uniqueKey)) = p.wasAlreadyPresent)
+      a.processed.drop(regular.length).foreach(p => dup(keyId(p.uniqueKey)) = p.wasAlreadyPresent)
+      val b = c.addBatch(forefrontNew.map(rq), forefront = true)
+      b.processed.foreach(p => first(keyId(p.uniqueKey)) = p.wasAlreadyPresent)
+      val readd = scala.collection.mutable.HashMap.empty[Long, Boolean]
+      val cRep = c.addBatch(Seq(rq(3), rq(7)), forefront = true)
+      cRep.processed.foreach(p => readd(keyId(p.uniqueKey)) = p.wasAlreadyPresent)
+      val order = Seq.newBuilder[Long]
+      var next = c.fetchNext()
+      while (next.isDefined) { order += keyId(next.get.uniqueKey); c.markHandled(next.get); next = c.fetchNext() }
+      val out = order.result().zipWithIndex.map { case (k, i) =>
+        org.apache.spark.sql.Row(
+          label, k, i + 1, first(k),
+          dup.get(k).map(java.lang.Boolean.valueOf).orNull,
+          readd.get(k).map(java.lang.Boolean.valueOf).orNull)
+      }
+      c.drop()
+      out
+    }
+    import org.apache.spark.sql.types._
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(Seq(
+        StructField("backend", StringType), StructField("key_id", LongType),
+        StructField("fetch_order", IntegerType), StructField("first_add_present", BooleanType),
+        StructField("dup_add_present", BooleanType), StructField("readd_present", BooleanType))))
+  }
+
   // ---- C9 + F1: scheme gate + same-hostname strategy filter (SURVEY §2.3) --
   // Corpus: every event yields a (origin, target) pair; targets on multiples
   // of 2 share the origin host, multiples of 10 get ftp scheme (rejected).
