@@ -37,8 +37,8 @@ object Bench {
       "mm_video_frames", "s10_streamed_fetch",
       // drives a real FrontierStore claim loop since r5 (was inline before)
       "q4_claim_ordering",
-      // drives all four storage backends request-by-request (S11)
-      "s11_backend_parity")
+      // drive the four storage backends request-by-request / item-by-item (S11)
+      "s11_backend_parity", "s11_dataset_parity")
     // Untimed JVM/codegen warm-up: the first timed query otherwise absorbs
     // one-time Catalyst/whole-stage-codegen/classloading cost (~3-4 s) that
     // belongs to the JVM, not the query (r3 bench read a 5-row aggregate at

@@ -245,6 +245,72 @@ object QueryCatalog {
         StructField("dup_add_present", BooleanType), StructField("readd_present", BooleanType))))
   }
 
+  // ---- S11 (datasets): storage-backend parity for the dataset contract -----
+  // The same scripted corpus (items derived from events 1..30: eid, nullable
+  // tag, a 2-element array, a hidden '#dbg' field on multiples of 4) pushed
+  // through all four DatasetClient backends, then read back through ONE
+  // composed D4-D9 query: unwind(arr) + clean + desc + offset 5 + limit 40.
+  // The oracle recomputes the page analytically and cross-joins the backend
+  // names — identical pages per backend IS the parity claim.
+  register(
+    "s11_dataset_parity",
+    Some(
+      """WITH items AS (
+        |  SELECT e.event_id AS eid,
+        |         CASE WHEN e.event_id % 3 = 0 THEN NULL ELSE 't' || (e.event_id % 5) END AS tag,
+        |         e.event_id + v.idx AS arr,
+        |         v.idx AS idx
+        |  FROM events e CROSS JOIN (VALUES (0),(1)) v(idx)
+        |  WHERE e.event_id BETWEEN 1 AND 30
+        |),
+        |ranked AS (
+        |  SELECT eid, tag, arr, row_number() OVER (ORDER BY eid DESC, idx DESC) AS rn FROM items
+        |),
+        |page AS (SELECT eid, tag, arr FROM ranked WHERE rn > 5 AND rn <= 45)
+        |SELECT b.backend, p.eid, p.tag, p.arr FROM page p
+        |CROSS JOIN (VALUES ('memory'),('fs'),('sql'),('spark')) b(backend)""".stripMargin
+    )
+  ) { (s, dir) =>
+    import graft.storage._
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val eids = t(s, dir, "events")
+      .filter(col("event_id") >= 1 && col("event_id") <= 30)
+      .select(col("event_id").cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    val corpus = eids.map { e =>
+      val tag = if (e % 3 == 0) "null" else s""""t${e % 5}""""
+      val dbg = if (e % 4 == 0) ""","#dbg":"x"""" else ""
+      s"""{"eid":$e,"tag":$tag,"arr":[$e,${e + 1}]$dbg}"""
+    }.toSeq
+    val opts = DatasetReadOptions(unwind = Some("arr"), clean = true, desc = true,
+      offset = 5, limit = 40)
+    val backends: Seq[(String, DatasetClient)] = Seq(
+      "memory" -> new MemoryDatasetClient(),
+      "fs" -> new FileSystemDatasetClient(tmpDir("s11dsfs")),
+      "sql" -> new SqlDatasetClient(tmpDir("s11dssql") + "/db"),
+      "spark" -> new SparkDatasetClient(s, new ResultDataset(s, tmpDir("s11dsspark")))
+    )
+    val rows = backends.flatMap { case (label, c) =>
+      c.pushData(corpus)
+      val out = c.getData(opts).items.map { item =>
+        val j = JsonMethods.parse(item)
+        val eid = (j \ "eid").values.toString.toLong
+        val tag = (j \ "tag") match { case JString(v) => v; case _ => null }
+        val arr = (j \ "arr").values.toString.toLong
+        org.apache.spark.sql.Row(label, eid, tag, arr)
+      }
+      c.drop()
+      out
+    }
+    import org.apache.spark.sql.types._
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(Seq(
+        StructField("backend", StringType), StructField("eid", LongType),
+        StructField("tag", StringType), StructField("arr", LongType))))
+  }
+
   // ---- C9 + F1: scheme gate + same-hostname strategy filter (SURVEY §2.3) --
   // Corpus: every event yields a (origin, target) pair; targets on multiples
   // of 2 share the origin host, multiples of 10 get ftp scheme (rejected).

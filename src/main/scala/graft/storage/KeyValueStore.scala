@@ -44,6 +44,7 @@ final class KeyValueStore(spark: SparkSession, root: String) {
     setValue(key, json.getBytes(StandardCharsets.UTF_8), "application/json")
 
   def getValue(key: String): Option[Array[Byte]] = records.get(key).map(_._2)
+  def getContentType(key: String): Option[String] = records.get(key).map(_._1)
   def getJson(key: String): Option[String] = getValue(key).map(new String(_, StandardCharsets.UTF_8))
   def recordExists(key: String): Boolean = records.contains(key)
   def delete(key: String): Unit = records.remove(key)

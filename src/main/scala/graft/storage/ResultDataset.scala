@@ -88,21 +88,34 @@ final class ResultDataset(spark: SparkSession, root: String) {
       val dataCols = df.columns.filterNot(c => c == "__seq" || c == "__push")
       df = df.filter(dataCols.map(c => col(c).isNotNull).reduce(_ || _))
     }
-    // D7: explode an array field into one item per element
-    opts.unwind.foreach(f => df = df.withColumn(f, explode(col(f))))
+    // D7: explode an array field into one item per element. posexplode keeps
+    // the element index as a pagination tiebreaker: exploded rows share the
+    // parent's (__push, __seq), so without it desc/offset/limit order AMONG
+    // one item's elements would be nondeterministic.
+    opts.unwind.foreach { f =>
+      df = df
+        .select(col("*"), posexplode(col(f)).as(Seq("__pos", "__unwound")))
+        .withColumn(f, col("__unwound"))
+        .drop("__unwound")
+    }
+    val hasPos = opts.unwind.isDefined
     // D8: flatten a struct field into top-level columns
     opts.flatten.foreach { f =>
       val nested = df.select(s"$f.*").columns
       nested.foreach(n => df = df.withColumn(n, col(s"$f.$n")))
       df = df.drop(f)
     }
-    // D3 + D2: insertion-order pagination on the (__push, __seq) pair
-    val orderCols =
+    // D3 + D2: insertion-order pagination on the (__push, __seq[, __pos]) key
+    val baseOrder =
       if (opts.desc) Seq(col("__push").desc, col("__seq").desc)
       else Seq(col("__push").asc, col("__seq").asc)
+    val orderCols =
+      if (hasPos) baseOrder :+ (if (opts.desc) col("__pos").desc else col("__pos").asc)
+      else baseOrder
     df = df.orderBy(orderCols: _*)
     if (opts.offset > 0) df = df.offset(opts.offset.toInt)
     if (opts.limit != Long.MaxValue) df = df.limit(opts.limit.toInt)
+    if (hasPos) df = df.drop("__pos")
     // D5/D6: projection / anti-projection (fields keeps given order)
     if (opts.fields.nonEmpty) df = df.select(opts.fields.map(col): _*)
     else {
@@ -145,4 +158,32 @@ final class ResultDataset(spark: SparkSession, root: String) {
   /** D11: JSON export (array-of-objects stream → JSONL, the columnar form). */
   def exportJson(path: String): Unit =
     getData().coalesce(1).write.mode(SaveMode.Overwrite).json(path)
+
+  /** Remove all items, keep the dataset usable (reference `Dataset.purge`). */
+  def purge(): Unit = synchronized {
+    deleteRecursively(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    appendCount = 0
+    pushCount = 0
+  }
+
+  /** Delete the dataset entirely; the instance resets to an empty usable
+    * store (recreate-on-open, like the queue's drop).
+    */
+  def drop(): Unit = synchronized {
+    purge()
+    deleteRecursively(java.nio.file.Paths.get(root))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.exists(p)) {
+      val stream = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      } finally stream.close()
+    }
+  }
 }
