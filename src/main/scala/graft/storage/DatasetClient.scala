@@ -38,6 +38,56 @@ trait DatasetClient {
     getData(opts).items.iterator
   def purge(): Unit
   def drop(): Unit
+
+  /** Reference `Dataset.export_to` (`storages/_dataset.py:325-373`):
+    * consolidate the whole dataset into ONE record of a key-value store —
+    * `text/csv` or `application/json`. CSV columns follow the D10 rule:
+    * the first non-empty item's keys (later-introduced keys dropped), or
+    * the first-seen union with `collectAllKeys`; nested values are
+    * JSON-stringified (the module's D10 semantic); empty items skipped
+    * (`_utils/file.py:197-245`).
+    */
+  final def exportToKvs(
+      kvs: KeyValueStoreClient,
+      key: String,
+      contentType: String = "json",
+      collectAllKeys: Boolean = false
+  ): Unit = {
+    val parsed = getData().items.map(JsonMethods.parse(_))
+    contentType match {
+      case "json" =>
+        kvs.setValue(key, JsonMethods.compact(JArray(parsed.toList))
+          .getBytes(StandardCharsets.UTF_8), "application/json")
+      case "csv" =>
+        val objs = parsed.collect { case JObject(fs) if fs.nonEmpty => fs }
+        val columns: Seq[String] =
+          if (collectAllKeys) objs.flatMap(_.map(_._1)).distinct
+          else objs.headOption.map(_.map(_._1)).getOrElse(Nil)
+        def cell(v: JValue): String = {
+          val raw = v match {
+            case JNull | JNothing => ""
+            case JString(s) => s
+            case o: JObject => JsonMethods.compact(o)
+            case a: JArray => JsonMethods.compact(a)
+            case other => other.values.toString
+          }
+          if (raw.contains(",") || raw.contains("\"") || raw.contains("\n"))
+            "\"" + raw.replace("\"", "\"\"") + "\""
+          else raw
+        }
+        val sb = new StringBuilder
+        if (columns.nonEmpty) {
+          sb.append(columns.map(c => cell(JString(c))).mkString(",")).append('\n')
+          objs.foreach { fs =>
+            sb.append(columns.map(c =>
+              cell(fs.find(_._1 == c).map(_._2).getOrElse(JNothing))).mkString(",")).append('\n')
+          }
+        }
+        kvs.setValue(key, sb.toString.getBytes(StandardCharsets.UTF_8), "text/csv")
+      case other =>
+        throw new IllegalArgumentException(s"Unsupported content type, expecting CSV or JSON: $other")
+    }
+  }
 }
 
 final case class DatasetReadOptions(
@@ -452,14 +502,34 @@ final class SparkDatasetClient(
     touch(modified = true)
   }
 
+  /** Row → JSON with EXPLICIT nulls (DataFrame.toJSON omits null fields;
+    * the contract keeps them, like the local backends and the reference's
+    * dict items — an all-None item must stay a non-empty item).
+    */
+  private def valueToJson(v: Any): JValue = v match {
+    case null => JNull
+    case r: org.apache.spark.sql.Row =>
+      JObject(r.schema.fields.toList.zipWithIndex.map { case (f, i) => f.name -> valueToJson(r.get(i)) })
+    case s: collection.Seq[_] => JArray(s.toList.map(valueToJson))
+    case m: collection.Map[_, _] => JObject(m.toList.map { case (k, x) => k.toString -> valueToJson(x) })
+    case s: String => JString(s)
+    case b: Boolean => JBool(b)
+    case i: Int => JInt(BigInt(i))
+    case l: Long => JInt(BigInt(l))
+    case d: Double => JDouble(d)
+    case f: Float => JDouble(f.toDouble)
+    case d: java.math.BigDecimal => JDecimal(BigDecimal(d))
+    case b: Array[Byte] => JString(java.util.Base64.getEncoder.encodeToString(b))
+    case other => JString(other.toString)
+  }
+
   override def getData(opts: DatasetReadOptions): DatasetPage = {
     val o = store.GetDataOptions(
       offset = opts.offset, limit = opts.limit, desc = opts.desc,
       fields = opts.fields, omit = opts.omit, unwind = opts.unwind,
       flatten = opts.flatten, skipEmpty = opts.skipEmpty,
       skipHidden = opts.skipHidden, clean = opts.clean)
-    val df = store.getData(o)
-    val items = df.toJSON.collect().toSeq
+    val items = store.getData(o).collect().toSeq.map(r => JsonMethods.compact(valueToJson(r)))
     val total = store.getData(store.GetDataOptions(
       desc = opts.desc, fields = opts.fields, omit = opts.omit, unwind = opts.unwind,
       flatten = opts.flatten, skipEmpty = opts.skipEmpty,

@@ -35,8 +35,15 @@ final class ResultDataset(spark: SparkSession, root: String) {
     else 0L
   }
 
+  /** Schema evolves across pushes (reference datasets are schemaless JSON
+    * lines — a later push may introduce or omit fields). Without
+    * `mergeSchema` the parquet reader takes ONE file footer's schema and
+    * silently drops columns absent from it; merging unions all footers.
+    * Footer-merge cost is per-FILE metadata, not data — fine even at
+    * 10^6 files — and only paid on read, never on the append-only push.
+    */
   private def currentDf(): DataFrame =
-    try spark.read.parquet(dir)
+    try spark.read.option("mergeSchema", "true").parquet(dir)
     catch { case _: Exception => spark.emptyDataFrame }
 
   /** D1: append; items are immutable once pushed. Insertion order is the

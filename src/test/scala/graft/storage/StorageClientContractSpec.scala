@@ -204,6 +204,29 @@ class StorageClientContractSpec extends SparkSpec {
     pages.tail.foreach { case (label, p) => assert(p == expected, s"$label != ${pages.head._1}") }
   }
 
+  test("dataset: exportToKvs writes one consolidated CSV/JSON record (reference export_to)") {
+    for ((label, c) <- freshDatasetBackends()) {
+      val kvs = new MemoryKeyValueStoreClient()
+      c.pushData(corpus)
+      c.exportToKvs(kvs, "out.json", "json")
+      val js = kvs.getValue("out.json").get
+      assert(js.contentType == "application/json", label)
+      val arr = JsonMethods.parse(js.asString).asInstanceOf[JArray].arr
+      assert(arr.length == 5, label)
+      c.exportToKvs(kvs, "out.csv", "csv")
+      val csv = kvs.getValue("out.csv").get
+      assert(csv.contentType == "text/csv", label)
+      val lines = csv.asString.split("\n")
+      // first-item columns; 4 non-empty items (the all-null item still has
+      // fields, so it serializes as empty cells — only the truly empty
+      // object is skipped, none here)
+      assert(lines.head.split(",").toSet.contains("name"), label)
+      assert(lines.length == 6, s"$label: header + 5 rows, got ${lines.length}")
+      intercept[IllegalArgumentException](c.exportToKvs(kvs, "x", "xml"))
+      c.drop()
+    }
+  }
+
   test("dataset: purge keeps storage usable; FS restart continues numbering") {
     for ((label, c) <- freshDatasetBackends()) {
       c.pushData(corpus.take(2))
