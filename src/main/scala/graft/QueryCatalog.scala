@@ -2220,6 +2220,34 @@ object QueryCatalog {
       .orderBy(col("id"), col("frame_idx"))
   }
 
+  // pHash near-duplicate IMAGE pairs: the Spark side decodes the raw
+  // near-dup corpus bytes distributed (3 variants per base image), hashes
+  // the pixels, and runs the BANDED candidate join (pigeonhole-exact for
+  // Hamming ≤ 3); the oracle recomputes the pair enumeration by brute
+  // O(n²) cross join over the fixture-exported phashes — independent of
+  // the banding algorithm under test, so the row checks the banding's
+  // exact recall end-to-end.
+  register(
+    "mm_phash_near_dup",
+    Some(
+      """WITH ph AS (
+        |  SELECT id, phash FROM read_parquet('/tmp/graft_phash_neardup/f_96/*.parquet')
+        |)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+        |FROM ph a JOIN ph b ON a.id < b.id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin
+    )
+  ) { (s, _) =>
+    graft.fixtures.Images.exportNearDupPhashes(s, 96)
+    val feats = graft.ops.Multimodal
+      .imageFeatures(graft.ops.Multimodal.syntheticNearDupTable(s, 96))
+      .toDF()
+    graft.ops.Multimodal.phashNearDupPairs(feats, maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ---- S3: sitemap XML parse (the flatMap generator over documents) --------
   // XML bodies synthesized from events; the oracle knows the loc list
   // analytically. The Spark side runs the real SAX parser.

@@ -255,4 +255,65 @@ object Images {
     case 4 => (false, "dims")
     case _ => (false, "quality")
   }
+
+  // ---- near-duplicate corpus (pHash near-dup operator fixtures) -------------
+
+  /** Deterministic NEAR-DUPLICATE image corpus: 3 variants per base image —
+    * v0 the PNG original, v1 a JPEG re-encode at quality 0.80, v2 a
+    * one-downsample-cell luma perturbation — so within-base pairs land a
+    * few pHash bits apart (avg-hash is robust to mild lossy re-encoding,
+    * and the cell perturb flips ~1 bit) while cross-base pairs sit near the
+    * random-hash expectation (~32 bits). Pure function of i.
+    */
+  def nearDupIdOf(i: Long): String = f"nd-${i / 3}%06d-${i % 3}"
+
+  def nearDupBytesAt(i: Long): Array[Byte] = {
+    val baseId = idOf(i / 3)
+    val (w, h) = dims(baseId)
+    val img = renderPixels(baseId, w, h)
+    (i % 3) match {
+      case 0 => encode(img, "png")
+      case 1 => encodeJpeg(img, 0.80f)
+      case _ =>
+        // brighten the pixels feeding phash cell (0,0) — the 8x8 downsample
+        // averages x < w/8, y < h/8 — enough to push that cell across the
+        // global mean without moving other cells' comparisons
+        var y = 0
+        while (y < math.max(1, h / 8)) {
+          var x = 0
+          while (x < math.max(1, w / 8)) {
+            val rgb = img.getRGB(x, y)
+            def up(c: Int): Int = math.min(255, c + 70)
+            img.setRGB(x, y,
+              (up((rgb >> 16) & 0xff) << 16) | (up((rgb >> 8) & 0xff) << 8) | up(rgb & 0xff))
+            x += 1
+          }
+          y += 1
+        }
+        encode(img, "png")
+    }
+  }
+
+  /** Oracle side-channel (same pattern as [[exportExpectedFeatures]]): the
+    * near-dup corpus's per-image pHash over the decoded variant bytes. The
+    * SQL oracle recomputes the PAIR ENUMERATION from these exports by brute
+    * O(n²) cross join — independent of the banded candidate generation the
+    * Spark operator uses — so the entry checks the banding's exact recall.
+    */
+  val NearDupExportBase = "/tmp/graft_phash_neardup"
+  private val exportedNearDup = scala.collection.mutable.Set.empty[String]
+
+  def exportNearDupPhashes(spark: org.apache.spark.sql.SparkSession, n: Int): String =
+    synchronized {
+      val path = s"$NearDupExportBase/f_$n"
+      if (!exportedNearDup.contains(path)) {
+        import spark.implicits._
+        (0 until n).map(i => (nearDupIdOf(i.toLong), phash(decode(nearDupBytesAt(i.toLong)))))
+          .toDF("id", "phash")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(path)
+        exportedNearDup += path
+      }
+      path
+    }
 }

@@ -153,4 +153,81 @@ object Multimodal {
   /** Boolean-only form of [[validatePayloadVerdict]]. */
   def validatePayload(spark: org.apache.spark.sql.SparkSession, images: DataFrame): DataFrame =
     validatePayloadVerdict(spark, images).select(col("image_id"), col("valid"))
+
+  /** Wrap the deterministic near-dup fixture as a media table of `n` rows
+    * (3 variants per base image — see `Images.nearDupBytesAt`).
+    */
+  def syntheticNearDupTable(spark: org.apache.spark.sql.SparkSession, n: Long): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val (w, h) = Images.dims(Images.idOf(i / 3))
+      val fmt = if (i % 3 == 1) "jpeg" else "png"
+      MediaRow(Images.nearDupIdOf(i), Images.nearDupBytesAt(i), MediaMeta("image", w, h, fmt, 0L))
+    }
+  }
+
+  /** Near-duplicate IMAGE pairs by perceptual-hash Hamming distance ≤
+    * `maxHamming` — banded candidate generation with EXACT recall: the
+    * 64-bit pHash is cut into `maxHamming + 1` disjoint contiguous bands,
+    * so by pigeonhole any two hashes within Hamming distance `maxHamming`
+    * agree EXACTLY on at least one band; candidates are the equi-join on
+    * (band, band bits) and the cheap xor/popcount re-rank restores the
+    * precise distance. Never all-pairs: the shuffle is bounded by band
+    * buckets (same candidate-generation shape as the MinHash banding in
+    * `TextOps`), and pairs sharing several bands are deduped AFTER the
+    * distance filter so non-matching candidates never reach the distinct's
+    * exchange. A pathologically common band signature (e.g. a flat-bright
+    * corpus) makes a hot bucket — AQE's skew-join split keeps partitions
+    * bounded and the result stays exact.
+    *
+    * Output: (id_a, id_b, hamming) with id_a < id_b.
+    */
+  def phashNearDupPairs(
+      features: DataFrame,
+      maxHamming: Int,
+      idCol: String = "id",
+      phashCol: String = "phash"
+  ): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming out of range: $maxHamming")
+    val bands = maxHamming + 1
+    val bounds = (0 to bands).map(b => b * 64 / bands)
+    val bandCols = (0 until bands).map { b =>
+      val lo = bounds(b)
+      val width = bounds(b + 1) - lo
+      // arithmetic shift + mask == logical shift for width ≤ 64 - lo
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      struct(lit(b).as("band"), shiftright(col("ph"), lo).bitwiseAND(lit(mask)).as("sig"))
+    }
+    val banded = features
+      .select(col(idCol).cast("string").as("id"), col(phashCol).cast("long").as("ph"))
+      .select(col("id"), col("ph"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("ph"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    banded
+      .join(
+        banded.select(col("id").as("id_b"), col("ph").as("ph_b"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .filter(col("id") < col("id_b"))
+      .withColumn("hamming", bit_count(col("ph").bitwiseXOR(col("ph_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id").as("id_a"), col("id_b"), col("hamming"))
+      .distinct()
+  }
+
+  /** Exactness baseline for [[phashNearDupPairs]]: brute-force all-pairs.
+    * O(n²) — tests and tiny corpora only.
+    */
+  def phashNearDupPairsBrute(
+      features: DataFrame,
+      maxHamming: Int,
+      idCol: String = "id",
+      phashCol: String = "phash"
+  ): DataFrame = {
+    val f = features.select(col(idCol).cast("string").as("id"), col(phashCol).cast("long").as("ph"))
+    f.crossJoin(f.select(col("id").as("id_b"), col("ph").as("ph_b")))
+      .filter(col("id") < col("id_b"))
+      .withColumn("hamming", bit_count(col("ph").bitwiseXOR(col("ph_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id").as("id_a"), col("id_b"), col("hamming"))
+  }
 }

@@ -120,6 +120,34 @@ class OpsSpec extends SparkSpec {
       again.map(f => (f.id, f.frame_idx, f.frame_phash)).toSet)
   }
 
+  test("multimodal: banded pHash near-dup equals brute force exactly (pigeonhole recall)") {
+    val feats = Multimodal.imageFeatures(Multimodal.syntheticNearDupTable(spark, 120)).toDF()
+      .persist()
+    try {
+      for (d <- Seq(0, 3, 7)) {
+        val banded = Multimodal.phashNearDupPairs(feats, d)
+          .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+        val brute = Multimodal.phashNearDupPairsBrute(feats, d)
+          .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+        assert(banded == brute, s"banded != brute at maxHamming=$d")
+      }
+      // the corpus actually exercises the operator: variants of the same
+      // base land within a few bits while cross-base pairs stay far
+      val pairs = Multimodal.phashNearDupPairs(feats, 3).collect()
+      assert(pairs.nonEmpty, "near-dup corpus produced no close pairs")
+      assert(pairs.forall { r =>
+        r.getString(0).substring(3, 9) == r.getString(1).substring(3, 9)
+      }, "a cross-base pair landed within Hamming 3 — corpus not separating")
+    } finally feats.unpersist()
+  }
+
+  test("banded pHash near-dup candidate generation is subquadratic (band-bucket join)") {
+    val feats = Multimodal.imageFeatures(Multimodal.syntheticNearDupTable(spark, 24)).toDF()
+    val plan = Multimodal.phashNearDupPairs(feats, 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "pHash near-dup must not cross-join the corpus")
+  }
+
   test("exact dedup detects injected duplicates") {
     import spark.implicits._
     val withDups = docs.select(col("doc_id"), col("text"))
