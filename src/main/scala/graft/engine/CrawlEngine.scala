@@ -185,7 +185,18 @@ final class CrawlEngine(
         }.toMap
       }
     val statusFn = statusAtFn
-    val statusUdf = udf { (url: String, attempt: Int) => statusFn(url, attempt) }
+    // R7: with a request-handler timeout configured, every per-request
+    // fetch/handler call races a wall-clock deadline (TimeBoxed); a timeout
+    // yields the sentinel status classified RETRYABLE below. Default path
+    // is the direct call — zero extra machinery.
+    val statusUdf = cfg.requestHandlerTimeoutMs match {
+      case Some(t) =>
+        udf { (url: String, attempt: Int) =>
+          TimeBoxed.run(t) { statusFn(url, attempt) }
+            .getOrElse(CrawlEngine.StatusHandlerTimeout)
+        }
+      case None => udf { (url: String, attempt: Int) => statusFn(url, attempt) }
+    }
     val raFn = retryAfterFn
     val retryAfterUdf = udf { (url: String, attempt: Int) => raFn(url, attempt).getOrElse(-1) }
 
@@ -660,7 +671,13 @@ final class CrawlEngine(
         }
         def digestBody(df: DataFrame): DataFrame = df
           .withColumn("is_blocked",
-            if (cfg.detectBlocked) blockedUdf(col("eff_status"), col("p_body")) else lit(false))
+            // R7: a timed-out dispatch is a timeout error, never a session
+            // block (the handler never completed; reference raises the
+            // TimeoutError before any blocked-content check can run)
+            if (cfg.detectBlocked)
+              col("eff_status") =!= CrawlEngine.StatusHandlerTimeout &&
+                blockedUdf(col("eff_status"), col("p_body"))
+            else lit(false))
           .withColumn("base_href",
             when(col("eff_status") === 200, regexp_extract(col("p_body"), BaseHrefPattern, 1))
               .otherwise(lit("")))
@@ -725,7 +742,8 @@ final class CrawlEngine(
         val rotateExhausted = blockedRows.filter(col("rotation_count") >= cfg.maxSessionRotations)
         val classified = unioned.filter(!isBlockedRow)
 
-        val isRetryableStatus = col("eff_status") === 429 || col("eff_status") >= 500
+        val isRetryableStatus = col("eff_status") === 429 || col("eff_status") >= 500 ||
+          col("eff_status") === CrawlEngine.StatusHandlerTimeout // R7: timeout is retryable
         val retryAllowed =
           !col("no_retry") && col("retry_count") < coalesce(col("max_retries"), lit(cfg.maxRetries))
         val ok200 = classified.filter(col("eff_status") === 200)
@@ -787,6 +805,11 @@ final class CrawlEngine(
             val st = r.getInt(1)
             val (msg, loc) =
               if (r.getBoolean(2)) ("session blocked by target site", "CrawlEngine.scala:blocked")
+              else if (st == CrawlEngine.StatusHandlerTimeout)
+                // reference _request_handler_timeout_text + total_seconds()
+                // (_basic_crawler.py:275,1593-1595)
+                (s"Request handler timed out after ${cfg.requestHandlerTimeoutMs.get / 1000.0} seconds",
+                  "CrawlEngine.scala:timeout")
               else if (st == 429) (s"HTTP $st too many requests", "CrawlEngine.scala:retryable")
               else if (st >= 500) (s"HTTP $st server error", "CrawlEngine.scala:retryable")
               else (s"HTTP $st client error", "CrawlEngine.scala:client")
@@ -1388,6 +1411,14 @@ final class CrawlEngine(
 }
 
 object CrawlEngine {
+
+  /** R7: sentinel `eff_status` for a request whose time-boxed fetch/handler
+    * call exceeded `CrawlConfig.requestHandlerTimeoutMs`. Deliberately not a
+    * plausible HTTP status — the reference models the timeout as an ERROR,
+    * not a response (_basic_crawler.py:1587-1598) — and classified
+    * retryable, so it rides the standard R1 retry/exhaustion machinery.
+    */
+  val StatusHandlerTimeout: Int = -597
 
   /** X4: tasks dispatchable in one batch period under a per-minute rate cap
     * (shared by the engine loop and the x4 catalog oracle entry).

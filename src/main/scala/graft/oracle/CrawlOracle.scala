@@ -237,7 +237,14 @@ final case class CrawlConfig(
     // 17-char object id instead of the deterministic per-run counter.
     // Random salts defeat dedup identically but make the run
     // non-reproducible, so parity tests keep the default off.
-    randomAlwaysEnqueueSalt: Boolean = false
+    randomAlwaysEnqueueSalt: Boolean = false,
+    // R7 request_handler_timeout (_basic_crawler.py:298,1587-1598): bound
+    // each request's pluggable fetch/handler call by a wall-clock deadline;
+    // a timed-out request fails with the reference's "Request handler timed
+    // out after N seconds" error, which is RETRYABLE (consumes a retry,
+    // then the normal R1 exhaustion path). None (the default) = unbounded,
+    // and the fetch UDF stays the direct zero-overhead call.
+    requestHandlerTimeoutMs: Option[Long] = None
 ) extends Serializable
 
 final case class OracleResult(
