@@ -1736,6 +1736,124 @@ object QueryCatalog {
     )
   ) { (s, dir) => TextOps.fingerprints(t(s, dir, "documents"), "doc_id", "text", 8) }
 
+  // PII redaction: deterministic PII (email/IPv4/phone/card, varying by
+  // doc_id) is injected into the documents IDENTICALLY on both sides, then
+  // the Spark side runs TextOps.piiRedact (the ordered regexp_replace
+  // chain) while the oracle replays the same RE2-safe chain in DuckDB —
+  // redacted text AND per-class counts (counted with the
+  // sequential-consumption semantics) are hash-compared.
+  register(
+    "td_pii_redact",
+    Some(
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text
+        |         ELSE text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |              || '@example.com or visit 10.' || CAST(doc_id % 200 AS VARCHAR)
+        |              || '.3.7 call 555-123-4567 card 4111111111111111 now' END AS t
+        |  FROM documents),
+        |r1 AS (SELECT doc_id, t,
+        |  regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1 FROM base),
+        |r2 AS (SELECT *, regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2 FROM r1),
+        |r3 AS (SELECT *, regexp_replace(t2, '\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b', '<PHONE>', 'g') AS t3 FROM r2),
+        |r4 AS (SELECT *, regexp_replace(t3, '\b\d{13,16}\b', '<CARD>', 'g') AS t4 FROM r3)
+        |SELECT doc_id, t4 AS redacted_text,
+        |  len(regexp_extract_all(t,  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+        |  len(regexp_extract_all(t2, '\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b')) AS n_phone,
+        |  len(regexp_extract_all(t3, '\b\d{13,16}\b')) AS n_card
+        |FROM r4""".stripMargin
+    )
+  ) { (s, dir) =>
+    val injected = concat(
+      col("text"), lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or visit 10."), pmod(col("doc_id"), lit(200)).cast("string"),
+      lit(".3.7 call 555-123-4567 card 4111111111111111 now"))
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0, col("text")).otherwise(injected).as("t"))
+    TextOps.piiRedact(docs, "doc_id", "t")
+  }
+
+  // Gopher/C4 quality filtering: degenerate features (symbol floods, lorem
+  // ipsum, braces, bullet/ellipsis line blocks, numeric floods, pathological
+  // word lengths, too-short docs) are injected by doc_id IDENTICALLY on both
+  // sides; the oracle recomputes every rule ratio and the keep verdict in
+  // DuckDB list/regex SQL.
+  register(
+    "td_quality_filter",
+    Some(
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 23 = 0 THEN repeat('pneumonoultramicroscopicsilicovolcanoconiosis ', 60)
+        |         WHEN doc_id % 29 = 0 THEN 'too short doc'
+        |         ELSE text
+        |           || CASE WHEN doc_id % 5 = 0 THEN ' ' || repeat('# ', 30) ELSE '' END
+        |           || CASE WHEN doc_id % 7 = 0 THEN ' lorem ipsum dolor' ELSE '' END
+        |           || CASE WHEN doc_id % 11 = 0 THEN ' { config }' ELSE '' END
+        |           || CASE WHEN doc_id % 13 = 0 THEN repeat(chr(10) || '- bullet item', 8) ELSE '' END
+        |           || CASE WHEN doc_id % 17 = 0 THEN repeat(chr(10) || 'and then more...', 9) ELSE '' END
+        |           || CASE WHEN doc_id % 19 = 0 THEN ' ' || repeat('12345 ', 150) ELSE '' END
+        |    END AS t
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, t,
+        |    regexp_split_to_array(trim(t), '\s+') AS words,
+        |    string_split(t, chr(10)) AS lines
+        |  FROM base),
+        |f AS (
+        |  SELECT doc_id,
+        |    len(words) AS n_words,
+        |    CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+        |      / greatest(len(words), 1) AS mean_word_len,
+        |    CAST(len(regexp_extract_all(t, '#')) + len(regexp_extract_all(t, '\.\.\.')) AS DOUBLE)
+        |      / greatest(len(words), 1) AS symbol_ratio,
+        |    CAST(len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+        |      / greatest(len(words), 1) AS alpha_word_ratio,
+        |    CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+        |      / greatest(len(lines), 1) AS bullet_line_ratio,
+        |    CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS DOUBLE)
+        |      / greatest(len(lines), 1) AS ellipsis_line_ratio,
+        |    NOT contains(lower(t), 'lorem ipsum') AS ok_no_lorem,
+        |    NOT contains(t, '{') AS ok_no_brace
+        |  FROM m)
+        |SELECT doc_id, n_words,
+        |  round(mean_word_len, 6) AS mean_word_len,
+        |  round(symbol_ratio, 6) AS symbol_ratio,
+        |  round(alpha_word_ratio, 6) AS alpha_word_ratio,
+        |  round(bullet_line_ratio, 6) AS bullet_line_ratio,
+        |  round(ellipsis_line_ratio, 6) AS ellipsis_line_ratio,
+        |  (n_words >= 50 AND n_words <= 100000) AS ok_words,
+        |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_mean_word_len,
+        |  (symbol_ratio <= 0.1) AS ok_symbol_ratio,
+        |  (alpha_word_ratio >= 0.8) AS ok_alpha_ratio,
+        |  (bullet_line_ratio <= 0.1) AS ok_bullet_lines,
+        |  (ellipsis_line_ratio <= 0.3) AS ok_ellipsis_lines,
+        |  ok_no_lorem, ok_no_brace,
+        |  ((n_words >= 50 AND n_words <= 100000)
+        |    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        |    AND symbol_ratio <= 0.1 AND alpha_word_ratio >= 0.8
+        |    AND bullet_line_ratio <= 0.1 AND ellipsis_line_ratio <= 0.3
+        |    AND ok_no_lorem AND ok_no_brace) AS keep
+        |FROM f""".stripMargin
+    )
+  ) { (s, dir) =>
+    val decorated =
+      when(pmod(col("doc_id"), lit(23)) === 0,
+        repeat(lit("pneumonoultramicroscopicsilicovolcanoconiosis "), 60))
+      .when(pmod(col("doc_id"), lit(29)) === 0, lit("too short doc"))
+      .otherwise(concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(5)) === 0, concat(lit(" "), repeat(lit("# "), 30))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit(" lorem ipsum dolor")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 0, lit(" { config }")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(13)) === 0, repeat(lit("\n- bullet item"), 8)).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(17)) === 0, repeat(lit("\nand then more..."), 9)).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(19)) === 0, concat(lit(" "), repeat(lit("12345 "), 150))).otherwise(lit(""))))
+    val docs = t(s, dir, "documents").select(col("doc_id"), decorated.as("t"))
+    TextOps.qualityFilter(docs, "doc_id", "t")
+  }
+
   // ---- HTML→text extraction (reference _parsel/_utils.py:16-76) ------------
   // Oracle side-channel: the deterministic HTML corpus is generated from a
   // document TREE and exported with the tree-walk expected text

@@ -279,4 +279,137 @@ object TextOps {
         max(md5(col("shingle"))).as("fp_max"),
         count(lit(1)).as("n_shingles")
       )
+
+  // --- PII redaction ----------------------------------------------------------
+
+  /** PII patterns, applied in a FIXED order (earlier rules consume their
+    * matches before later ones see the text): email, IPv4, separator phone,
+    * then long bare digit runs (card-shaped). RE2-safe — character classes,
+    * bounded repeats and ASCII `\b` only, no lookarounds — so a DuckDB
+    * oracle replays the identical chain.
+    */
+  val PiiRules: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\b\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}\\b", "<PHONE>"),
+    ("card", "\\b\\d{13,16}\\b", "<CARD>")
+  )
+
+  /** PII redaction: replace emails / IPv4s / phone numbers / card-shaped
+    * digit runs with typed placeholders and count each class on the
+    * ORIGINAL text. Pure per-row `regexp_replace` chain — no shuffle, fully
+    * whole-stage-codegen'd; the 100 TB plan is a map-only scan.
+    * Output: (id, redacted_text, n_email, n_ip, n_phone, n_card).
+    */
+  def piiRedact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val redacted = PiiRules.foldLeft(col(textCol)) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+    // counts run the SAME sequential-consumption semantics as the redaction
+    // (an email's host segment must not also count as a bare digit run), so
+    // each class counts matches on the text with all EARLIER rules applied
+    val counts = PiiRules.zipWithIndex.map { case ((name, pat, _), i) =>
+      val pre = PiiRules.take(i).foldLeft(col(textCol)) { case (c, (_, p, r)) =>
+        regexp_replace(c, p, r)
+      }
+      size(regexp_extract_all(pre, lit(pat), lit(0))).as(s"n_$name")
+    }
+    df.select(col(idCol) +: redacted.as("redacted_text") +: counts: _*)
+  }
+
+  // --- C4 / Gopher quality filtering -------------------------------------------
+
+  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep lines
+    * that end in terminal punctuation, carry at least `minLineWords` words,
+    * and don't contain the boilerplate markers ("javascript", "cookie
+    * policy"); a document whose text contains "lorem ipsum" or "{" is
+    * dropped wholesale (cleaned_text = null). Pure per-row array ops.
+    * Output: (id, cleaned_text, n_lines, n_kept_lines).
+    */
+  def c4LineClean(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLineWords: Int = 3): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l => {
+      val t = trim(l)
+      t.rlike("[.!?\"']$") &&
+        size(split(t, "\\s+")) >= minLineWords &&
+        !lower(t).contains("javascript") &&
+        !lower(t).contains("cookie policy")
+    })
+    val docDropped = lower(col(textCol)).contains("lorem ipsum") || col(textCol).contains("{")
+    df.select(
+      col(idCol),
+      when(docDropped, lit(null).cast("string"))
+        .otherwise(concat_ws("\n", kept)).as("cleaned_text"),
+      size(lines).as("n_lines"),
+      when(docDropped, lit(0)).otherwise(size(kept)).as("n_kept_lines")
+    )
+  }
+
+  /** Gopher-style document-level quality rules (Rae et al. 2021 table A1,
+    * simplified): word-count bounds, mean word length bounds, symbol-to-word
+    * ratio, alphabetic-word ratio, bullet-start / ellipsis-end line ratios,
+    * plus C4's lorem-ipsum / curly-brace document drops. Every rule is its
+    * own boolean column; `keep` is their conjunction. Pure per-row
+    * expressions — map-only at any scale.
+    */
+  def qualityFilter(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      minAlphaWordRatio: Double = 0.8,
+      maxBulletLineRatio: Double = 0.1,
+      maxEllipsisLineRatio: Double = 0.3): DataFrame = {
+    val words = split(trim(col(textCol)), "\\s+")
+    val nWords = size(words)
+    val nWordsD = greatest(nWords, lit(1)).cast("double")
+    val meanWordLen =
+      aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") / nWordsD
+    val symbolRatio =
+      (size(regexp_extract_all(col(textCol), lit("#"), lit(0))) +
+        size(regexp_extract_all(col(textCol), lit("\\.\\.\\."), lit(0)))).cast("double") / nWordsD
+    val alphaRatio =
+      size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("double") / nWordsD
+    val lines = split(col(textCol), "\n")
+    val nLinesD = greatest(size(lines), lit(1)).cast("double")
+    val bulletRatio =
+      size(filter(lines, l => trim(l).rlike("^[-*•]"))).cast("double") / nLinesD
+    val ellipsisRatio =
+      size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") / nLinesD
+    val okWords = nWords >= minWords && nWords <= maxWords
+    val okMeanLen = meanWordLen >= minMeanWordLen && meanWordLen <= maxMeanWordLen
+    val okSymbol = symbolRatio <= maxSymbolRatio
+    val okAlpha = alphaRatio >= minAlphaWordRatio
+    val okBullet = bulletRatio <= maxBulletLineRatio
+    val okEllipsis = ellipsisRatio <= maxEllipsisLineRatio
+    val okLorem = !lower(col(textCol)).contains("lorem ipsum")
+    val okBrace = !col(textCol).contains("{")
+    df.select(
+      col(idCol),
+      nWords.as("n_words"),
+      round(meanWordLen, 6).as("mean_word_len"),
+      round(symbolRatio, 6).as("symbol_ratio"),
+      round(alphaRatio, 6).as("alpha_word_ratio"),
+      round(bulletRatio, 6).as("bullet_line_ratio"),
+      round(ellipsisRatio, 6).as("ellipsis_line_ratio"),
+      okWords.as("ok_words"),
+      okMeanLen.as("ok_mean_word_len"),
+      okSymbol.as("ok_symbol_ratio"),
+      okAlpha.as("ok_alpha_ratio"),
+      okBullet.as("ok_bullet_lines"),
+      okEllipsis.as("ok_ellipsis_lines"),
+      okLorem.as("ok_no_lorem"),
+      okBrace.as("ok_no_brace"),
+      (okWords && okMeanLen && okSymbol && okAlpha && okBullet && okEllipsis &&
+        okLorem && okBrace).as("keep")
+    )
+  }
 }
