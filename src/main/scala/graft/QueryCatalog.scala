@@ -1591,7 +1591,9 @@ object QueryCatalog {
     Some(
       s"""WITH ${shinglesSql(3)},
          |mh AS (
-         |  SELECT doc_id, i AS hash_idx, min(md5(i || ':' || shingle)) AS minhash
+         |  SELECT doc_id, i AS hash_idx,
+         |         min(CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+         |             + i * CAST(concat('0x', substr(md5(shingle), 17, 14)) AS BIGINT)) AS minhash
          |  FROM sh, LATERAL generate_series(0, 15) t(i)
          |  GROUP BY doc_id, i
          |),
