@@ -30,8 +30,14 @@ object TextOps {
     * window (no UDF).
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val words = split(col(textCol), " ")
-    df.select(
+    // Split ONCE into a projected column: higher-order functions are
+    // interpreted (CodegenFallback), so a split() embedded in the transform
+    // lambda would re-tokenize the whole text per shingle position —
+    // O(words^2) per document. As a column consumed twice (size bound +
+    // lambda body) the split survives CollapseProject and runs once per row.
+    val words = col("__words")
+    df.select(col(idCol), split(col(textCol), " ").as("__words"))
+      .select(
         col(idCol),
         explode(
           array_distinct(
