@@ -255,20 +255,23 @@ object TextOps {
     * the C4/Gopher-style per-document features. All codegen'd expressions.
     */
   def qualityFeatures(df: DataFrame, idCol: String, textCol: String, stopwords: Seq[String]): DataFrame = {
-    val words = split(col(textCol), " ")
+    // tokenize ONCE: `__words` has many consumers below, so CollapseProject
+    // keeps the split in its own Project (see the HOF-lambda rule in SCALE.md)
+    val words = col("__words")
     val nTokens = size(words)
     val stopArr = array(stopwords.map(lit): _*)
-    df.select(
-      col(idCol),
-      length(col(textCol)).as("n_chars"),
-      nTokens.as("n_tokens"),
-      (length(col(textCol)) / greatest(nTokens, lit(1))).as("mean_token_len"),
-      (size(filter(words, w => array_contains(stopArr, w))) / greatest(nTokens, lit(1)).cast("double"))
-        .as("stopword_ratio"),
-      (length(regexp_replace(col(textCol), "[a-zA-Z0-9 ]", "")) / greatest(length(col(textCol)), lit(1)).cast("double"))
-        .as("punct_ratio"),
-      (size(array_distinct(words)) / greatest(nTokens, lit(1)).cast("double")).as("distinct_token_ratio")
-    )
+    df.select(col(idCol), col(textCol), split(col(textCol), " ").as("__words"))
+      .select(
+        col(idCol),
+        length(col(textCol)).as("n_chars"),
+        nTokens.as("n_tokens"),
+        (length(col(textCol)) / greatest(nTokens, lit(1))).as("mean_token_len"),
+        (size(filter(words, w => array_contains(stopArr, w))) / greatest(nTokens, lit(1)).cast("double"))
+          .as("stopword_ratio"),
+        (length(regexp_replace(col(textCol), "[a-zA-Z0-9 ]", "")) / greatest(length(col(textCol)), lit(1)).cast("double"))
+          .as("punct_ratio"),
+        (size(array_distinct(words)) / greatest(nTokens, lit(1)).cast("double")).as("distinct_token_ratio")
+      )
   }
 
   /** Token counting: whitespace tokens + a BPE-ish subword estimate
@@ -348,22 +351,28 @@ object TextOps {
       idCol: String,
       textCol: String,
       minLineWords: Int = 3): DataFrame = {
-    val lines = split(col(textCol), "\n")
-    val kept = filter(lines, l => {
-      val t = trim(l)
-      t.rlike("[.!?\"']$") &&
-        size(split(t, "\\s+")) >= minLineWords &&
-        !lower(t).contains("javascript") &&
-        !lower(t).contains("cookie policy")
-    })
+    // split + line-filter each run ONCE as projected columns (both have two
+    // consumers below, so CollapseProject can't inline them back — see the
+    // HOF-lambda rule in SCALE.md)
+    val lines = col("__lines")
+    val kept = col("__kept")
     val docDropped = lower(col(textCol)).contains("lorem ipsum") || col(textCol).contains("{")
-    df.select(
-      col(idCol),
-      when(docDropped, lit(null).cast("string"))
-        .otherwise(concat_ws("\n", kept)).as("cleaned_text"),
-      size(lines).as("n_lines"),
-      when(docDropped, lit(0)).otherwise(size(kept)).as("n_kept_lines")
-    )
+    df.select(col(idCol), col(textCol), split(col(textCol), "\n").as("__lines"))
+      .select(col(idCol), col(textCol), lines,
+        filter(lines, l => {
+          val t = trim(l)
+          t.rlike("[.!?\"']$") &&
+            size(split(t, "\\s+")) >= minLineWords &&
+            !lower(t).contains("javascript") &&
+            !lower(t).contains("cookie policy")
+        }).as("__kept"))
+      .select(
+        col(idCol),
+        when(docDropped, lit(null).cast("string"))
+          .otherwise(concat_ws("\n", kept)).as("cleaned_text"),
+        size(lines).as("n_lines"),
+        when(docDropped, lit(0)).otherwise(size(kept)).as("n_kept_lines")
+      )
   }
 
   /** Gopher-style document-level quality rules (Rae et al. 2021 table A1,
@@ -385,7 +394,13 @@ object TextOps {
       minAlphaWordRatio: Double = 0.8,
       maxBulletLineRatio: Double = 0.1,
       maxEllipsisLineRatio: Double = 0.3): DataFrame = {
-    val words = split(trim(col(textCol)), "\\s+")
+    // tokenize ONCE into projected columns (many consumers each — the split
+    // survives CollapseProject; see the HOF-lambda rule in SCALE.md)
+    val df2 = df.select(
+      col(idCol), col(textCol),
+      split(trim(col(textCol)), "\\s+").as("__words"),
+      split(col(textCol), "\n").as("__lines"))
+    val words = col("__words")
     val nWords = size(words)
     val nWordsD = greatest(nWords, lit(1)).cast("double")
     val meanWordLen =
@@ -395,7 +410,7 @@ object TextOps {
         size(regexp_extract_all(col(textCol), lit("\\.\\.\\."), lit(0)))).cast("double") / nWordsD
     val alphaRatio =
       size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("double") / nWordsD
-    val lines = split(col(textCol), "\n")
+    val lines = col("__lines")
     val nLinesD = greatest(size(lines), lit(1)).cast("double")
     val bulletRatio =
       size(filter(lines, l => trim(l).rlike("^[-*•]"))).cast("double") / nLinesD
@@ -409,7 +424,7 @@ object TextOps {
     val okEllipsis = ellipsisRatio <= maxEllipsisLineRatio
     val okLorem = !lower(col(textCol)).contains("lorem ipsum")
     val okBrace = !col(textCol).contains("{")
-    df.select(
+    df2.select(
       col(idCol),
       nWords.as("n_words"),
       round(meanWordLen, 6).as("mean_word_len"),
