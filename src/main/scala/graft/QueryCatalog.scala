@@ -1777,6 +1777,64 @@ object QueryCatalog {
     TextOps.piiRedact(docs, "doc_id", "t")
   }
 
+  // Cross-document repeated-span detection (exact-substring dedup /
+  // decontamination, Lee et al. 2022 word-granular): shared phrases are
+  // injected into doc_id%7 / doc_id%13 documents IDENTICALLY on both sides;
+  // the oracle recomputes positional shingles, shared-hash marking, and the
+  // gaps-and-islands span merge in DuckDB window SQL.
+  register(
+    "td_crossdoc_spans",
+    Some(
+      """WITH base AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' alpha beta gamma delta epsilon zeta eta theta iota kappa' ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0 THEN ' lambda mu nu xi omicron pi rho sigma tau upsilon phi chi' ELSE '' END
+        |    AS t
+        |  FROM documents),
+        |words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM base),
+        |idx AS (
+        |  SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 7, 1))) AS i
+        |  FROM words),
+        |sh AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |         CAST(concat('0x', substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 15)) AS BIGINT) AS h
+        |  FROM idx
+        |  WHERE length(array_to_string(ws[i:i+7], ' ')) > 0),
+        |shared AS (
+        |  SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM sh GROUP BY h) WHERE nd >= 2),
+        |dup AS (SELECT doc_id, pos FROM sh WHERE h IN (SELECT h FROM shared)),
+        |runs AS (
+        |  SELECT doc_id, pos,
+        |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM dup),
+        |spans AS (
+        |  SELECT doc_id, grp, min(pos) AS s, max(pos) AS e, count(*) AS len
+        |  FROM runs GROUP BY doc_id, grp),
+        |perdoc AS (
+        |  SELECT doc_id, count(*) AS n_spans, max(e - s + 8) AS max_span_words,
+        |         sum(len) AS n_dup
+        |  FROM spans GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_shingles,
+        |  coalesce(p.n_dup, 0) AS n_dup_shingles,
+        |  round(CAST(coalesce(p.n_dup, 0) AS DOUBLE) / t.n_shingles, 6) AS dup_fraction,
+        |  coalesce(p.n_spans, 0) AS n_spans,
+        |  coalesce(p.max_span_words, 0) AS max_span_words
+        |FROM tot t LEFT JOIN perdoc p USING (doc_id)""".stripMargin
+    )
+  ) { (s, dir) =>
+    val docs = t(s, dir, "documents").select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          lit(" alpha beta gamma delta epsilon zeta eta theta iota kappa")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          lit(" lambda mu nu xi omicron pi rho sigma tau upsilon phi chi")).otherwise(lit(""))
+      ).as("t"))
+    TextOps.crossDocSpans(docs, "doc_id", "t", 8, minDocs = 2)
+  }
+
   // Gopher/C4 quality filtering: degenerate features (symbol floods, lorem
   // ipsum, braces, bullet/ellipsis line blocks, numeric floods, pathological
   // word lengths, too-short docs) are injected by doc_id IDENTICALLY on both

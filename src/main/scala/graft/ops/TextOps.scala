@@ -175,6 +175,80 @@ object TextOps {
       .distinct()
   }
 
+  /** Positional word-level n-gram shingles (NOT distinct — one row per
+    * position): (id, pos, shingle), pos 0-based. Same tokenize-once shape
+    * as [[shingles]].
+    */
+  def posShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val words = col("__words")
+    df.select(col(idCol), split(col(textCol), " ").as("__words"))
+      .select(
+        col(idCol),
+        posexplode(
+          transform(
+            sequence(lit(0), greatest(size(words) - n, lit(0))),
+            i => concat_ws(" ", slice(words, i + 1, lit(n)))
+          )
+        ).as(Seq("pos", "shingle"))
+      )
+      .filter(length(col("shingle")) > 0)
+  }
+
+  /** Cross-document repeated-span detection — the exact-substring dedup /
+    * decontamination primitive (word-granular variant of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): an n-gram
+    * occurring in >= `minDocs` DISTINCT documents marks every position it
+    * occupies, and per document the marked positions merge into contiguous
+    * spans (gaps-and-islands over a per-doc window).
+    *
+    * Scale shape: one agg on the 60-bit shingle hash (map-side combinable
+    * count-distinct approximated exactly here via two-level groupBy is not
+    * needed — the hash is high-cardinality), a LEFT SEMI join back on the
+    * hash (only the shared-hash list shuffles against the positional rows;
+    * a stop-phrase hot hash is an AQE skew bucket, not a correctness risk),
+    * then per-document window + aggs. No all-pairs anything.
+    *
+    * Output: (id, n_shingles, n_dup_shingles, dup_fraction, n_spans,
+    * max_span_words).
+    */
+  def crossDocSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minDocs: Int = 2): DataFrame = {
+    val sh = posShingles(df, idCol, textCol, n).withColumn("__h", md5Hash60(col("shingle")))
+    val shared = sh
+      .groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__h"))
+    val dup = sh.join(shared, Seq("__h"), "left_semi")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val spans = dup
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("pos")).as("__s"), max(col("pos")).as("__e"), count(lit(1)).as("__len"))
+    val perDoc = spans
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("__n_spans"),
+        max(col("__e") - col("__s") + n).as("__max_span_words"),
+        sum(col("__len")).as("__n_dup"))
+    sh.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_shingles"),
+        coalesce(col("__n_dup"), lit(0L)).as("n_dup_shingles"),
+        round(coalesce(col("__n_dup"), lit(0L)).cast("double") / col("n_shingles"), 6)
+          .as("dup_fraction"),
+        coalesce(col("__n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("__max_span_words"), lit(0L)).as("max_span_words")
+      )
+  }
+
   /** 32-bit SimHash over word hashes: bit j set iff the sum of ±1 votes
     * (words whose hash has bit j) is positive. Engine-portable (md5 hash,
     * explicit bit arithmetic). Output: (id, simhash INT as LONG).

@@ -89,6 +89,38 @@ class TextFilterSpec extends SparkSpec {
     assert(flag(5L, "ok_symbol_ratio"))
   }
 
+  test("crossDocSpans marks shared n-grams and merges contiguous positions into spans") {
+    // docs 1 and 2 share a 6-word phrase; with n=3 that is 4 consecutive
+    // marked positions in each -> ONE span of 6 words. doc 3 shares nothing.
+    val phrase = "one two three four five six"
+    val df = Seq(
+      (1L, s"unique opener words here $phrase tail a b"),
+      (2L, s"different prefix tokens $phrase other suffix content"),
+      (3L, "entirely disjoint vocabulary with no overlap at all whatsoever")
+    ).toDF("doc_id", "text")
+    val out = TextOps.crossDocSpans(df, "doc_id", "text", 3, minDocs = 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(1L, 2L)) {
+      val r = out(id)
+      assert(r.getLong(r.fieldIndex("n_dup_shingles")) == 4, s"doc $id: ${r.mkString(",")}")
+      assert(r.getLong(r.fieldIndex("n_spans")) == 1)
+      assert(r.getLong(r.fieldIndex("max_span_words")) == 6)
+    }
+    val r3 = out(3L)
+    assert(r3.getLong(r3.fieldIndex("n_dup_shingles")) == 0 &&
+      r3.getLong(r3.fieldIndex("n_spans")) == 0 &&
+      r3.getDouble(r3.fieldIndex("dup_fraction")) == 0.0)
+    // two disjoint shared phrases in one doc -> two spans
+    val df2 = Seq(
+      (1L, "aa bb cc SEP1 SEP2 SEP3 SEP4 dd ee ff"),
+      (2L, "aa bb cc X1 X2 X3 X4 dd ee ff")
+    ).toDF("doc_id", "text")
+    val out2 = TextOps.crossDocSpans(df2, "doc_id", "text", 3, minDocs = 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out2(1L).getLong(out2(1L).fieldIndex("n_spans")) == 2)
+    assert(out2(1L).getLong(out2(1L).fieldIndex("max_span_words")) == 3)
+  }
+
   test("the filtering plan is map-only: no exchange, stays in whole-stage codegen") {
     val df = Seq((1L, "some text here.")).toDF("doc_id", "text")
     for (plan <- Seq(
