@@ -1914,6 +1914,125 @@ object QueryCatalog {
     TextOps.qualityFilter(docs, "doc_id", "t")
   }
 
+  // Gopher repetition signals, line/paragraph half (Rae et al. 2021 table
+  // A1): duplicate-line and duplicate-paragraph blocks are injected by
+  // doc_id IDENTICALLY on both sides; the oracle recomputes unit counts,
+  // excess-occurrence fractions, and char fractions in DuckDB list SQL.
+  register(
+    "td_rep_lines",
+    Some(
+      """WITH base AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 5 = 0
+        |         THEN repeat(chr(10) || 'repeat me exactly', 3) ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN repeat(chr(10) || chr(10) || 'duplicated paragraph block', 2) ELSE '' END
+        |    AS t
+        |  FROM documents),
+        |lu AS (SELECT doc_id, trim(u) AS u
+        |       FROM (SELECT doc_id, unnest(string_split(t, chr(10))) AS u FROM base)
+        |       WHERE length(trim(u)) > 0),
+        |lc AS (SELECT doc_id, u, count(*) AS c FROM lu GROUP BY 1, 2),
+        |ls AS (SELECT doc_id, sum(c) AS n_lines, count(*) AS nd,
+        |              sum((c - 1) * length(u)) AS dupc, sum(c * length(u)) AS totc
+        |       FROM lc GROUP BY 1),
+        |pu AS (SELECT doc_id, trim(u) AS u
+        |       FROM (SELECT doc_id, unnest(string_split_regex(t, '\n{2,}')) AS u FROM base)
+        |       WHERE length(trim(u)) > 0),
+        |pc AS (SELECT doc_id, u, count(*) AS c FROM pu GROUP BY 1, 2),
+        |ps AS (SELECT doc_id, sum(c) AS n_paras, count(*) AS nd,
+        |              sum((c - 1) * length(u)) AS dupc, sum(c * length(u)) AS totc
+        |       FROM pc GROUP BY 1)
+        |SELECT b.doc_id,
+        |  coalesce(ls.n_lines, 0) AS n_lines,
+        |  coalesce(round(CAST(ls.n_lines - ls.nd AS DOUBLE) / ls.n_lines, 6), 0.0) AS dup_line_fraction,
+        |  coalesce(round(CAST(ls.dupc AS DOUBLE) / greatest(ls.totc, 1), 6), 0.0) AS dup_line_char_fraction,
+        |  coalesce(ps.n_paras, 0) AS n_paras,
+        |  coalesce(round(CAST(ps.n_paras - ps.nd AS DOUBLE) / ps.n_paras, 6), 0.0) AS dup_para_fraction,
+        |  coalesce(round(CAST(ps.dupc AS DOUBLE) / greatest(ps.totc, 1), 6), 0.0) AS dup_para_char_fraction
+        |FROM base b
+        |LEFT JOIN ls ON b.doc_id = ls.doc_id
+        |LEFT JOIN ps ON b.doc_id = ps.doc_id""".stripMargin
+    )
+  ) { (s, dir) =>
+    val docs = t(s, dir, "documents").select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(5)) === 0, repeat(lit("\nrepeat me exactly"), 3))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0, repeat(lit("\n\nduplicated paragraph block"), 2))
+          .otherwise(lit(""))
+      ).as("t"))
+    TextOps.lineRepetition(docs, "doc_id", "t")
+  }
+
+  // Gopher repetition signals, n-gram half: a flooding 2-gram and a
+  // repeated 7-word sentence are injected by doc_id IDENTICALLY on both
+  // sides; the oracle regenerates positional n-grams for n in {2,3,5},
+  // groups on the same 60-bit md5 hash, takes the top gram with the same
+  // (count, count*charlen) tie-break, and recomputes duplicated-5-gram
+  // word-position coverage with its own list/window SQL.
+  register(
+    "td_rep_ngrams",
+    Some(
+      """WITH base AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 11 = 0 THEN ' ' || repeat('buy now ', 20) ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0
+        |         THEN repeat(' the quick brown fox jumps over again', 2) ELSE '' END
+        |    AS t
+        |  FROM documents),
+        |w AS (SELECT doc_id,
+        |        list_filter(regexp_split_to_array(trim(t), '\s+'), x -> length(x) > 0) AS ws
+        |      FROM base),
+        |tot AS (SELECT doc_id,
+        |          greatest(coalesce(CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT), 0), 1) AS totc
+        |        FROM w),
+        |g0 AS (SELECT doc_id, ws, n FROM w, (SELECT unnest([2, 3, 5]) AS n)),
+        |gi AS (SELECT doc_id, ws, n,
+        |         unnest(generate_series(1, len(ws) - n + 1)) AS i
+        |       FROM g0 WHERE len(ws) >= n),
+        |gh AS (SELECT doc_id, n, i - 1 AS pos,
+        |         CAST(concat('0x', substr(md5(array_to_string(ws[i:i+n-1], ' ')), 1, 15)) AS BIGINT) AS h,
+        |         length(array_to_string(ws[i:i+n-1], ' ')) - (n - 1) AS glen
+        |       FROM gi),
+        |c AS (SELECT doc_id, n, h, count(*) AS c, min(glen) AS glen
+        |      FROM gh GROUP BY 1, 2, 3),
+        |topr AS (SELECT doc_id, n, c * glen AS cf,
+        |           row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, c * glen DESC) AS rn
+        |         FROM c WHERE n IN (2, 3)),
+        |topf AS (SELECT doc_id, n, cf FROM topr WHERE rn = 1),
+        |dh AS (SELECT doc_id, n, h FROM c WHERE n = 5 AND c >= 2),
+        |cov AS (SELECT DISTINCT gh.doc_id, gh.pos + j.j AS wpos
+        |        FROM gh JOIN dh USING (doc_id, n, h),
+        |             (SELECT unnest(generate_series(0, 4)) AS j) j),
+        |wl AS (SELECT doc_id, i - 1 AS wpos, length(ws[i]) AS wlen
+        |       FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM w)),
+        |covc AS (SELECT cov.doc_id, sum(wl.wlen) AS covChars
+        |         FROM cov JOIN wl USING (doc_id, wpos) GROUP BY 1)
+        |SELECT tot.doc_id,
+        |  round(CAST(coalesce(t2.cf, 0) AS DOUBLE) / tot.totc, 6) AS top_2gram_char_fraction,
+        |  round(CAST(coalesce(t3.cf, 0) AS DOUBLE) / tot.totc, 6) AS top_3gram_char_fraction,
+        |  round(CAST(coalesce(covc.covChars, 0) AS DOUBLE) / tot.totc, 6) AS dup_5gram_char_fraction
+        |FROM tot
+        |LEFT JOIN topf t2 ON tot.doc_id = t2.doc_id AND t2.n = 2
+        |LEFT JOIN topf t3 ON tot.doc_id = t3.doc_id AND t3.n = 3
+        |LEFT JOIN covc ON tot.doc_id = covc.doc_id""".stripMargin
+    )
+  ) { (s, dir) =>
+    val docs = t(s, dir, "documents").select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(11)) === 0, concat(lit(" "), repeat(lit("buy now "), 20)))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          repeat(lit(" the quick brown fox jumps over again"), 2)).otherwise(lit(""))
+      ).as("t"))
+    TextOps.ngramRepetition(docs, "doc_id", "t", Seq(2, 3), Seq(5))
+  }
+
   // ---- HTML→text extraction (reference _parsel/_utils.py:16-76) ------------
   // Oracle side-channel: the deterministic HTML corpus is generated from a
   // document TREE and exported with the tree-walk expected text

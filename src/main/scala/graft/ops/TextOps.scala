@@ -518,4 +518,192 @@ object TextOps {
         okLorem && okBrace).as("keep")
     )
   }
+
+  // --- Gopher repetition signals (Rae et al. 2021 table A1, repetition half)
+
+  /** Duplicate-line / duplicate-paragraph repetition signals.
+    *
+    * Units: lines split on `\n`, paragraphs split on blank-line runs
+    * (`\n{2,}`); each unit is trimmed and empty units are dropped before
+    * counting. Per document:
+    *   - `dup_line_fraction`    = occurrences beyond the first of any
+    *     repeated line, over all lines: (n_lines - n_distinct) / n_lines
+    *   - `dup_line_char_fraction` = characters in those excess occurrences
+    *     over characters in all lines
+    * and the paragraph analogues.
+    *
+    * Scale shape: explode -> groupBy(id, unit) -> groupBy(id); both
+    * aggregations are map-side combinable and keyed by doc-prefixed keys,
+    * so the shuffle distributes with the documents. No windows, no
+    * collects.
+    */
+  def lineRepetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def stats(splitPat: String, unit: String): DataFrame =
+      df.select(
+          col(idCol),
+          explode(filter(transform(split(col(textCol), splitPat), u => trim(u)),
+            u => length(u) > 0)).as("__u"))
+        .groupBy(col(idCol), col("__u"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col(idCol))
+        .agg(
+          sum(col("__c")).as(s"n_${unit}s"),
+          count(lit(1)).as("__nd"),
+          sum((col("__c") - 1) * length(col("__u"))).as("__dupChars"),
+          sum(col("__c") * length(col("__u"))).as("__totChars"))
+        .select(
+          col(idCol),
+          col(s"n_${unit}s"),
+          round((col(s"n_${unit}s") - col("__nd")).cast("double") / col(s"n_${unit}s"), 6)
+            .as(s"dup_${unit}_fraction"),
+          round(col("__dupChars").cast("double") / greatest(col("__totChars"), lit(1L)), 6)
+            .as(s"dup_${unit}_char_fraction"))
+    df.select(col(idCol))
+      .join(stats("\n", "line"), Seq(idCol), "left")
+      .join(stats("\n{2,}", "para"), Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("dup_line_fraction"), lit(0d)).as("dup_line_fraction"),
+        coalesce(col("dup_line_char_fraction"), lit(0d)).as("dup_line_char_fraction"),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        coalesce(col("dup_para_fraction"), lit(0d)).as("dup_para_fraction"),
+        coalesce(col("dup_para_char_fraction"), lit(0d)).as("dup_para_char_fraction"))
+  }
+
+  /** Top / duplicated word-n-gram repetition signals.
+    *
+    * Words: whitespace-split, empties dropped. `total word chars` = sum of
+    * word lengths (separators excluded); an n-gram's char length = sum of
+    * its word lengths. Per document:
+    *   - for n in `topNs`:  `top_{n}gram_char_fraction` = count * charlen of
+    *     the most frequent n-gram (ties: the one with the largest
+    *     count*charlen) over total word chars (Gopher's "fraction of
+    *     characters contained within the most frequent n-gram").
+    *   - for n in `dupNs`: `dup_{n}gram_char_fraction` = chars of WORD
+    *     POSITIONS covered by any n-gram occurring >= 2 times in the
+    *     document, over total word chars (positional coverage — overlapping
+    *     duplicated grams count each word once, faithful to Gopher's
+    *     character-coverage definition at word granularity).
+    *
+    * Scale shape: ONE positional explode produces (id, n, pos, gram-hash)
+    * rows for every n at once (fan-out |words| * |ns|); counts are a
+    * map-combinable groupBy on (id, n, hash); duplicated-gram positions
+    * come back via LEFT SEMI on the same key; coverage is an n-bounded
+    * (<= max n per gram) position explode, distinct, then an equi-join
+    * against the (id, pos, wordlen) frame — no windows, no range joins,
+    * no per-doc arrays shipped through shuffles. Grams travel as 60-bit
+    * md5 hashes, never as strings.
+    */
+  def ngramRepetition(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      topNs: Seq[Int] = Seq(2, 3, 4),
+      dupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10)): DataFrame = {
+    val allNs = (topNs ++ dupNs).distinct.sorted
+    val words = col("__words")
+    // words projected ONCE (HOF-lambda rule, SCALE.md): every slice below
+    // reads the projected array, never re-splits the text.
+    val base = df.select(
+      col(idCol),
+      filter(split(trim(col(textCol)), "\\s+"), w => length(w) > 0).as("__words"))
+    val withTot = base.select(
+      col(idCol), words,
+      aggregate(words, lit(0L), (acc, w) => acc + length(w)).as("__totChars"))
+
+    // (id, n, pos, hash, charlen) for every n in one explode.
+    val grams = withTot
+      .select(
+        col(idCol), col("__totChars"),
+        explode(flatten(transform(
+          lit(allNs.toArray),
+          n => transform(
+            filter(sequence(lit(0), greatest(size(words) - n, lit(0))),
+              i => i + n <= size(words)),
+            i => struct(
+              n.as("n"), i.as("pos"),
+              concat_ws(" ", slice(words, i + 1, n)).as("g")))
+        ))).as("__e"))
+      .select(
+        col(idCol), col("__totChars"),
+        col("__e.n").as("__n"), col("__e.pos").as("__pos"),
+        md5Hash60(col("__e.g")).as("__h"),
+        (length(col("__e.g")) - (col("__e.n") - 1)).as("__len"))
+
+    val counts = grams
+      .groupBy(col(idCol), col("__n"), col("__h"))
+      .agg(count(lit(1)).as("__c"), first(col("__len")).as("__len"))
+
+    // Top-gram char fraction per (id, n in topNs).
+    val tops = counts
+      .filter(col("__n").isin(topNs: _*))
+      .groupBy(col(idCol), col("__n"))
+      .agg(max(struct(col("__c"), (col("__c") * col("__len")).as("__cf"))).as("__top"))
+      .select(col(idCol), col("__n"), col("__top.__cf").as("__topChars"))
+
+    // Positional coverage of duplicated grams per (id, n in dupNs).
+    val dupHashes = counts.filter(col("__n").isin(dupNs: _*) && col("__c") >= 2)
+      .select(col(idCol), col("__n"), col("__h"))
+    val wordLens = withTot.select(
+      col(idCol),
+      posexplode(transform(words, w => length(w))).as(Seq("__pos", "__wlen")))
+    val covered = grams
+      .filter(col("__n").isin(dupNs: _*))
+      .join(dupHashes, Seq(idCol, "__n", "__h"), "left_semi")
+      .select(col(idCol), col("__n"),
+        explode(sequence(col("__pos"), col("__pos") + col("__n") - 1)).as("__pos"))
+      .distinct()
+      .join(wordLens, Seq(idCol, "__pos"))
+      .groupBy(col(idCol), col("__n"))
+      .agg(sum(col("__wlen")).as("__covChars"))
+
+    // Pivot the per-(id, n) stats into one row per doc.
+    val perN = tops.select(col(idCol), col("__n"), col("__topChars"), lit(null).cast("long").as("__covChars"))
+      .unionByName(covered.select(col(idCol), col("__n"), lit(null).cast("long").as("__topChars"), col("__covChars")))
+    val tot = withTot.select(col(idCol), greatest(col("__totChars"), lit(1L)).cast("double").as("__tot"))
+    val topCols = topNs.map(n => round(
+      coalesce(max(when(col("__n") === n, col("__topChars"))), lit(0L)).cast("double") / first(col("__tot")), 6
+    ).as(s"top_${n}gram_char_fraction"))
+    val dupCols = dupNs.map(n => round(
+      coalesce(max(when(col("__n") === n, col("__covChars"))), lit(0L)).cast("double") / first(col("__tot")), 6
+    ).as(s"dup_${n}gram_char_fraction"))
+    tot.join(perN, Seq(idCol), "left")
+      .groupBy(col(idCol))
+      .agg(topCols.head, (topCols.tail ++ dupCols): _*)
+  }
+
+  /** Full Gopher repetition filter: line/paragraph + n-gram signals with
+    * the Rae et al. 2021 table A1 thresholds; `keep` is the conjunction.
+    */
+  def repetitionFilter(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDupLineFrac: Double = 0.30,
+      maxDupParaFrac: Double = 0.30,
+      maxDupLineCharFrac: Double = 0.20,
+      maxDupParaCharFrac: Double = 0.20,
+      topThresholds: Map[Int, Double] = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16),
+      dupThresholds: Map[Int, Double] =
+        Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)): DataFrame = {
+    val lines = lineRepetition(df, idCol, textCol)
+    val grams = ngramRepetition(df, idCol, textCol,
+      topThresholds.keys.toSeq.sorted, dupThresholds.keys.toSeq.sorted)
+    val joined = lines.join(grams, Seq(idCol), "left")
+    val okLine = col("dup_line_fraction") <= maxDupLineFrac
+    val okPara = col("dup_para_fraction") <= maxDupParaFrac
+    val okLineChar = col("dup_line_char_fraction") <= maxDupLineCharFrac
+    val okParaChar = col("dup_para_char_fraction") <= maxDupParaCharFrac
+    val okTop = topThresholds.toSeq.sortBy(_._1).map { case (n, t) =>
+      (coalesce(col(s"top_${n}gram_char_fraction"), lit(0d)) <= t).as(s"ok_top_${n}gram") }
+    val okDup = dupThresholds.toSeq.sortBy(_._1).map { case (n, t) =>
+      (coalesce(col(s"dup_${n}gram_char_fraction"), lit(0d)) <= t).as(s"ok_dup_${n}gram") }
+    val keep = (okTop ++ okDup).foldLeft(okLine && okPara && okLineChar && okParaChar)(_ && _)
+    joined.select(
+      (Seq(col(idCol)) ++ joined.columns.filter(_ != idCol).map(col) ++
+        Seq(okLine.as("ok_dup_lines"), okPara.as("ok_dup_paras"),
+            okLineChar.as("ok_dup_line_chars"), okParaChar.as("ok_dup_para_chars")) ++
+        okTop ++ okDup ++ Seq(keep.as("keep"))): _*)
+  }
 }

@@ -1,0 +1,85 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Gopher repetition signals (Rae et al. 2021 table A1, repetition half):
+  * duplicate line/paragraph fractions, top n-gram char fraction, duplicated
+  * n-gram positional coverage. Expected values below are hand-computed on
+  * tiny documents so the semantics are pinned independently of the DuckDB
+  * oracle entries (td_rep_lines / td_rep_ngrams).
+  */
+class RepetitionSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val eps = 1e-9
+
+  test("lineRepetition: duplicate line and paragraph fractions, hand-computed") {
+    val df = Seq(
+      (1L, "a b a b c\na b a b c\nx y"),
+      (2L, "para one here\n\npara one here\n\nother"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = TextOps.lineRepetition(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    val r1 = out(1L)
+    assert(r1.getLong(1) == 3L) // n_lines
+    assert(math.abs(r1.getDouble(2) - 1.0 / 3) < 1e-6, "dup_line_fraction")
+    assert(math.abs(r1.getDouble(3) - 9.0 / 21) < 1e-6, "dup_line_char_fraction")
+    assert(r1.getLong(4) == 1L, "single paragraph") // n_paras
+    assert(math.abs(r1.getDouble(5)) < eps && math.abs(r1.getDouble(6)) < eps)
+
+    val r2 = out(2L)
+    // lines and paragraphs coincide here: [para one here, para one here, other]
+    assert(r2.getLong(1) == 3L && r2.getLong(4) == 3L)
+    assert(math.abs(r2.getDouble(5) - 1.0 / 3) < 1e-6, "dup_para_fraction")
+    assert(math.abs(r2.getDouble(6) - 13.0 / 31) < 1e-6, "dup_para_char_fraction")
+
+    val r3 = out(3L)
+    assert(r3.getLong(1) == 0L && r3.getLong(4) == 0L)
+    assert(math.abs(r3.getDouble(2)) < eps && math.abs(r3.getDouble(6)) < eps)
+  }
+
+  test("ngramRepetition: top-gram char fraction and duplicated-gram coverage, hand-computed") {
+    val df = Seq(
+      // words: a b a b c a b a b c x y (12 words, 12 chars)
+      (1L, "a b a b c\na b a b c\nx y"),
+      // 11 distinct 1-char words
+      (2L, "p q r s t u v w x y z"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = TextOps.ngramRepetition(df, "doc_id", "text", Seq(2), Seq(5)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    val r1 = out(1L)
+    // top 2-gram "a b" occurs 4x, charlen 2 -> 8/12
+    assert(math.abs(r1.getDouble(1) - 8.0 / 12) < 1e-6, s"top2: ${r1.getDouble(1)}")
+    // "a b a b c" occurs at pos 0 and 5 -> covers word positions 0..9 -> 10/12
+    assert(math.abs(r1.getDouble(2) - 10.0 / 12) < 1e-6, s"dup5: ${r1.getDouble(2)}")
+
+    val r2 = out(2L)
+    // every 2-gram unique: top gram count 1, charlen 2 -> 2/11
+    assert(math.abs(r2.getDouble(1) - 2.0 / 11) < 1e-6)
+    assert(math.abs(r2.getDouble(2)) < eps)
+
+    val r3 = out(3L)
+    assert(math.abs(r3.getDouble(1)) < eps && math.abs(r3.getDouble(2)) < eps)
+  }
+
+  test("repetitionFilter: Gopher thresholds produce per-rule booleans and the conjunction keep") {
+    val clean = (1 to 80).map(i => s"w${i}alpha w${i}beta w${i}gamma.").mkString("\n")
+    val df = Seq(
+      (1L, "a b a b c\na b a b c\nx y"), // dup_line_fraction 0.33 > 0.30
+      (2L, clean)
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionFilter(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val cols = TextOps.repetitionFilter(df, "doc_id", "text").columns
+    val keepIdx = cols.indexOf("keep")
+    val okLinesIdx = cols.indexOf("ok_dup_lines")
+    assert(!out(1L).getBoolean(okLinesIdx))
+    assert(!out(1L).getBoolean(keepIdx))
+    assert(out(2L).getBoolean(keepIdx), s"clean doc must keep: ${out(2L).mkString(",")}")
+  }
+}
