@@ -2517,6 +2517,66 @@ object QueryCatalog {
       .orderBy(col("id"), col("frame_idx"))
   }
 
+  // Image-set curation filter (LAION/DataComp-style) over the input_hint
+  // table: degenerate captions and a truncated payload are injected by
+  // image index IDENTICALLY on both sides (Spark decorates the REAL binary
+  // column; the oracle decorates the fixture-exported byte length), then
+  // every rule — dims / aspect / pixels / fmt / bytes-per-pixel band /
+  // caption bounds / degenerate phash — is recomputed in DuckDB SQL.
+  register(
+    "mm_image_filter",
+    Some(
+      """WITH raw AS (
+        |  SELECT *, CAST(substr(image_id, 5) AS BIGINT) AS i
+        |  FROM read_parquet('/tmp/graft_image_features/in_96/*.parquet')),
+        |d AS (
+        |  SELECT image_id, w, h, fmt, phash,
+        |    CASE WHEN i % 17 = 0 THEN least(byte_len, 16) ELSE byte_len END AS blen,
+        |    CASE WHEN i % 5 = 0 THEN ''
+        |         WHEN i % 7 = 0 THEN 'x'
+        |         WHEN i % 11 = 0 THEN trim(repeat('pad ', 100))
+        |         ELSE caption END AS cap
+        |  FROM raw),
+        |f AS (
+        |  SELECT image_id, w, h, fmt, phash, cap,
+        |    CAST(w AS BIGINT) * h AS pixels,
+        |    round(CAST(greatest(w, h) AS DOUBLE) / least(w, h), 6) AS aspect_ratio,
+        |    round(CAST(blen AS DOUBLE) / (CAST(w AS BIGINT) * h), 6) AS bytes_per_pixel,
+        |    length(cap) AS caption_chars,
+        |    len(list_filter(regexp_split_to_array(trim(cap), '\s+'), x -> length(x) > 0)) AS caption_words
+        |  FROM d)
+        |SELECT image_id, pixels, aspect_ratio, bytes_per_pixel, caption_chars, caption_words,
+        |  (w >= 32 AND h >= 32) AS ok_dims,
+        |  (aspect_ratio <= 2.5) AS ok_aspect,
+        |  (pixels >= 1024) AS ok_pixels,
+        |  (fmt IN ('png', 'jpeg')) AS ok_fmt,
+        |  (bytes_per_pixel >= 0.1 AND bytes_per_pixel <= 16.0) AS ok_bpp,
+        |  (caption_chars >= 5) AS ok_caption_len,
+        |  (caption_words >= 2 AND caption_words <= 64) AS ok_caption_words,
+        |  (phash <> 0 AND phash <> -1) AS ok_phash,
+        |  ((w >= 32 AND h >= 32) AND aspect_ratio <= 2.5 AND pixels >= 1024
+        |    AND fmt IN ('png', 'jpeg')
+        |    AND bytes_per_pixel >= 0.1 AND bytes_per_pixel <= 16.0
+        |    AND caption_chars >= 5 AND caption_words >= 2 AND caption_words <= 64
+        |    AND phash <> 0 AND phash <> -1) AS keep
+        |FROM f""".stripMargin
+    )
+  ) { (s, _) =>
+    import s.implicits._
+    graft.fixtures.Images.exportFilterInputs(s, 96)
+    val images = s.range(96).map(i => graft.fixtures.Images.rowAt(i)).toDF()
+    val i = substring(col("image_id"), 5, 8).cast("long")
+    val decorated = images
+      .withColumn("bytes",
+        when(pmod(i, lit(17)) === 0, substring(col("bytes"), 1, 16)).otherwise(col("bytes")))
+      .withColumn("caption",
+        when(pmod(i, lit(5)) === 0, lit(""))
+          .when(pmod(i, lit(7)) === 0, lit("x"))
+          .when(pmod(i, lit(11)) === 0, trim(repeat(lit("pad "), 100)))
+          .otherwise(col("caption")))
+    graft.ops.Multimodal.imageSetFilter(decorated)
+  }
+
   // pHash near-duplicate IMAGE pairs: the Spark side decodes the raw
   // near-dup corpus bytes distributed (3 variants per base image), hashes
   // the pixels, and runs the BANDED candidate join (pigeonhole-exact for

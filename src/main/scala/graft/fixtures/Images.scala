@@ -185,6 +185,31 @@ object Images {
       path
     }
 
+  /** Oracle side-channel for the image-set curation filter
+    * (Multimodal.imageSetFilter): the UNDECORATED input columns — including
+    * the encoded payload LENGTH, computed here from the generator's bytes —
+    * exported as parquet so the SQL oracle can replay the decoration and
+    * every rule from the raw inputs while the Spark side computes them from
+    * the actual binary column.
+    */
+  private val exportedFilterInputs = scala.collection.mutable.Set.empty[String]
+
+  def exportFilterInputs(spark: org.apache.spark.sql.SparkSession, n: Int): String =
+    synchronized {
+      val path = s"$FeatureExportBase/in_$n"
+      if (!exportedFilterInputs.contains(path)) {
+        import spark.implicits._
+        (0 until n).map { i =>
+          val r = rowAt(i.toLong)
+          (r.image_id, r.w, r.h, r.fmt, r.bytes.length.toLong, r.caption, r.phash)
+        }.toDF("image_id", "w", "h", "fmt", "byte_len", "caption", "phash")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(path)
+        exportedFilterInputs += path
+      }
+      path
+    }
+
   /** Per-row validation per BASELINE.json input_hint: lossless formats must
     * decode bit-identically to the procedural render; lossy must reach
     * PSNR >= 40 dB; caption must match exactly. Returns (valid,

@@ -230,4 +230,61 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .select(col("id").as("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** LAION/DataComp-style image+caption curation filter over the
+    * BASELINE.json input_hint table (image_id, bytes, w, h, fmt, caption,
+    * phash): dimension floors, aspect-ratio cap, pixel floor, format
+    * allowlist, encoded-bytes-per-pixel sanity band (catches truncated or
+    * padded payloads WITHOUT decoding), caption length/word-count bounds,
+    * and degenerate-phash rejection (all-0 / all-1 = flat image). Pure
+    * per-row column arithmetic — map-only at any scale; rules apply to the
+    * ROUNDED feature values so a cross-engine oracle sees identical
+    * boundary behavior.
+    */
+  def imageSetFilter(
+      images: DataFrame,
+      minDim: Int = 32,
+      maxAspect: Double = 2.5,
+      minPixels: Long = 1024,
+      fmtAllow: Seq[String] = Seq("png", "jpeg"),
+      minBytesPerPixel: Double = 0.1,
+      maxBytesPerPixel: Double = 16.0,
+      minCaptionChars: Int = 5,
+      minCaptionWords: Int = 2,
+      maxCaptionWords: Int = 64): DataFrame = {
+    val pixels = (col("w").cast("long") * col("h")).as("pixels")
+    val aspect = round(greatest(col("w"), col("h")).cast("double") /
+      least(col("w"), col("h")), 6).as("aspect_ratio")
+    val bpp = round(length(col("bytes")).cast("double") /
+      (col("w").cast("long") * col("h")), 6).as("bytes_per_pixel")
+    val capWords = size(filter(split(trim(col("caption")), "\\s+"), x => length(x) > 0))
+      .as("caption_words")
+    val f = images.select(
+      col("image_id"), col("fmt"), col("phash"),
+      pixels, aspect, bpp,
+      length(col("caption")).as("caption_chars"), capWords,
+      (col("w") >= minDim && col("h") >= minDim).as("ok_dims"))
+    val okAspect = col("aspect_ratio") <= maxAspect
+    val okPixels = col("pixels") >= minPixels
+    val okFmt = col("fmt").isin(fmtAllow: _*)
+    val okBpp = col("bytes_per_pixel") >= minBytesPerPixel &&
+      col("bytes_per_pixel") <= maxBytesPerPixel
+    val okCapLen = col("caption_chars") >= minCaptionChars
+    val okCapWords = col("caption_words") >= minCaptionWords &&
+      col("caption_words") <= maxCaptionWords
+    val okPhash = col("phash") =!= 0L && col("phash") =!= -1L
+    f.select(
+      col("image_id"), col("pixels"), col("aspect_ratio"), col("bytes_per_pixel"),
+      col("caption_chars"), col("caption_words"),
+      col("ok_dims"),
+      okAspect.as("ok_aspect"),
+      okPixels.as("ok_pixels"),
+      okFmt.as("ok_fmt"),
+      okBpp.as("ok_bpp"),
+      okCapLen.as("ok_caption_len"),
+      okCapWords.as("ok_caption_words"),
+      okPhash.as("ok_phash"),
+      (col("ok_dims") && okAspect && okPixels && okFmt && okBpp &&
+        okCapLen && okCapWords && okPhash).as("keep"))
+  }
 }
