@@ -1499,7 +1499,7 @@ object QueryCatalog {
     urls.map(_.loc).toDF("loc").orderBy(col("loc"))
   }
 
-  import graft.ops.{TextOps, VectorOps}
+  import graft.ops.{Sampling, TextOps, VectorOps}
 
   /** Shared DuckDB CTE: distinct word 3-gram shingles per document. */
   private def shinglesSql(n: Int): String =
@@ -1912,6 +1912,48 @@ object QueryCatalog {
         when(pmod(col("doc_id"), lit(19)) === 0, concat(lit(" "), repeat(lit("12345 "), 150))).otherwise(lit(""))))
     val docs = t(s, dir, "documents").select(col("doc_id"), decorated.as("t"))
     TextOps.qualityFilter(docs, "doc_id", "t")
+  }
+
+  // Deterministic stratified rate sampling (training-data mixing): keep
+  // probability per language stratum, drawn as a pure function of
+  // (doc_id, salt) via the cross-engine md5 hash — the oracle recomputes
+  // the identical draw and integer thresholds (rates chosen binary-exact
+  // so no engine's double->long cast semantics enter).
+  register(
+    "td_sample_stratified",
+    Some(
+      """SELECT doc_id, lang FROM documents
+        |WHERE (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':mix1'), 1, 15)) AS BIGINT)
+        |        % 1000000)
+        |  < (CASE lang WHEN 'en' THEN 750000 WHEN 'fr' THEN 500000
+        |               WHEN 'zh' THEN 125000 ELSE 250000 END)"""
+        .stripMargin
+    )
+  ) { (s, dir) =>
+    Sampling.stratifiedSample(
+      t(s, dir, "documents"), "lang", "doc_id",
+      Map("en" -> 0.75, "fr" -> 0.5, "zh" -> 0.125), defaultRate = 0.25, salt = "mix1")
+      .select(col("doc_id"), col("lang"))
+  }
+
+  // Deterministic per-stratum quota (the k "random" docs of each source,
+  // reproducibly): per-stratum top-k by (draw, id); the oracle replays the
+  // same window.
+  register(
+    "td_sample_quota",
+    Some(
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':q1'), 1, 15)) AS BIGINT)
+        |        % 1000000) ASC, doc_id ASC) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5"""
+        .stripMargin
+    )
+  ) { (s, dir) =>
+    Sampling.stratifiedQuota(t(s, dir, "documents"), "source", "doc_id", quota = 5, salt = "q1")
+      .select(col("doc_id"), col("source"))
   }
 
   // Gopher repetition signals, line/paragraph half (Rae et al. 2021 table

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data mixing: every draw is a pure
+  * function of (id, salt) via the cross-engine md5 hash, so a sample is
+  * reproducible run-to-run, survives resume, and can be recomputed by an
+  * independent engine — none of which holds for `df.sample` (partition-RNG,
+  * re-draws on retry).
+  *
+  * Scale shape: rate sampling is MAP-ONLY (a hash and a compare per row;
+  * the per-stratum rate table rides a broadcast join). Quota sampling
+  * shuffles by stratum for the per-stratum top-k — a hot stratum lands in
+  * one AQE-splittable partition; at extreme skew, pre-filter with a rate
+  * bound first (rate = k / est_count) and quota the survivors.
+  */
+object Sampling {
+
+  /** Uniform draw in [0, 1e6) from (id, salt) — reproducible in DuckDB as
+    * CAST(concat('0x', substr(md5(id || ':' || salt), 1, 15)) AS BIGINT) % 1000000.
+    */
+  def drawCol(idCol: Column, salt: String): Column =
+    pmod(TextOps.md5Hash60(concat(idCol.cast("string"), lit(":" + salt))), lit(1000000L))
+
+  /** Keep each row with probability `rate`, deterministically from the id. */
+  def hashSample(df: DataFrame, idCol: String, rate: Double, salt: String = "s0"): DataFrame =
+    df.filter(drawCol(col(idCol), salt) < (rate * 1e6).toLong)
+
+  /** Per-stratum rate sampling: `rates` maps stratum value -> keep rate;
+    * strata absent from the map use `defaultRate`. The rate table is tiny
+    * and broadcast — the data side stays map-only.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double,
+      salt: String = "s0"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rateDf = rates.toSeq.toDF(strataCol, "__rate")
+    df.join(broadcast(rateDf), Seq(strataCol), "left")
+      .withColumn("__rate", coalesce(col("__rate"), lit(defaultRate)))
+      .filter(drawCol(col(idCol), salt) < (col("__rate") * 1e6).cast("long"))
+      .drop("__rate")
+  }
+
+  /** Per-stratum fixed quota: the `quota` rows of each stratum with the
+    * smallest (draw, id) — a deterministic "random" top-k per stratum.
+    */
+  def stratifiedQuota(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      quota: Int,
+      salt: String = "s0"): DataFrame = {
+    val w = Window.partitionBy(col(strataCol)).orderBy(drawCol(col(idCol), salt), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= quota)
+      .drop("__rn")
+  }
+}

@@ -1,0 +1,52 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling: reproducibility, rate accuracy, quota exactness,
+  * and salt independence.
+  */
+class SamplingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(s"${sf()}/documents.parquet")
+
+  test("hashSample is reproducible and rate-accurate") {
+    val ids = spark.range(20000).toDF("id")
+    val a = Sampling.hashSample(ids, "id", 0.25).collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(ids, "id", 0.25).collect().map(_.getLong(0)).toSet
+    assert(a == b, "same salt, same sample")
+    val n = a.size.toDouble
+    assert(math.abs(n / 20000 - 0.25) < 0.02, s"rate off: ${n / 20000}")
+    val c = Sampling.hashSample(ids, "id", 0.25, salt = "other").collect().map(_.getLong(0)).toSet
+    assert(c != a, "different salt draws a different sample")
+    // a higher rate with the same salt strictly contains the lower-rate sample
+    val d = Sampling.hashSample(ids, "id", 0.5).collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(d), "nested samples: rate 0.25 within rate 0.5 at equal salt")
+  }
+
+  test("stratifiedSample applies per-stratum rates; absent strata use the default") {
+    val df = spark.range(30000)
+      .select(col("id"), (pmod(col("id"), lit(3))).cast("string").as("st"))
+    val out = Sampling.stratifiedSample(df, "st", "id",
+      Map("0" -> 0.9, "1" -> 0.1), defaultRate = 0.5)
+      .groupBy("st").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(out("0") / 10000.0 - 0.9) < 0.03, out.toString)
+    assert(math.abs(out("1") / 10000.0 - 0.1) < 0.03, out.toString)
+    assert(math.abs(out("2") / 10000.0 - 0.5) < 0.03, out.toString)
+  }
+
+  test("stratifiedQuota returns exactly quota rows per stratum (or all when smaller)") {
+    val out = Sampling.stratifiedQuota(docs, "source", "doc_id", quota = 5)
+    val counts = out.groupBy("source").count().collect().map(r => r.getLong(1))
+    assert(counts.forall(_ == 5L), counts.mkString(","))
+    // quota larger than any stratum: everything survives
+    val all = Sampling.stratifiedQuota(docs, "source", "doc_id", quota = 100000)
+    assert(all.count() == docs.count())
+    // deterministic: the same five ids per stratum on a second run
+    val twice = Sampling.stratifiedQuota(docs, "source", "doc_id", quota = 5)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      twice.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+}
