@@ -2472,6 +2472,44 @@ object QueryCatalog {
       .select(col("query_id"), col("rank"), col("corpus_id"), round(col("cos"), 4).as("cos"))
   }
 
+  // SemDeDup semantic dedup: k-means assignment (centroids trained on a
+  // deterministic sample and exported like the IVF entry) + within-cluster
+  // earlier-neighbor cosine test; the oracle recomputes assignment, the
+  // pairwise pass, and the keep verdict from the exported centroids.
+  register(
+    "v_semantic_dedup",
+    Some(
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings
+        |), unit AS (
+        |  SELECT vec_id, list_transform(v0, x -> x / sqrt(list_inner_product(v0, v0))) AS v FROM emb
+        |), cents AS (
+        |  SELECT c, centroid FROM read_parquet('/tmp/graft_ivf_centroids/c_6_64/*.parquet')
+        |), assigned AS (
+        |  SELECT vec_id, v, c AS cluster FROM (
+        |    SELECT u.vec_id, u.v, ct.c,
+        |           row_number() OVER (PARTITION BY u.vec_id
+        |             ORDER BY list_inner_product(u.v, ct.centroid) DESC, ct.c ASC) AS rn
+        |    FROM unit u CROSS JOIN cents ct
+        |  ) WHERE rn = 1
+        |), dups AS (
+        |  SELECT a.vec_id AS id, min(b.vec_id) AS dup_of
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+        |  WHERE list_inner_product(a.v, b.v) >= 0.35
+        |  GROUP BY a.vec_id)
+        |SELECT a.vec_id, a.cluster, d.dup_of, (d.dup_of IS NULL) AS keep
+        |FROM assigned a LEFT JOIN dups d ON a.vec_id = d.id""".stripMargin
+    )
+  ) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val cents = VectorOps.ivfCentroids(emb, "vec_id", "embedding", k = 6, iters = 2, sampleMod = 4)
+    VectorOps.exportCentroids(s, cents)
+    VectorOps.semanticDedup(emb, "vec_id", "embedding", cents, 0.35)
+      .select(col("id").as("vec_id"), col("cluster"), col("dup_of"), col("keep"))
+  }
+
   // Half-oracled (VERDICT r3 next-round #8): the distributed decode
   // pipeline must recover the generator's deterministic features (w, h,
   // fmt, phash-of-decoded-pixels) from the raw binary column; the expected

@@ -309,6 +309,44 @@ object VectorOps {
       .select(col("query_id"), col("rank"), col("corpus_id"), col("cos"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * embeddings are k-means-clustered, and within each cluster a document
+    * is a semantic duplicate when its cosine to any EARLIER (smaller-id)
+    * cluster member reaches `threshold`; `dup_of` is the smallest such id.
+    * Survivor rule: keep-min-id (the paper keeps the member farthest from
+    * the centroid — min-id is the deterministic, resume-stable engine rule;
+    * documented substitution).
+    *
+    * Scale shape: assignment is map-only against the broadcast k×dims
+    * centroid matrix; the pairwise pass joins WITHIN clusters only
+    * (per-cluster O((n/k)²) — SemDeDup's point is that k makes this
+    * tractable at web scale; a hot cluster is an AQE-splittable skew
+    * bucket). Output: (id, cluster, dup_of, keep).
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Array[Array[Double]],
+      threshold: Double): DataFrame = {
+    ensureRegistered(df)
+    val unit = unitNormalized(
+      df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v")), "v")
+    val clustered = unit
+      .withColumn("cluster", graft.expr.VectorFunctions.argmaxDot(col("v"), cents))
+    val a = clustered.select(col("cluster"), col("id").as("__ida"), col("v").as("__va"))
+    val b = clustered.select(col("cluster"), col("id").as("__idb"), col("v").as("__vb"))
+    val dups = a.join(b, Seq("cluster"))
+      .filter(col("__idb") < col("__ida"))
+      .filter(dot(col("__va"), col("__vb")) >= threshold)
+      .groupBy(col("__ida"))
+      .agg(min(col("__idb")).as("dup_of"))
+    clustered
+      .join(dups.withColumnRenamed("__ida", "id"), Seq("id"), "left")
+      .select(col("id"), col("cluster"), col("dup_of"), col("dup_of").isNull.as("keep"))
+  }
+
   /** Oracle side-channel (same trick as [[exportPlanes]]): the trained
     * centroids exported as parquet (c, centroid) so an external engine can
     * recompute assignment → probe → re-rank independently. Centroids are

@@ -157,4 +157,27 @@ class OpsSpec extends SparkSpec {
     // keep_id is always the lower (original) id
     assert(result.filter(col("dup_count") === 2).filter(col("keep_id") >= 10000).count() == 0)
   }
+
+  test("semanticDedup: within-cluster earlier-neighbor rule, cross-cluster pairs untouched") {
+    import spark.implicits._
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val df = Seq(
+      (1L, Seq(1.0, 0.01)),  // cluster 0, first -> keep
+      (2L, Seq(1.0, 0.02)),  // cluster 0, cos ~1 to id 1 -> dup_of 1
+      (3L, Seq(0.99, 0.05)), // cluster 0, dup_of 1 (min earlier id)
+      (4L, Seq(0.01, 1.0)),  // cluster 1, alone there -> keep despite cluster-0 look-alikes
+      (5L, Seq(-1.0, 0.0))   // cluster 0 by argmax but anti-parallel -> cos < 0 -> keep
+    ).toDF("id", "v")
+    val out = VectorOps.semanticDedup(df, "id", "v", cents, 0.9)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(3) && out(1L).isNullAt(2))
+    assert(!out(2L).getBoolean(3) && out(2L).getLong(2) == 1L)
+    assert(!out(3L).getBoolean(3) && out(3L).getLong(2) == 1L)
+    assert(out(4L).getBoolean(3), "separate cluster never compared")
+    assert(out(5L).getBoolean(3), "low cosine within cluster survives")
+    // plan: the pairwise pass joins on the cluster key, never cartesian
+    val plan = VectorOps.semanticDedup(df, "id", "v", cents, 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
