@@ -1914,6 +1914,40 @@ object QueryCatalog {
     TextOps.qualityFilter(docs, "doc_id", "t")
   }
 
+  // Count-min-sketch heavy hitters: a synthetic hot key is injected over
+  // the events table IDENTICALLY on both sides; the oracle rebuilds the
+  // 4x64 sketch with the same md5 double hashing, replays the min-over-rows
+  // estimates, and takes the same tie-broken top-10.
+  register(
+    "td_heavy_hitters",
+    Some(
+      """WITH keyed AS (
+        |  SELECT CASE WHEN event_id % 3 = 0 THEN 'hot'
+        |              ELSE 'u' || CAST(user_id AS VARCHAR) END AS key
+        |  FROM events),
+        |hh AS (
+        |  SELECT key,
+        |    CAST(concat('0x', substr(md5(key), 1, 15)) AS BIGINT) AS a,
+        |    (CAST(concat('0x', substr(md5(key), 17, 15)) AS BIGINT) % 1000003) * 2 + 1 AS step
+        |  FROM keyed),
+        |bb AS (
+        |  SELECT key, j, (a + j * step) % 64 AS bucket
+        |  FROM hh, (SELECT unnest([0, 1, 2, 3]) AS j)),
+        |sk AS (SELECT j, bucket, count(*) AS cnt FROM bb GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT key, j, bucket FROM bb),
+        |est AS (
+        |  SELECT c.key, min(coalesce(s.cnt, 0)) AS est
+        |  FROM cand c LEFT JOIN sk s ON c.j = s.j AND c.bucket = s.bucket
+        |  GROUP BY 1)
+        |SELECT key, est FROM est ORDER BY est DESC, key ASC LIMIT 10""".stripMargin
+    )
+  ) { (s, dir) =>
+    val keyed = t(s, dir, "events").select(
+      when(pmod(col("event_id"), lit(3)) === 0, lit("hot"))
+        .otherwise(concat(lit("u"), col("user_id"))).as("key"))
+    graft.ops.Sketches.cmsHeavyHitters(keyed, "key", depth = 4, width = 64, k = 10)
+  }
+
   // Deterministic stratified rate sampling (training-data mixing): keep
   // probability per language stratum, drawn as a pure function of
   // (doc_id, salt) via the cross-engine md5 hash — the oracle recomputes
