@@ -28,30 +28,46 @@ object Sketches {
   private def h2(key: Column): Column =
     conv(substring(md5(key.cast("string")), 17, 15), 16, 10).cast("long")
 
-  /** (j, bucket) pairs for a key — depth rows. */
-  def cmsBuckets(key: Column, depth: Int, width: Int): Column = {
-    val a = h1(key)
-    val step = pmod(h2(key), lit(1000003L)) * 2 + 1
-    transform(sequence(lit(0), lit(depth - 1)),
-      j => struct(j.cast("int").as("j"), pmod(a + j * step, lit(width.toLong)).as("bucket")))
+  /** (key?, j, bucket) rows — depth per input row. The md5-derived hash
+    * halves are PROJECTED BEFORE the explode and carried through the
+    * generator as pass-through attributes, so each md5 runs once per input
+    * row; computing the bucket inside a `transform` lambda would re-run
+    * them per array element (the HOF-lambda rule, SCALE.md).
+    */
+  private def bucketRows(
+      df: DataFrame, keyCol: String, depth: Int, width: Int, keepKey: Boolean): DataFrame = {
+    val base = df.select(
+      (if (keepKey) Seq(col(keyCol)) else Seq.empty[Column]) ++ Seq(
+        h1(col(keyCol)).as("__a"),
+        (pmod(h2(col(keyCol)), lit(1000003L)) * 2 + 1).as("__step")): _*)
+    val exploded = base.select(
+      (if (keepKey) Seq(col(keyCol)) else Seq.empty[Column]) ++ Seq(
+        col("__a"), col("__step"),
+        explode(sequence(lit(0), lit(depth - 1))).as("j")): _*)
+    exploded.select(
+      (if (keepKey) Seq(col(keyCol)) else Seq.empty[Column]) ++ Seq(
+        col("j").cast("int").as("j"),
+        pmod(col("__a") + col("j") * col("__step"), lit(width.toLong)).as("bucket")): _*)
   }
 
   /** Build the sketch: one (j, bucket, cnt) row per non-empty counter. */
   def countMinSketch(df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame =
-    df.select(explode(cmsBuckets(col(keyCol), depth, width)).as("__b"))
-      .groupBy(col("__b.j").as("j"), col("__b.bucket").as("bucket"))
+    bucketRows(df, keyCol, depth, width, keepKey = false)
+      .groupBy(col("j"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
   /** CMS point estimates for `keys` (any DataFrame with `keyCol`):
     * min over the depth counters. The sketch side is tiny — broadcast.
     */
   def cmsEstimate(
-      keys: DataFrame, sketch: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame =
-    keys.select(col(keyCol), explode(cmsBuckets(col(keyCol), depth, width)).as("__b"))
+      keys: DataFrame, sketch: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
+    val probes = bucketRows(keys, keyCol, depth, width, keepKey = true)
+    probes
       .join(broadcast(sketch),
-        col("__b.j") === sketch("j") && col("__b.bucket") === sketch("bucket"), "left")
+        probes("j") === sketch("j") && probes("bucket") === sketch("bucket"), "left")
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
 
   /** Top-k keys by CMS estimate (ties: key ascending). Candidates here are
     * the distinct keys of `df`; at true scale feed a sampled / pre-filtered
