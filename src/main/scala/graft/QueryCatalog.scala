@@ -1835,6 +1835,74 @@ object QueryCatalog {
     TextOps.crossDocSpans(docs, "doc_id", "t", 8, minDocs = 2)
   }
 
+  // Benchmark decontamination (cross-TABLE exact-substring overlap): a
+  // held-out phrase is injected into doc_id%19 train documents IDENTICALLY
+  // on both sides; the oracle regenerates the test set's 8-gram hashes and
+  // replays the positional marking + gaps-and-islands merge in DuckDB.
+  register(
+    "td_decontaminate",
+    Some(
+      """WITH base AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 19 = 0
+        |         THEN ' eval question one about spark frontiers and eval answer two about bloom filters'
+        |         ELSE '' END AS t
+        |  FROM documents),
+        |words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM base),
+        |idx AS (
+        |  SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 7, 1))) AS i
+        |  FROM words),
+        |sh AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |         CAST(concat('0x', substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 15)) AS BIGINT) AS h
+        |  FROM idx
+        |  WHERE length(array_to_string(ws[i:i+7], ' ')) > 0),
+        |test(tt) AS (VALUES
+        |  ('eval question one about spark frontiers and eval answer two about bloom filters extra tail words'),
+        |  ('completely unrelated holdout text that matches nothing in the training corpus at all')),
+        |tw AS (SELECT string_split(tt, ' ') AS ws FROM test),
+        |ti AS (SELECT ws, unnest(generate_series(1, greatest(len(ws) - 7, 1))) AS i FROM tw),
+        |th AS (
+        |  SELECT DISTINCT
+        |    CAST(concat('0x', substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 15)) AS BIGINT) AS h
+        |  FROM ti WHERE length(array_to_string(ws[i:i+7], ' ')) > 0),
+        |dup AS (SELECT doc_id, pos FROM sh WHERE h IN (SELECT h FROM th)),
+        |runs AS (
+        |  SELECT doc_id, pos,
+        |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM dup),
+        |spans AS (
+        |  SELECT doc_id, grp, min(pos) AS s, max(pos) AS e, count(*) AS len
+        |  FROM runs GROUP BY doc_id, grp),
+        |perdoc AS (
+        |  SELECT doc_id, count(*) AS n_spans, max(e - s + 8) AS max_span_words,
+        |         sum(len) AS n_dup
+        |  FROM spans GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_shingles,
+        |  coalesce(p.n_dup, 0) AS n_contaminated,
+        |  round(CAST(coalesce(p.n_dup, 0) AS DOUBLE) / t.n_shingles, 6) AS contamination_fraction,
+        |  coalesce(p.n_spans, 0) AS n_spans,
+        |  coalesce(p.max_span_words, 0) AS max_span_words
+        |FROM tot t LEFT JOIN perdoc p USING (doc_id)""".stripMargin
+    )
+  ) { (s, dir) =>
+    import s.implicits._
+    val train = t(s, dir, "documents").select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(19)) === 0,
+          lit(" eval question one about spark frontiers and eval answer two about bloom filters"))
+          .otherwise(lit(""))
+      ).as("t"))
+    val test = Seq(
+      "eval question one about spark frontiers and eval answer two about bloom filters extra tail words",
+      "completely unrelated holdout text that matches nothing in the training corpus at all"
+    ).toDF("tt")
+    TextOps.decontaminate(train, "doc_id", "t", test, "tt", 8)
+  }
+
   // Gopher/C4 quality filtering: degenerate features (symbol floods, lorem
   // ipsum, braces, bullet/ellipsis line blocks, numeric floods, pathological
   // word lengths, too-short docs) are injected by doc_id IDENTICALLY on both

@@ -223,6 +223,16 @@ object TextOps {
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)
       .select(col("__h"))
+    markedSpans(sh, shared, idCol, n)
+  }
+
+  /** Positions of `sh` whose hash is in `shared` merge into contiguous
+    * spans per doc (gaps-and-islands over a PER-DOC window); docs with no
+    * marked position report zeros. Shared by [[crossDocSpans]] (marks =
+    * hashes seen in >= minDocs docs) and [[decontaminate]] (marks = hashes
+    * from the held-out set).
+    */
+  private def markedSpans(sh: DataFrame, shared: DataFrame, idCol: String, n: Int): DataFrame = {
     val dup = sh.join(shared, Seq("__h"), "left_semi")
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val spans = dup
@@ -247,6 +257,45 @@ object TextOps {
         coalesce(col("__n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("__max_span_words"), lit(0L)).as("max_span_words")
       )
+  }
+
+  /** Benchmark decontamination (cross-TABLE exact-substring overlap, the
+    * train-vs-test form of [[crossDocSpans]]): every word n-gram of the
+    * held-out `test` set marks the train positions it occupies; marked
+    * positions merge into per-train-doc spans. A train doc with
+    * n_dup_shingles > 0 contains verbatim held-out content — the standard
+    * drop/redact criterion when preparing pretraining data against an
+    * evaluation suite.
+    *
+    * Scale shape: the test side reduces to DISTINCT 60-bit hashes (tiny
+    * next to the corpus — an eval suite is MBs against 100 TB), and the
+    * train side takes one LEFT SEMI on the hash — effectively a broadcast
+    * probe; then the same per-doc window as crossDocSpans. The train
+    * corpus is never joined against itself.
+    */
+  def decontaminate(
+      train: DataFrame,
+      trainIdCol: String,
+      trainTextCol: String,
+      test: DataFrame,
+      testTextCol: String,
+      n: Int): DataFrame = {
+    val sh = posShingles(train, trainIdCol, trainTextCol, n)
+      .withColumn("__h", md5Hash60(col("shingle")))
+    // words projected ONCE (HOF-lambda rule, SCALE.md): two consumers keep
+    // the split out of the transform lambda.
+    val testHashes = test
+      .select(split(col(testTextCol), " ").as("__words"))
+      .select(explode(array_distinct(transform(
+        sequence(lit(0), greatest(size(col("__words")) - n, lit(0))),
+        i => concat_ws(" ", slice(col("__words"), i + 1, lit(n)))))).as("shingle"))
+      .filter(length(col("shingle")) > 0)
+      .select(md5Hash60(col("shingle")).as("__h"))
+      .distinct()
+    markedSpans(sh, testHashes, trainIdCol, n)
+      .withColumnsRenamed(Map(
+        "n_dup_shingles" -> "n_contaminated",
+        "dup_fraction" -> "contamination_fraction"))
   }
 
   /** 32-bit SimHash over word hashes: bit j set iff the sum of ±1 votes

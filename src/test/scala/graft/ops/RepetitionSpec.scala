@@ -67,6 +67,27 @@ class RepetitionSpec extends SparkSpec {
     assert(math.abs(r3.getDouble(1)) < eps && math.abs(r3.getDouble(2)) < eps)
   }
 
+  test("decontaminate: train docs containing test n-grams get marked spans, others zeros") {
+    val train = Seq(
+      // words 3..8 are a verbatim 6-word test span
+      (1L, "intro words here the secret eval answer is forty two and trailing text"),
+      (2L, "totally clean training document with no overlap at all whatsoever today")
+    ).toDF("doc_id", "text")
+    val test = Seq("the secret eval answer is forty two").toDF("t")
+    val out = TextOps.decontaminate(train, "doc_id", "text", test, "t", 6)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val cols = TextOps.decontaminate(train, "doc_id", "text", test, "t", 6).columns
+    val r1 = out(1L)
+    // test text "the secret eval answer is forty two" has two 6-grams, both
+    // present in doc 1 at consecutive positions -> one merged span of 7 words
+    assert(r1.getLong(cols.indexOf("n_contaminated")) == 2L, r1.mkString(","))
+    assert(r1.getLong(cols.indexOf("n_spans")) == 1L)
+    assert(r1.getLong(cols.indexOf("max_span_words")) == 7L)
+    val r2 = out(2L)
+    assert(r2.getLong(cols.indexOf("n_contaminated")) == 0L)
+    assert(r2.getLong(cols.indexOf("n_spans")) == 0L)
+  }
+
   test("repetitionFilter: Gopher thresholds produce per-rule booleans and the conjunction keep") {
     val clean = (1 to 80).map(i => s"w${i}alpha w${i}beta w${i}gamma.").mkString("\n")
     val df = Seq(
