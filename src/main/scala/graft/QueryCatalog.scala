@@ -1835,6 +1835,55 @@ object QueryCatalog {
     TextOps.crossDocSpans(docs, "doc_id", "t", 8, minDocs = 2)
   }
 
+  // Cross-corpus paragraph dedup (RefinedWeb granularity): shared
+  // boilerplate paragraphs are injected by doc_id IDENTICALLY on both
+  // sides; the oracle replays hashing, global-first-occurrence marking,
+  // and ordered reassembly in DuckDB window SQL.
+  register(
+    "td_paragraph_dedup",
+    Some(
+      """WITH base AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 4 = 0
+        |         THEN chr(10) || chr(10) || 'shared boilerplate footer paragraph' ELSE '' END
+        |    || CASE WHEN doc_id % 6 = 0
+        |         THEN chr(10) || chr(10) || 'subscribe to our newsletter today' ELSE '' END
+        |    AS t
+        |  FROM documents),
+        |l AS (SELECT doc_id, string_split_regex(t, '\n{2,}') AS ps FROM base),
+        |pidx AS (SELECT doc_id, ps, unnest(generate_series(1, len(ps))) AS i FROM l),
+        |p AS (SELECT doc_id, i - 1 AS pos, trim(ps[i]) AS para
+        |      FROM pidx WHERE length(trim(ps[i])) > 0),
+        |h AS (SELECT doc_id, pos, para,
+        |        CAST(concat('0x', substr(md5(para), 1, 15)) AS BIGINT) AS hh FROM p),
+        |m AS (SELECT doc_id, pos, para,
+        |        row_number() OVER (PARTITION BY hh ORDER BY doc_id, pos) AS rn
+        |      FROM h),
+        |perdoc AS (
+        |  SELECT doc_id, count(*) AS n_paras,
+        |         sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS n_removed,
+        |         string_agg(CASE WHEN rn = 1 THEN para END, chr(10) || chr(10) ORDER BY pos)
+        |           AS cleaned
+        |  FROM m GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |  coalesce(d.cleaned, '') AS cleaned_text,
+        |  coalesce(d.n_paras, 0) AS n_paras,
+        |  coalesce(d.n_removed, 0) AS n_removed
+        |FROM base b LEFT JOIN perdoc d USING (doc_id)""".stripMargin
+    )
+  ) { (s, dir) =>
+    val docs = t(s, dir, "documents").select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          lit("\n\nshared boilerplate footer paragraph")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(6)) === 0,
+          lit("\n\nsubscribe to our newsletter today")).otherwise(lit(""))
+      ).as("t"))
+    TextOps.paragraphDedup(docs, "doc_id", "t")
+  }
+
   // Benchmark decontamination (cross-TABLE exact-substring overlap): a
   // held-out phrase is injected into doc_id%19 train documents IDENTICALLY
   // on both sides; the oracle regenerates the test set's 8-gram hashes and

@@ -298,6 +298,48 @@ object TextOps {
         "dup_fraction" -> "contamination_fraction"))
   }
 
+  /** Cross-corpus PARAGRAPH dedup (RefinedWeb / Falcon granularity,
+    * Penedo et al. 2023): every repeated paragraph is removed except its
+    * global first occurrence (smallest (doc id, position)); documents are
+    * reassembled from their surviving paragraphs in original order.
+    * Paragraphs are blank-line-separated, trimmed; empty units drop.
+    *
+    * Scale shape: explode → ONE agg on the 60-bit paragraph hash (map-side
+    * combinable min over (id, pos) structs) → equi-join back on the hash →
+    * per-doc reassembly agg. A boilerplate paragraph repeated across 10^9
+    * docs is ONE agg row and a skewed join key (AQE bucket), never a
+    * fan-out. Output: (id, cleaned_text, n_paras, n_removed).
+    */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val paras = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n{2,}")).as(Seq("pos", "para")))
+      .select(col(idCol), col("pos"), trim(col("para")).as("para"))
+      .filter(length(col("para")) > 0)
+      .withColumn("__h", md5Hash60(col("para")))
+    val firstOcc = paras
+      .groupBy(col("__h"))
+      .agg(min(struct(col(idCol), col("pos"))).as("__first"))
+    val marked = paras
+      .join(firstOcc, Seq("__h"))
+      .withColumn("__keep", struct(col(idCol), col("pos")) === col("__first"))
+    val perDoc = marked
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_removed"),
+        concat_ws("\n\n",
+          transform(
+            array_sort(collect_list(when(col("__keep"), struct(col("pos"), col("para"))))),
+            x => x.getField("para"))).as("cleaned_text"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
   /** 32-bit SimHash over word hashes: bit j set iff the sum of ±1 votes
     * (words whose hash has bit j) is positive. Engine-portable (md5 hash,
     * explicit bit arithmetic). Output: (id, simhash INT as LONG).

@@ -88,6 +88,21 @@ class RepetitionSpec extends SparkSpec {
     assert(r2.getLong(cols.indexOf("n_spans")) == 0L)
   }
 
+  test("paragraphDedup: global first occurrence survives, docs reassemble in order") {
+    val df = Seq(
+      (1L, "unique one\n\nshared footer\n\nunique two"),
+      (2L, "shared footer\n\nonly here"),   // footer first occurred in doc 1
+      (3L, "shared footer")                  // loses its only paragraph
+    ).toDF("doc_id", "text")
+    val out = TextOps.paragraphDedup(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "unique one\n\nshared footer\n\nunique two")
+    assert(out(1L).getLong(2) == 3L && out(1L).getLong(3) == 0L)
+    assert(out(2L).getString(1) == "only here", out(2L).mkString(","))
+    assert(out(2L).getLong(2) == 2L && out(2L).getLong(3) == 1L)
+    assert(out(3L).getString(1) == "" && out(3L).getLong(3) == 1L)
+  }
+
   test("repetitionFilter: Gopher thresholds produce per-rule booleans and the conjunction keep") {
     val clean = (1 to 80).map(i => s"w${i}alpha w${i}beta w${i}gamma.").mkString("\n")
     val df = Seq(
