@@ -1835,6 +1835,42 @@ object QueryCatalog {
     TextOps.crossDocSpans(docs, "doc_id", "t", 8, minDocs = 2)
   }
 
+  // Unicode normalization: decomposed accents, CRLF, zero-width chars, and
+  // space floods are injected by doc_id IDENTICALLY on both sides; the
+  // oracle replays the rule chain with DuckDB's RE2 + nfc_normalize against
+  // the engine's native NFC codegen expression.
+  register(
+    "td_normalize_text",
+    Some(
+      """WITH base AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' caf' || 'e' || chr(769) ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN chr(13) || chr(10) || 'new line' ELSE '' END
+        |    || CASE WHEN doc_id % 8 = 0 THEN ' a' || chr(8203) || 'b' ELSE '' END
+        |    || CASE WHEN doc_id % 9 = 0 THEN '  double  spaced  tail' ELSE '' END
+        |    AS t
+        |  FROM documents),
+        |r1 AS (SELECT doc_id, t,
+        |         regexp_replace(t, '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g') AS a FROM base),
+        |r2 AS (SELECT doc_id, t, regexp_replace(a, '\r\n?', chr(10), 'g') AS b FROM r1),
+        |r3 AS (SELECT doc_id, t, nfc_normalize(b) AS c FROM r2),
+        |r4 AS (SELECT doc_id, t,
+        |         trim(regexp_replace(c, '[ \t]{2,}', ' ', 'g')) AS norm_text FROM r3)
+        |SELECT doc_id, norm_text, (norm_text <> t) AS changed FROM r4""".stripMargin
+    )
+  ) { (s, dir) =>
+    val docs = t(s, dir, "documents").select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit(" cafe\u0301")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit("\r\nnew line")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(8)) === 0, lit(" a\u200Bb")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(9)) === 0, lit("  double  spaced  tail")).otherwise(lit(""))
+      ).as("t"))
+    TextOps.normalizeText(docs, "doc_id", "t")
+  }
+
   // Cross-corpus paragraph dedup (RefinedWeb granularity): shared
   // boilerplate paragraphs are injected by doc_id IDENTICALLY on both
   // sides; the oracle replays hashing, global-first-occurrence marking,

@@ -298,6 +298,25 @@ object TextOps {
         "dup_fraction" -> "contamination_fraction"))
   }
 
+  /** Unicode text normalization for web corpora: zero-width character
+    * strip, CRLF/CR -> LF, NFC composition (native codegen expression
+    * NfcNormalizeExpr — no UDF), space/tab-run collapse, edge trim.
+    * Map-only; `changed` marks rows the pipeline actually touched so
+    * downstream stages can skip rewriting untouched partitions.
+    */
+  def normalizeText(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.expr.TextNormFunctions.register(df.sparkSession)
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, "[\u200B\u200C\u200D\uFEFF]", "")
+    val t2 = regexp_replace(t1, "\r\n?", "\n")
+    val t3 = graft.expr.TextNormFunctions.nfcNormalize(t2)
+    val t4 = trim(regexp_replace(t3, "[ \t]{2,}", " "))
+    df.select(
+      col(idCol),
+      t4.as("norm_text"),
+      (t4 =!= t0).as("changed"))
+  }
+
   /** Cross-corpus PARAGRAPH dedup (RefinedWeb / Falcon granularity,
     * Penedo et al. 2023): every repeated paragraph is removed except its
     * global first occurrence (smallest (doc id, position)); documents are

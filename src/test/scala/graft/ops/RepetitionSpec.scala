@@ -88,6 +88,23 @@ class RepetitionSpec extends SparkSpec {
     assert(r2.getLong(cols.indexOf("n_spans")) == 0L)
   }
 
+  test("normalizeText: NFC composition, zero-width strip, CRLF, space collapse") {
+    val df = Seq(
+      (1L, "plain text stays"),
+      (2L, "cafe\u0301 and more"),   // decomposed e+combining-acute
+      (3L, "a\u200Bb c\uFEFFd"),     // zero-widths vanish
+      (4L, "line one\r\nline two\rline three"),
+      (5L, "  too   many\t\tspaces  ")
+    ).toDF("doc_id", "text")
+    val out = TextOps.normalizeText(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "plain text stays" && !out(1L).getBoolean(2))
+    assert(out(2L).getString(1) == "caf\u00e9 and more" && out(2L).getBoolean(2))
+    assert(out(3L).getString(1) == "ab cd")
+    assert(out(4L).getString(1) == "line one\nline two\nline three")
+    assert(out(5L).getString(1) == "too many spaces")
+  }
+
   test("paragraphDedup: global first occurrence survives, docs reassemble in order") {
     val df = Seq(
       (1L, "unique one\n\nshared footer\n\nunique two"),
