@@ -154,4 +154,31 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan(joined)
     assert(p.contains("Join") && p.contains("rb_host"), p)
   }
+
+  test("map-only cleaning ops carry no Exchange and no Scala UDF") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val norm = plan(graft.ops.TextOps.normalizeText(docs, "doc_id", "text"))
+    assert(!norm.contains("Exchange") && !norm.contains("ScalaUDF"), norm)
+    val img = Seq(("i1", Array[Byte](1, 2), 64, 64, "png", "a caption here", 7L))
+      .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    val filt = plan(graft.ops.Multimodal.imageSetFilter(img))
+    assert(!filt.contains("Exchange") && !filt.contains("ScalaUDF"), filt)
+  }
+
+  test("stratified sampling broadcasts the rate table — the data side never shuffles") {
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val p = plan(graft.ops.Sampling.stratifiedSample(
+      docs, "lang", "doc_id", Map("en" -> 0.5), defaultRate = 0.25))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("CMS estimate probes the sketch via broadcast join") {
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val sketch = graft.ops.Sketches.countMinSketch(docs, "source", 4, 64)
+    val p = plan(graft.ops.Sketches.cmsEstimate(
+      docs.select("source").distinct(), sketch, "source", 4, 64))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
