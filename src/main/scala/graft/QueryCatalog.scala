@@ -2123,6 +2123,35 @@ object QueryCatalog {
       .select(col("doc_id"), col("lang"))
   }
 
+  // Sequence packing: whitespace token counts feed a per-shard (source)
+  // concat-then-chunk assignment; the oracle replays the identical window
+  // cumsum and sequence-id arithmetic.
+  register(
+    "td_pack_sequences",
+    Some(
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |         len(regexp_split_to_array(text, '\s+')) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+        |  FROM tok)
+        |SELECT doc_id, source, n_tokens,
+        |  e - n_tokens AS start_token,
+        |  e AS end_token,
+        |  CAST(floor(CAST(e - n_tokens AS DOUBLE) / 512) AS BIGINT) AS first_seq,
+        |  CAST(floor(CAST(greatest(e - 1, e - n_tokens) AS DOUBLE) / 512) AS BIGINT) AS last_seq
+        |FROM c""".stripMargin
+    )
+  ) { (s, dir) =>
+    val tok = t(s, dir, "documents").select(
+      col("doc_id"), col("source"),
+      size(split(col("text"), "\\s+")).as("n_tokens"))
+    Sampling.packSequences(tok, "doc_id", "n_tokens", seqLen = 512, shardCol = "source")
+  }
+
   // Deterministic per-stratum quota (the k "random" docs of each source,
   // reproducibly): per-stratum top-k by (draw, id); the oracle replays the
   // same window.

@@ -48,6 +48,33 @@ object Sampling {
       .drop("__rate")
   }
 
+  /** Sequence packing for training (GPT-style concat-then-chunk): documents
+    * concatenate in id order WITHIN EACH SHARD and cut every `seqLen`
+    * tokens; each doc maps to its global token interval and the sequence
+    * ids it spans. Output adds (start_token, end_token, first_seq,
+    * last_seq) — `first_seq != last_seq` marks docs straddling a cut.
+    *
+    * Scale shape: one window cumsum PARTITIONED BY SHARD (never a global
+    * window) — shards are the parallelism unit, exactly how a 100 TB corpus
+    * is already laid out; packing is reproducible because (shard, id) order
+    * is total.
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      seqLen: Int,
+      shardCol: String): DataFrame = {
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+    df.withColumn("__end", sum(col(tokensCol)).over(w))
+      .select(
+        col(idCol), col(shardCol), col(tokensCol),
+        (col("__end") - col(tokensCol)).as("start_token"),
+        col("__end").as("end_token"),
+        floor((col("__end") - col(tokensCol)) / seqLen).as("first_seq"),
+        floor(greatest(col("__end") - 1, col("__end") - col(tokensCol)) / seqLen).as("last_seq"))
+  }
+
   /** Per-stratum fixed quota: the `quota` rows of each stratum with the
     * smallest (draw, id) — a deterministic "random" top-k per stratum.
     */

@@ -37,6 +37,23 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(out("2") / 10000.0 - 0.5) < 0.03, out.toString)
   }
 
+  test("packSequences: per-shard cumsum intervals, straddlers flagged by seq span") {
+    val df = Seq(
+      (1L, "s1", 300), (2L, "s1", 300), (3L, "s1", 100),
+      (10L, "s2", 512), (11L, "s2", 1)
+    ).toDF("id", "shard", "tok")
+    val out = Sampling.packSequences(df, "id", "tok", seqLen = 512, shardCol = "shard")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // s1: doc1 [0,300) seq 0; doc2 [300,600) seqs 0-1 (straddles); doc3 [600,700) seq 1
+    assert(out(1L).getLong(3) == 0L && out(1L).getLong(4) == 300L)
+    assert(out(1L).getLong(5) == 0L && out(1L).getLong(6) == 0L)
+    assert(out(2L).getLong(5) == 0L && out(2L).getLong(6) == 1L, "straddler spans two seqs")
+    assert(out(3L).getLong(5) == 1L && out(3L).getLong(6) == 1L)
+    // s2 restarts at 0: doc10 fills seq 0 exactly; doc11 starts seq 1
+    assert(out(10L).getLong(3) == 0L && out(10L).getLong(5) == 0L && out(10L).getLong(6) == 0L)
+    assert(out(11L).getLong(3) == 512L && out(11L).getLong(5) == 1L && out(11L).getLong(6) == 1L)
+  }
+
   test("stratifiedQuota returns exactly quota rows per stratum (or all when smaller)") {
     val out = Sampling.stratifiedQuota(docs, "source", "doc_id", quota = 5)
     val counts = out.groupBy("source").count().collect().map(r => r.getLong(1))
