@@ -1988,6 +1988,71 @@ object QueryCatalog {
     TextOps.decontaminate(train, "doc_id", "t", test, "tt", 8)
   }
 
+  // Contamination removal: same injection as td_decontaminate; the oracle
+  // recomputes covered word positions, the anti-join survivors, and the
+  // ordered reassembly in DuckDB.
+  register(
+    "td_decontaminate_clean",
+    Some(
+      """WITH base AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 19 = 0
+        |         THEN ' eval question one about spark frontiers and eval answer two about bloom filters'
+        |         ELSE '' END AS t
+        |  FROM documents),
+        |words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM base),
+        |idx AS (
+        |  SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 7, 1))) AS i
+        |  FROM words),
+        |sh AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |         CAST(concat('0x', substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 15)) AS BIGINT) AS h
+        |  FROM idx
+        |  WHERE length(array_to_string(ws[i:i+7], ' ')) > 0),
+        |test(tt) AS (VALUES
+        |  ('eval question one about spark frontiers and eval answer two about bloom filters extra tail words'),
+        |  ('completely unrelated holdout text that matches nothing in the training corpus at all')),
+        |tw AS (SELECT string_split(tt, ' ') AS ws FROM test),
+        |ti AS (SELECT ws, unnest(generate_series(1, greatest(len(ws) - 7, 1))) AS i FROM tw),
+        |th AS (
+        |  SELECT DISTINCT
+        |    CAST(concat('0x', substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 15)) AS BIGINT) AS h
+        |  FROM ti WHERE length(array_to_string(ws[i:i+7], ' ')) > 0),
+        |dup AS (SELECT doc_id, pos FROM sh WHERE h IN (SELECT h FROM th)),
+        |cov AS (SELECT DISTINCT doc_id, pos + j.j AS wpos
+        |        FROM dup, (SELECT unnest(generate_series(0, 7)) AS j) j),
+        |w AS (SELECT doc_id, i - 1 AS wpos, ws[i] AS word
+        |      FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM words)),
+        |kept AS (SELECT w.doc_id, w.wpos, w.word
+        |         FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id AND w.wpos = cov.wpos
+        |         WHERE cov.wpos IS NULL),
+        |outp AS (SELECT doc_id, count(*) AS n_kept,
+        |                string_agg(word, ' ' ORDER BY wpos) AS cleaned_text
+        |         FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, len(ws) AS n_words FROM words)
+        |SELECT t2.doc_id,
+        |  coalesce(o.cleaned_text, '') AS cleaned_text,
+        |  t2.n_words,
+        |  t2.n_words - coalesce(o.n_kept, 0) AS n_removed_words
+        |FROM tot t2 LEFT JOIN outp o ON t2.doc_id = o.doc_id""".stripMargin
+    )
+  ) { (s, dir) =>
+    import s.implicits._
+    val train = t(s, dir, "documents").select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(19)) === 0,
+          lit(" eval question one about spark frontiers and eval answer two about bloom filters"))
+          .otherwise(lit(""))
+      ).as("t"))
+    val test = Seq(
+      "eval question one about spark frontiers and eval answer two about bloom filters extra tail words",
+      "completely unrelated holdout text that matches nothing in the training corpus at all"
+    ).toDF("tt")
+    TextOps.decontaminateClean(train, "doc_id", "t", test, "tt", 8)
+  }
+
   // Gopher/C4 quality filtering: degenerate features (symbol floods, lorem
   // ipsum, braces, bullet/ellipsis line blocks, numeric floods, pathological
   // word lengths, too-short docs) are injected by doc_id IDENTICALLY on both

@@ -298,6 +298,54 @@ object TextOps {
         "dup_fraction" -> "contamination_fraction"))
   }
 
+  /** Contamination REMOVAL (the actionable half of [[decontaminate]]):
+    * word positions covered by any held-out n-gram are cut and the
+    * document reassembles from the survivors in order. Same scale shape as
+    * decontaminate plus one bounded (≤ n) position explode, a LEFT ANTI
+    * equi-join, and a per-doc reassembly agg — no windows.
+    * Output: (id, cleaned_text, n_words, n_removed_words).
+    */
+  def decontaminateClean(
+      train: DataFrame,
+      trainIdCol: String,
+      trainTextCol: String,
+      test: DataFrame,
+      testTextCol: String,
+      n: Int): DataFrame = {
+    val sh = posShingles(train, trainIdCol, trainTextCol, n)
+      .withColumn("__h", md5Hash60(col("shingle")))
+    val testHashes = test
+      .select(split(col(testTextCol), " ").as("__words"))
+      .select(explode(array_distinct(transform(
+        sequence(lit(0), greatest(size(col("__words")) - n, lit(0))),
+        i => concat_ws(" ", slice(col("__words"), i + 1, lit(n)))))).as("shingle"))
+      .filter(length(col("shingle")) > 0)
+      .select(md5Hash60(col("shingle")).as("__h"))
+      .distinct()
+    val covered = sh.join(testHashes, Seq("__h"), "left_semi")
+      .select(col(trainIdCol),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("wpos"))
+      .distinct()
+    val words = train
+      .select(col(trainIdCol), posexplode(split(col(trainTextCol), " ")).as(Seq("wpos", "word")))
+    val kept = words.join(covered, Seq(trainIdCol, "wpos"), "left_anti")
+    val rebuilt = kept
+      .groupBy(col(trainIdCol))
+      .agg(
+        count(lit(1)).as("__n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("wpos"), col("word")))),
+            x => x.getField("word"))).as("cleaned_text"))
+    train
+      .select(col(trainIdCol), size(split(col(trainTextCol), " ")).cast("long").as("n_words"))
+      .join(rebuilt, Seq(trainIdCol), "left")
+      .select(
+        col(trainIdCol),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"),
+        col("n_words"),
+        (col("n_words") - coalesce(col("__n_kept"), lit(0L))).as("n_removed_words"))
+  }
+
   /** Unicode text normalization for web corpora: zero-width character
     * strip, CRLF/CR -> LF, NFC composition (native codegen expression
     * NfcNormalizeExpr — no UDF), space/tab-run collapse, edge trim.

@@ -88,6 +88,21 @@ class RepetitionSpec extends SparkSpec {
     assert(r2.getLong(cols.indexOf("n_spans")) == 0L)
   }
 
+  test("decontaminateClean: covered words are cut, survivors reassemble in order") {
+    val train = Seq(
+      (1L, "intro words here the secret eval answer is forty two and trailing text"),
+      (2L, "totally clean training document with no overlap at all whatsoever today")
+    ).toDF("doc_id", "text")
+    val test = Seq("the secret eval answer is forty two").toDF("t")
+    val out = TextOps.decontaminateClean(train, "doc_id", "text", test, "t", 6)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: positions 3..9 covered (two overlapping 6-grams) -> 7 words removed
+    assert(out(1L).getString(1) == "intro words here and trailing text", out(1L).mkString(","))
+    assert(out(1L).getLong(2) == 13L && out(1L).getLong(3) == 7L)
+    assert(out(2L).getString(1) == "totally clean training document with no overlap at all whatsoever today")
+    assert(out(2L).getLong(3) == 0L)
+  }
+
   test("normalizeText: NFC composition, zero-width strip, CRLF, space collapse") {
     val df = Seq(
       (1L, "plain text stays"),
