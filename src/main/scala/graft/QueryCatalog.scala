@@ -2938,6 +2938,37 @@ object QueryCatalog {
     graft.ops.Multimodal.imageSetFilter(decorated)
   }
 
+  // Aspect-ratio bucketing (SDXL-style batching prepass): exact
+  // integer-cross-product closeness, so the oracle's argmax over the same
+  // bucket list is bit-identical; inputs from the fixture export, engine
+  // side from the generated rows.
+  register(
+    "mm_aspect_bucket",
+    Some(
+      """WITH img AS (
+        |  SELECT image_id, w, h
+        |  FROM read_parquet('/tmp/graft_image_features/in_96/*.parquet')),
+        |b(idx, bw, bh) AS (VALUES (0, 64, 64), (1, 80, 48), (2, 48, 80), (3, 80, 64), (4, 64, 80)),
+        |sc AS (
+        |  SELECT image_id, w, h, idx, bw, bh,
+        |    CAST(least(CAST(w AS BIGINT) * bh, CAST(bw AS BIGINT) * h) AS DOUBLE)
+        |      / greatest(CAST(w AS BIGINT) * bh, CAST(bw AS BIGINT) * h) AS c
+        |  FROM img CROSS JOIN b),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY image_id ORDER BY c DESC, idx ASC) AS rn
+        |  FROM sc)
+        |SELECT image_id, w, h, idx AS bucket_idx, bw AS bucket_w, bh AS bucket_h,
+        |       round(c, 6) AS closeness
+        |FROM r WHERE rn = 1""".stripMargin
+    )
+  ) { (s, _) =>
+    import s.implicits._
+    graft.fixtures.Images.exportFilterInputs(s, 96)
+    val images = s.range(96).map(i => graft.fixtures.Images.rowAt(i)).toDF()
+    graft.ops.Multimodal.aspectBucket(images,
+      Seq((64, 64), (80, 48), (48, 80), (80, 64), (64, 80)))
+  }
+
   // pHash near-duplicate IMAGE pairs: the Spark side decodes the raw
   // near-dup corpus bytes distributed (3 variants per base image), hashes
   // the pixels, and runs the BANDED candidate join (pigeonhole-exact for

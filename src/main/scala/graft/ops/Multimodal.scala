@@ -231,6 +231,32 @@ object Multimodal {
       .select(col("id").as("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Aspect-ratio bucketing for batched vision training (the SDXL-style
+    * prepass: group images by nearest aspect bucket so a batch shares one
+    * shape). Closeness of (w, h) to bucket (bw, bh) is computed from EXACT
+    * integer cross-products — min(w*bh, bw*h) / max(w*bh, bw*h) — one IEEE
+    * division, no transcendental functions, so an independent engine
+    * reproduces the argmax bit-for-bit (log-ratio distance would hinge on
+    * libm rounding). Ties break to the lowest bucket index. Map-only.
+    * Output: (image_id, w, h, bucket_idx, bucket_w, bucket_h, closeness).
+    */
+  def aspectBucket(images: DataFrame, buckets: Seq[(Int, Int)]): DataFrame = {
+    require(buckets.nonEmpty)
+    val cands = buckets.zipWithIndex.map { case ((bw, bh), i) =>
+      val cross1 = col("w").cast("long") * bh
+      val cross2 = lit(bw.toLong) * col("h")
+      val closeness = least(cross1, cross2).cast("double") / greatest(cross1, cross2)
+      struct(closeness.as("c"), lit(-i).as("negIdx"), lit(bw).as("bw"), lit(bh).as("bh"))
+    }
+    val best = if (cands.size == 1) cands.head else greatest(cands: _*)
+    images.select(
+      col("image_id"), col("w"), col("h"),
+      (-best.getField("negIdx")).as("bucket_idx"),
+      best.getField("bw").as("bucket_w"),
+      best.getField("bh").as("bucket_h"),
+      round(best.getField("c"), 6).as("closeness"))
+  }
+
   /** LAION/DataComp-style image+caption curation filter over the
     * BASELINE.json input_hint table (image_id, bytes, w, h, fmt, caption,
     * phash): dimension floors, aspect-ratio cap, pixel floor, format

@@ -52,6 +52,23 @@ class ImageFilterSpec extends SparkSpec {
       .foreach(id => assert(!flag(id, "keep"), id))
   }
 
+  test("aspectBucket assigns the ratio-nearest bucket with index tie-break") {
+    val imgs = Seq(
+      ("sq", 60, 60), ("wide", 100, 55), ("tall", 30, 52), ("exact", 80, 48)
+    ).map { case (id, w, h) => (id, Array[Byte](1), w, h, "png", "cap here ok", 1L) }
+      .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    val buckets = Seq((64, 64), (80, 48), (48, 80), (80, 64), (64, 80))
+    val out = Multimodal.aspectBucket(imgs, buckets)
+      .collect().map(r => r.getString(0) -> ((r.getInt(3), r.getInt(4), r.getInt(5)))).toMap
+    assert(out("sq") == ((0, 64, 64)))
+    assert(out("wide") == ((1, 80, 48)), out("wide").toString)   // 1.82 nearest 5/3
+    assert(out("tall") == ((2, 48, 80)), out("tall").toString)   // 0.577 nearest 0.6
+    assert(out("exact") == ((1, 80, 48)), "exact ratio match, closeness 1")
+    val close = Multimodal.aspectBucket(imgs, buckets)
+      .collect().map(r => r.getString(0) -> r.getDouble(6)).toMap
+    assert(math.abs(close("exact") - 1.0) < 1e-9)
+  }
+
   test("feature columns carry the rounded values the rules are applied to") {
     val rows = Seq(row("r", w = 48, h = 32, nBytes = 1536)) // aspect 1.5, bpp 1.0
       .toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
