@@ -2901,8 +2901,8 @@ object QueryCatalog {
         |f AS (
         |  SELECT image_id, w, h, fmt, phash, cap,
         |    CAST(w AS BIGINT) * h AS pixels,
-        |    round(CAST(greatest(w, h) AS DOUBLE) / least(w, h), 6) AS aspect_ratio,
-        |    round(CAST(blen AS DOUBLE) / (CAST(w AS BIGINT) * h), 6) AS bytes_per_pixel,
+        |    round(CAST(greatest(w, h) AS DOUBLE) / greatest(least(w, h), 1), 6) AS aspect_ratio,
+        |    round(CAST(blen AS DOUBLE) / greatest(CAST(w AS BIGINT) * h, 1), 6) AS bytes_per_pixel,
         |    length(cap) AS caption_chars,
         |    len(list_filter(regexp_split_to_array(trim(cap), '\s+'), x -> length(x) > 0)) AS caption_words
         |  FROM d)

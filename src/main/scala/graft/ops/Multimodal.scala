@@ -278,11 +278,13 @@ object Multimodal {
       minCaptionChars: Int = 5,
       minCaptionWords: Int = 2,
       maxCaptionWords: Int = 64): DataFrame = {
+    // divisors floored at 1 so a degenerate 0-dim row fails ok_dims/ok_pixels
+    // deterministically instead of nulling every downstream verdict
     val pixels = (col("w").cast("long") * col("h")).as("pixels")
     val aspect = round(greatest(col("w"), col("h")).cast("double") /
-      least(col("w"), col("h")), 6).as("aspect_ratio")
+      greatest(least(col("w"), col("h")), lit(1)), 6).as("aspect_ratio")
     val bpp = round(length(col("bytes")).cast("double") /
-      (col("w").cast("long") * col("h")), 6).as("bytes_per_pixel")
+      greatest(col("w").cast("long") * col("h"), lit(1L)), 6).as("bytes_per_pixel")
     val capWords = size(filter(split(trim(col("caption")), "\\s+"), x => length(x) > 0))
       .as("caption_words")
     val f = images.select(
