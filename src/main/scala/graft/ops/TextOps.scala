@@ -791,7 +791,7 @@ object TextOps {
 
     val counts = grams
       .groupBy(col(idCol), col("__n"), col("__h"))
-      .agg(count(lit(1)).as("__c"), first(col("__len")).as("__len"))
+      .agg(count(lit(1)).as("__c"), min(col("__len")).as("__len"))
 
     // Top-gram char fraction per (id, n in topNs).
     val tops = counts
