@@ -3173,6 +3173,198 @@ object QueryCatalog {
       .orderBy(col("user_id"))
   }
 
+  // ---- HyperLogLog distinct sketch (Flajolet 2007; the count-distinct-URLs
+  // question at frontier scale). Registers are ALL-INTEGER — bucket = low 6
+  // bits of the 60-bit md5 half, rank = leading zeros of the rest + 1 via
+  // bin()-string length (identical semantics both engines) — so the oracle
+  // replays the sketch bit-for-bit. Keys carry a ×3 duplication
+  // (event_id div 3) to prove the sketch counts distinct, not rows.
+  private val hllRegistersSql: String =
+    """h AS (
+      |  SELECT CAST(concat('0x', substr(md5('e' || CAST(event_id // 3 AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM events),
+      |reg AS (
+      |  SELECT h & 63 AS bucket,
+      |         max(CASE WHEN (h >> 6) = 0 THEN 55 ELSE 55 - length(bin(h >> 6)) END) AS r
+      |  FROM h GROUP BY 1)""".stripMargin
+
+  register(
+    "td_distinct_hll",
+    Some(
+      s"""WITH $hllRegistersSql
+         |SELECT CAST(bucket AS INT) AS bucket, CAST(r AS INT) AS r FROM reg""".stripMargin
+    )
+  ) { (s, dir) =>
+    val keyed = t(s, dir, "events")
+      .select(concat(lit("e"), expr("event_id div 3").cast("string")).as("key"))
+    graft.ops.Sketches.hllRegisters(keyed, "key", b = 6)
+  }
+
+  // The estimate off those registers: harmonic sum accumulated as an exact
+  // integer in units of 2^-61 (HUGEINT / DECIMAL — order-independent), one
+  // correctly-rounded division; the small-range linear-counting branch is
+  // replayed as the same CASE (the corpus keeps the raw estimate > 2.5m so
+  // the ln path stays cold on both engines). alpha·m²·2^61 is ONE double
+  // literal shared textually by both sides.
+  register(
+    "td_distinct_hll_estimate", {
+      val numer = graft.ops.Sketches.hllAlpha(64) * 64 * 64 * math.pow(2.0, 61)
+      Some(
+        s"""WITH $hllRegistersSql,
+           |z AS (
+           |  SELECT CAST(count(*) AS INT) AS nonzero,
+           |         CAST(64 - count(*) AS INT) AS zeros,
+           |         CAST(sum(r) AS BIGINT) AS sum_r,
+           |         CAST(sum(1::HUGEINT << (61 - r)) + (64 - count(*)) * (1::HUGEINT << 61) AS DOUBLE) AS zd
+           |  FROM reg)
+           |SELECT nonzero, zeros, sum_r,
+           |  round(CASE WHEN $numer / zd <= 160.0 AND zeros > 0
+           |             THEN 64.0 * ln(64.0 / zeros)
+           |             ELSE $numer / zd END, 4) AS est
+           |FROM z""".stripMargin)
+    }
+  ) { (s, dir) =>
+    val keyed = t(s, dir, "events")
+      .select(concat(lit("e"), expr("event_id div 3").cast("string")).as("key"))
+    graft.ops.Sketches.hllEstimate(graft.ops.Sketches.hllRegisters(keyed, "key", b = 6), b = 6)
+  }
+
+  // ---- CCNet-style bigram LM quality scoring (Wenzek et al. 2020) ---------
+  // Model trained on the src0-src4 stratum (the "clean reference"); every
+  // doc scored by mean bigram log-prob, bucketed head/middle/tail. OOV
+  // bigrams are injected by doc_id IDENTICALLY on both sides. Per-gram
+  // log-probs round to 9 dp and sum as DECIMAL so the aggregation is exact
+  // and order-independent; the bucket compares the once-rounded mean.
+  register(
+    "td_lm_score",
+    Some(
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |         text || CASE WHEN doc_id % 9 = 0
+        |                      THEN ' zq' || CAST(doc_id % 13 AS VARCHAR) || ' glyph'
+        |                      ELSE '' END AS t
+        |  FROM documents),
+        |tok AS (SELECT doc_id, source,
+        |               list_filter(string_split(t, ' '), w -> length(w) > 0) AS ws
+        |        FROM base),
+        |bg AS (
+        |  SELECT doc_id, source, ws[i] || ' ' || ws[i+1] AS gram
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i)
+        |  WHERE len(ws) >= 2),
+        |model AS (SELECT gram, count(*) AS cnt FROM bg
+        |          WHERE source IN ('src0','src1','src2','src3','src4') GROUP BY 1),
+        |consts AS (SELECT sum(cnt) AS t, count(*) AS v FROM model),
+        |scored AS (
+        |  SELECT bg.doc_id,
+        |         CAST(round(ln((coalesce(m.cnt, 0) + 1.0) / (c.t + c.v + 1)), 9) AS DECIMAL(18,9)) AS lnp,
+        |         CASE WHEN m.cnt IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM bg LEFT JOIN model m USING (gram) CROSS JOIN consts c),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_grams, sum(oov) AS n_oov,
+        |         round(CAST(sum(lnp) AS DOUBLE) / count(*), 4) AS lm_score
+        |  FROM scored GROUP BY 1)
+        |SELECT doc_id, n_grams, n_oov, lm_score,
+        |  CASE WHEN lm_score >= -6.81 THEN 'head'
+        |       WHEN lm_score >= -6.94 THEN 'middle'
+        |       ELSE 'tail' END AS lm_bucket
+        |FROM agg""".stripMargin
+    )
+  ) { (s, dir) =>
+    val decorated = t(s, dir, "documents").select(
+      col("doc_id"), col("source"),
+      concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(9)) === 0,
+          concat(lit(" zq"), pmod(col("doc_id"), lit(13)).cast("string"), lit(" glyph")))
+          .otherwise(lit(""))).as("t"))
+    TextOps.lmScore(
+      decorated,
+      refFilter = col("source").isin("src0", "src1", "src2", "src3", "src4"),
+      idCol = "doc_id", textCol = "t")
+  }
+
+  // ---- DSIR importance weighting (Xie et al. 2023) -------------------------
+  // Hashed bigram features (md5 60-bit % 4096 — the exact pmod both engines
+  // share), target = English stratum, raw = whole corpus; per-feature
+  // log-ratio assembled from exact integer cross-products with ONE division,
+  // rounded once, summed as DECIMAL.
+  register(
+    "td_dsir_weights",
+    Some(
+      """WITH tok AS (
+        |  SELECT doc_id, lang = 'en' AS tgt,
+        |         list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, tgt,
+        |         CAST(concat('0x', substr(md5(ws[i] || ' ' || ws[i+1]), 1, 15)) AS BIGINT) % 4096 AS feat
+        |  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i)
+        |  WHERE len(ws) >= 2),
+        |counts AS (
+        |  SELECT feat, count(*) AS cr, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+        |  FROM bg GROUP BY 1),
+        |consts AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM counts),
+        |fw AS (
+        |  SELECT feat,
+        |         CAST(round(ln(CAST((ct + 1) * (c.tr + 4096) AS DOUBLE) /
+        |                       CAST((cr + 1) * (c.tt + 4096) AS DOUBLE)), 9) AS DECIMAL(18,9)) AS w
+        |  FROM counts CROSS JOIN consts c),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_feats,
+        |         round(CAST(sum(w) AS DOUBLE), 4) AS dsir_weight
+        |  FROM bg JOIN fw USING (feat) GROUP BY 1)
+        |SELECT doc_id, n_feats, dsir_weight, dsir_weight >= 0.0 AS keep
+        |FROM agg""".stripMargin
+    )
+  ) { (s, dir) =>
+    TextOps.dsirWeights(
+      t(s, dir, "documents"),
+      targetFilter = col("lang") === "en",
+      idCol = "doc_id", textCol = "text")
+  }
+
+  // ---- image dedup DECISION: pHash clusters keep the best rendition --------
+  // Banded near-dup pairs → connected components → max-pixels survivor
+  // (ties to lowest id). Pixels are synthesized from the variant suffix
+  // IDENTICALLY on both sides so the resolution preference is exercised
+  // (real fixture variants share dims); the oracle recomputes clusters from
+  // the fixture-exported phashes with brute pairs + a recursive CTE —
+  // independent of the banding + label propagation under test.
+  register(
+    "mm_phash_dedup_survivors",
+    Some(
+      """WITH RECURSIVE ph AS (
+        |  SELECT id, phash,
+        |         1000 + CAST(substr(id, length(id), 1) AS INT) * 10 AS pixels
+        |  FROM read_parquet('/tmp/graft_phash_neardup/f_96/*.parquet')),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM ph a JOIN ph b ON a.id < b.id
+        |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT DISTINCT a AS node, a AS r FROM edges
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b),
+        |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY 1),
+        |lab AS (
+        |  SELECT ph.id, coalesce(c.component, ph.id) AS component, CAST(ph.pixels AS BIGINT) AS pixels
+        |  FROM ph LEFT JOIN comp c ON c.node = ph.id),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY component ORDER BY pixels DESC, id ASC) AS rn
+        |  FROM lab)
+        |SELECT id, component, pixels, rn = 1 AS is_survivor FROM rk""".stripMargin
+    )
+  ) { (s, _) =>
+    graft.fixtures.Images.exportNearDupPhashes(s, 96)
+    val feats = graft.ops.Multimodal
+      .imageFeatures(graft.ops.Multimodal.syntheticNearDupTable(s, 96))
+      .toDF()
+      .withColumn("pixels",
+        lit(1000) + expr("cast(substr(id, length(id), 1) as int)") * 10)
+    graft.ops.Multimodal.phashDedupSurvivors(feats, maxHamming = 3)
+  }
+
   // -------------------------------------------------------------------------
 
   lazy val all: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap

@@ -231,6 +231,43 @@ object Multimodal {
       .select(col("id").as("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** The full image-dedup decision (the LAION-style prepass): near-dup
+    * PAIRS from the banded pHash join become duplicate CLUSTERS via
+    * connected components, and each cluster keeps its best rendition —
+    * highest `pixelsCol`, ties to the lowest id — instead of the arbitrary
+    * first-seen copy. Images with no near-dup partner are their own
+    * singleton cluster (component = own id) without entering the CC loop.
+    *
+    * Scale shape: candidate generation is the pigeonhole-banded equi-join
+    * (never all-pairs, [[phashNearDupPairs]]); components run only over the
+    * PAIR graph (a vanishing fraction of the corpus — singletons join in by
+    * a left join afterwards); survivor election is one window partitioned
+    * by component (dedup clusters are small, so no unpartitioned-window
+    * hazard).
+    *
+    * Output: (id, component, pixels, is_survivor) for EVERY input image.
+    */
+  def phashDedupSurvivors(
+      features: DataFrame,
+      maxHamming: Int,
+      idCol: String = "id",
+      phashCol: String = "phash",
+      pixelsCol: String = "pixels"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = features.select(
+      col(idCol).cast("string").as("id"), col(phashCol), col(pixelsCol).cast("long").as("pixels"))
+    val pairs = phashNearDupPairs(f, maxHamming, "id", phashCol)
+    val comps = GraphOps.connectedComponents(pairs, "id_a", "id_b")
+    val labeled = f
+      .join(comps, f("id") === comps("node"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"), col("pixels"))
+    val w = Window.partitionBy(col("component")).orderBy(col("pixels").desc, col("id").asc)
+    labeled
+      .withColumn("__rn", row_number().over(w))
+      .select(col("id"), col("component"), col("pixels"), (col("__rn") === 1).as("is_survivor"))
+  }
+
   /** Aspect-ratio bucketing for batched vision training (the SDXL-style
     * prepass: group images by nearest aspect bucket so a batch shares one
     * shape). Closeness of (w, h) to bucket (bw, bh) is computed from EXACT

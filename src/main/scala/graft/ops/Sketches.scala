@@ -80,4 +80,83 @@ object Sketches {
       .orderBy(col("est").desc, col(keyCol).asc)
       .limit(k)
   }
+
+  // ==== HyperLogLog distinct-count sketch (Flajolet et al. 2007) ===========
+  //
+  // The 10^10-frontier "how many distinct URLs have we seen" question that
+  // an exact count(distinct) answers with a full shuffle of every key: the
+  // HLL register table is m = 2^b integers, built with ONE map-combinable
+  // max-aggregation (each partition collapses to ≤ m rows before the
+  // exchange), and sketches of disjoint inputs merge by element-wise max —
+  // the shape that survives any scale.
+  //
+  // Determinism: the hash is the same 60-bit md5 half the CMS uses; the
+  // register index is the low b bits, the rank is the leading-zero count of
+  // the remaining 60-b bits + 1, computed EXACTLY as (60-b+1) - len(bin(w))
+  // (bin() prints without leading zeros in both Spark and DuckDB, so an
+  // independent engine replays every register bit-for-bit — no
+  // floating-point until the final estimate, whose one division is
+  // correctly rounded).
+
+  /** Number of register bits `b` must satisfy 0 < b < 32; m = 2^b. */
+  def hllRegisters(df: DataFrame, keyCol: String, b: Int): DataFrame = {
+    require(b > 0 && b < 32, s"b out of range: $b")
+    val m = 1L << b
+    val h = h1(col(keyCol))
+    // h is 60 bits (15 hex chars), non-negative: arithmetic shift == logical
+    val w = shiftright(h, b)
+    val rank = when(w === 0, lit(60 - b + 1))
+      .otherwise(lit(60 - b + 1) - length(bin(w)))
+    df.select(h.bitwiseAND(lit(m - 1)).cast("int").as("bucket"), rank.cast("int").as("r"))
+      .groupBy(col("bucket"))
+      .agg(max(col("r")).as("r"))
+  }
+
+  /** Merge two register tables (sketches of disjoint or overlapping inputs):
+    * element-wise max. Associative/commutative/idempotent, so shards built
+    * independently per partition/day/table union into one corpus sketch.
+    */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("bucket")).agg(max(col("r")).as("r"))
+
+  /** The standard alpha_m bias constant. */
+  def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /** Cardinality estimate from a register table: raw harmonic-mean estimate
+    * with the standard small-range linear-counting correction. The harmonic
+    * sum Z = Σ 2^-r is accumulated as an INTEGER in units of 2^-61
+    * (2^(61-r) per register, decimal sum — exact and order-independent,
+    * where a double sum would round differently per aggregation order), so
+    * the only floating-point steps are one correctly-rounded division and,
+    * on the small-range branch only, one ln.
+    * Output: one row (nonzero, zeros, sum_r, est).
+    */
+  def hllEstimate(registers: DataFrame, b: Int): DataFrame = {
+    require(b > 0 && b < 32, s"b out of range: $b")
+    val m = 1 << b
+    val numer = hllAlpha(m) * m * m * math.pow(2.0, 61) // exact: alpha * m^2 * 2^61
+    registers
+      .agg(
+        count(lit(1)).cast("int").as("nonzero"),
+        sum(col("r")).cast("long").as("sum_r"),
+        sum(expr("cast(shiftleft(1L, cast(61 - r as int)) as decimal(38,0))")).as("__z_hit"))
+      .select(
+        col("nonzero"),
+        (lit(m) - col("nonzero")).as("zeros"),
+        col("sum_r"),
+        (col("__z_hit") + (lit(m) - col("nonzero")).cast("decimal(38,0)") *
+          lit(BigDecimal(2).pow(61))).cast("double").as("__z"))
+      .select(
+        col("nonzero"), col("zeros"), col("sum_r"),
+        round(
+          when(lit(numer) / col("__z") <= lit(2.5 * m) && col("zeros") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("zeros")))
+            .otherwise(lit(numer) / col("__z")),
+          4).as("est"))
+  }
 }

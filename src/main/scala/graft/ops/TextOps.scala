@@ -864,4 +864,138 @@ object TextOps {
             okLineChar.as("ok_dup_line_chars"), okParaChar.as("ok_dup_para_chars")) ++
         okTop ++ okDup ++ Seq(keep.as("keep"))): _*)
   }
+
+  // ==== n-gram LM scoring (CCNet / DSIR-style corpus curation) =============
+
+  /** Word n-grams WITH multiplicity (one output row per n-gram OCCURRENCE;
+    * [[shingles]] is the distinct-per-doc variant). Extra columns listed in
+    * `carry` ride through the generator. Docs with fewer than n words emit
+    * nothing. The word array is projected once and consumed twice (sequence
+    * bound + lambda body), so the split survives CollapseProject and runs
+    * once per row — the HOF-lambda rule (SCALE.md).
+    */
+  private def ngramOccurrences(
+      df: DataFrame, idCol: String, textCol: String, n: Int, carry: Seq[String]): DataFrame = {
+    val words = col("__words")
+    df.select(
+        (Seq(col(idCol)) ++ carry.map(col) :+
+          filter(split(col(textCol), " "), w => length(w) > 0).as("__words")): _*)
+      .filter(size(words) >= n)
+      .select(
+        (Seq(col(idCol)) ++ carry.map(col) :+
+          explode(
+            transform(
+              sequence(lit(0), size(words) - n),
+              i => concat_ws(" ", slice(words, i + 1, lit(n)))
+            )
+          ).as("gram")): _*)
+  }
+
+  /** CCNet-style n-gram LM quality scoring (Wenzek et al. 2020): train an
+    * add-one-smoothed n-gram model on the `refFilter` stratum (the "clean"
+    * corpus — CCNet uses Wikipedia), score every document by mean token
+    * log-probability, and bucket into head / middle / tail. Documents with
+    * fewer than n words are dropped (no grams to score).
+    *
+    * Scale shape: the model is ONE count aggregation over the reference
+    * grams; scoring is a join of the corpus's gram stream against the model
+    * table (shuffle-on-gram — the model is NOT collected or broadcast by
+    * hand: at web scale it can be billions of rows, and AQE broadcasts it
+    * only when it is actually small) followed by one per-doc aggregation.
+    * Per-gram log-probs are rounded to 9 dp and accumulated as
+    * DECIMAL(18,9) — decimal sums are exact and order-independent, where a
+    * double sum would differ run-to-run with partial-aggregation order.
+    *
+    * Output: (id, n_grams, n_oov, lm_score, lm_bucket) — lm_score is the
+    * mean gram log-prob rounded to 4 dp; the bucket thresholds compare the
+    * ROUNDED score so the decision is reproducible cross-engine.
+    */
+  def lmScore(
+      df: DataFrame,
+      refFilter: Column,
+      idCol: String,
+      textCol: String,
+      n: Int = 2,
+      headThreshold: Double = -6.81,
+      tailThreshold: Double = -6.94): DataFrame = {
+    val grams = ngramOccurrences(
+      df.withColumn("__ref", refFilter), idCol, textCol, n, carry = Seq("__ref"))
+    val model = grams.filter(col("__ref")).groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+    // T = reference gram occurrences, V = reference gram vocabulary: one
+    // tiny frame, cross-joined (broadcast) into the per-gram score.
+    val consts = model.agg(sum(col("cnt")).as("__t"), count(lit(1)).as("__v"))
+    val lnp = round(
+      log((coalesce(col("cnt"), lit(0L)) + lit(1)).cast("double") /
+        (col("__t") + col("__v") + lit(1)).cast("double")),
+      9).cast("decimal(18,9)")
+    val scored = grams
+      .join(model, Seq("gram"), "left")
+      .crossJoin(broadcast(consts))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(lnp).as("__score"))
+    val avg = round(col("__score").cast("double") / col("n_grams"), 4)
+    scored.select(
+      col(idCol), col("n_grams"), col("n_oov"), avg.as("lm_score"),
+      when(avg >= headThreshold, lit("head"))
+        .when(avg >= tailThreshold, lit("middle"))
+        .otherwise(lit("tail")).as("lm_bucket"))
+  }
+
+  /** DSIR importance weighting (Xie et al. 2023): hashed n-gram features,
+    * per-document importance weight = Σ over feature occurrences of
+    * log p_target(f) − log p_raw(f), both distributions add-one smoothed
+    * over `buckets` hash buckets. `targetFilter` marks the target-domain
+    * stratum; the raw distribution is the whole input. Selection keeps
+    * documents whose weight clears `keepThreshold` (the reference method
+    * samples ∝ exp(weight); the deterministic threshold is the reproducible
+    * form of the same ranking).
+    *
+    * Scale shape: feature counts collapse to ≤ `buckets` rows (one
+    * map-combinable aggregation — both distributions in a single pass via
+    * conditional counts); the per-feature log-ratio table is at most
+    * `buckets` rows and is explicitly broadcast into the scoring join, so
+    * the corpus never shuffles. The log-ratio argument is assembled from
+    * exact integer cross-products — ((ct+1)·(Tr+B)) / ((cr+1)·(Tt+B)) as
+    * ONE division — then rounded to 9 dp and summed as DECIMAL (exact,
+    * order-independent).
+    *
+    * Output: (id, n_feats, dsir_weight, keep).
+    */
+  def dsirWeights(
+      df: DataFrame,
+      targetFilter: Column,
+      idCol: String,
+      textCol: String,
+      n: Int = 2,
+      buckets: Int = 4096,
+      keepThreshold: Double = 0.0): DataFrame = {
+    val grams = ngramOccurrences(
+      df.withColumn("__target", targetFilter), idCol, textCol, n, carry = Seq("__target"))
+    val feats = grams.select(
+      col(idCol), col("__target"),
+      pmod(md5Hash60(col("gram")), lit(buckets.toLong)).as("feat"))
+    val counts = feats.groupBy(col("feat")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("__target"), 1L).otherwise(0L)).as("ct"))
+    val consts = counts.agg(sum(col("cr")).as("__tr"), sum(col("ct")).as("__tt"))
+    // ln(p_t/p_r) with add-one smoothing over `buckets` buckets:
+    // exact integer products (≪ 2^53 at any count the decimal sum permits),
+    // one correctly-rounded division, one ln, rounded once.
+    val term = round(
+      log(((col("ct") + lit(1)) * (col("__tr") + lit(buckets))).cast("double") /
+        ((col("cr") + lit(1)) * (col("__tt") + lit(buckets))).cast("double")),
+      9).cast("decimal(18,9)")
+    val featWeights = counts.crossJoin(broadcast(consts)).select(col("feat"), term.as("__w"))
+    val weight = round(col("__sum").cast("double"), 4)
+    feats
+      .join(broadcast(featWeights), Seq("feat"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum(col("__w")).as("__sum"))
+      .select(
+        col(idCol), col("n_feats"), weight.as("dsir_weight"),
+        (weight >= keepThreshold).as("keep"))
+  }
 }

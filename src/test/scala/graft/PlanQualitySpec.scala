@@ -181,4 +181,32 @@ class PlanQualitySpec extends SparkSpec {
       docs.select("source").distinct(), sketch, "source", 4, 64))
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("HLL registers build as ONE map-combinable aggregation — single exchange, no UDF") {
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val p = plan(graft.ops.Sketches.hllRegisters(docs, "source", b = 6))
+    assert(!p.contains("ScalaUDF"), p)
+    // exactly one shuffle (partial HashAggregate -> exchange -> final):
+    // each executor ships at most m=64 rows regardless of input size
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_max") || p.contains("HashAggregate"), p)
+  }
+
+  test("DSIR scoring broadcasts the bounded feature-weight table — the corpus never shuffles for the join") {
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val p = plan(graft.ops.TextOps.dsirWeights(
+      docs, col("lang") === "en", "doc_id", "text"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
+  test("pHash survivor election: banded candidates, no cartesian, window partitioned by component") {
+    import spark.implicits._
+    val feats = (0 until 64).map(i => (s"im$i", (i * 2654435761L) ^ (i << 7), 100L + i))
+      .toDF("id", "phash", "pixels")
+    val p = plan(graft.ops.Multimodal.phashDedupSurvivors(feats, maxHamming = 3))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("No Partition Defined"), p)
+  }
 }

@@ -48,4 +48,47 @@ class SketchesSpec extends SparkSpec {
       .collect()(0).getLong(1)
     assert(est >= 0)
   }
+
+  // ---- HyperLogLog ---------------------------------------------------------
+
+  private def regMap(df: org.apache.spark.sql.DataFrame): Map[Int, Int] =
+    df.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+
+  test("HLL registers are bounded by m and insensitive to duplication") {
+    val distinct = (0 until 500).map(i => s"url$i").toDF("key")
+    val dupped = (0 until 5000).map(i => s"url${i % 500}").toDF("key")
+    val a = regMap(Sketches.hllRegisters(distinct, "key", b = 6))
+    val b = regMap(Sketches.hllRegisters(dupped, "key", b = 6))
+    assert(a.size <= 64)
+    assert(a == b, "registers must depend on the distinct key set only")
+  }
+
+  test("HLL sketches of input shards merge to the whole-input sketch (max)") {
+    val left = (0 until 400).map(i => s"k$i").toDF("key")
+    val right = (200 until 700).map(i => s"k$i").toDF("key") // overlap on purpose
+    val whole = (0 until 700).map(i => s"k$i").toDF("key")
+    val merged = regMap(Sketches.hllMerge(
+      Sketches.hllRegisters(left, "key", 6), Sketches.hllRegisters(right, "key", 6)))
+    assert(merged == regMap(Sketches.hllRegisters(whole, "key", 6)))
+  }
+
+  test("HLL estimate lands within the sketch's error band (m=64 => ~13% sigma)") {
+    for (n <- Seq(500, 2000, 8000)) {
+      val keys = (0 until n).map(i => s"item-$i").toDF("key")
+      val est = Sketches.hllEstimate(Sketches.hllRegisters(keys, "key", 6), 6)
+        .collect()(0).getAs[Double]("est")
+      // 3 sigma at 1.04/sqrt(64) ~ 39%
+      assert(math.abs(est - n) / n < 0.39, s"n=$n est=$est")
+    }
+  }
+
+  test("HLL small-range linear counting engages and is near-exact for tiny sets") {
+    val keys = (0 until 8).map(i => s"rare$i").toDF("key")
+    val row = Sketches.hllEstimate(Sketches.hllRegisters(keys, "key", 6), 6).collect()(0)
+    val zeros = row.getAs[Int]("zeros")
+    val est = row.getAs[Double]("est")
+    assert(zeros > 0, "8 keys cannot fill 64 registers")
+    // linear counting m*ln(m/zeros) is near-exact in this regime
+    assert(math.abs(est - 8) < 2.0, s"est=$est")
+  }
 }
