@@ -3365,6 +3365,140 @@ object QueryCatalog {
     graft.ops.Multimodal.phashDedupSurvivors(feats, maxHamming = 3)
   }
 
+  // ---- frontier analytics: host-level spam/trap scoring --------------------
+  // A URL-shape corpus with per-host-parity path cardinality (even hosts:
+  // ~197 distinct paths — healthy; odd hosts: 20 — a trap/farm shape), deep
+  // paths on every 11th URL, query strings on every other; both engines
+  // synthesize the identical corpus and the oracle replays the aggregate
+  // ratios + composite score.
+  private val hostQualityUrlSql: String =
+    """('https://h' || (user_id % 5) || '.site.test/' ||
+      |(CASE WHEN event_id % 11 = 0 THEN 'a/b/c/d/e/f' || (event_id % 3)
+      |      ELSE 'p' || (event_id % (CASE WHEN (user_id % 5) % 2 = 1 THEN 20 ELSE 197 END)) END) ||
+      |(CASE WHEN event_id % 2 = 0 THEN '?s=' || (event_id % 7) ELSE '' END))"""
+      .stripMargin.replace("\n", " ")
+
+  private def hostQualityUrlCol: Column = concat(
+    lit("https://h"), pmod(col("user_id"), lit(5)), lit(".site.test/"),
+    when(pmod(col("event_id"), lit(11)) === 0,
+      concat(lit("a/b/c/d/e/f"), pmod(col("event_id"), lit(3))))
+      .otherwise(concat(lit("p"),
+        pmod(col("event_id"),
+          when(pmod(pmod(col("user_id"), lit(5)), lit(2)) === 1, lit(20)).otherwise(lit(197))))),
+    when(pmod(col("event_id"), lit(2)) === 0,
+      concat(lit("?s="), pmod(col("event_id"), lit(7)))).otherwise(lit("")))
+
+  register(
+    "fr_host_quality",
+    Some(
+      s"""WITH u AS (SELECT $hostQualityUrlSql AS url, user_id, event_id FROM events),
+         |shaped AS (
+         |  SELECT 'h' || (user_id % 5) || '.site.test' AS host,
+         |         regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+         |         len(list_filter(string_split(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/'), s -> length(s) > 0)) AS depth,
+         |         CASE WHEN contains(url, '?') THEN 1 ELSE 0 END AS has_q
+         |  FROM u),
+         |agg AS (
+         |  SELECT host, count(*) AS n_urls, count(DISTINCT path) AS n_paths,
+         |         sum(CASE WHEN depth > 4 THEN 1 ELSE 0 END) AS n_deep,
+         |         sum(has_q) AS n_q
+         |  FROM shaped GROUP BY 1),
+         |r AS (
+         |  SELECT host, n_urls, n_paths,
+         |         round(1.0 - CAST(n_paths AS DOUBLE) / n_urls, 6) AS dup_path_ratio,
+         |         round(CAST(n_deep AS DOUBLE) / n_urls, 6) AS deep_ratio,
+         |         round(CAST(n_q AS DOUBLE) / n_urls, 6) AS param_ratio
+         |  FROM agg)
+         |SELECT host, n_urls, n_paths, dup_path_ratio, deep_ratio, param_ratio,
+         |  round(0.5 * dup_path_ratio + 0.3 * deep_ratio + 0.2 * param_ratio, 6) AS spam_score,
+         |  round(0.5 * dup_path_ratio + 0.3 * deep_ratio + 0.2 * param_ratio, 6) >= 0.5 AS is_spam
+         |FROM r""".stripMargin
+    )
+  ) { (s, dir) =>
+    graft.ops.CrawlAnalytics.hostQuality(
+      t(s, dir, "events").select(hostQualityUrlCol.as("url"), col("user_id"), col("event_id")),
+      "url")
+  }
+
+  // ---- frontier analytics: change-rate revisit scheduling ------------------
+  // Cho & Garcia-Molina's bias-corrected change-rate estimator over a
+  // synthetic visit log with three URL families (always-changed / never-
+  // changed / one-in-three): the oracle replays the counts, the half-offset
+  // ratio, one ln rounded once, and the bucket thresholds on the rounded
+  // rate.
+  register(
+    "fr_revisit_schedule",
+    Some(
+      """WITH hist AS (
+        |  SELECT 'https://w.test/p' || (event_id % 149) AS url,
+        |         CASE WHEN event_id % 149 < 30 THEN true
+        |              WHEN event_id % 149 >= 120 THEN false
+        |              ELSE event_id % 3 = 0 END AS changed
+        |  FROM events),
+        |agg AS (
+        |  SELECT url, count(*) AS n_visits,
+        |         sum(CASE WHEN changed THEN 1 ELSE 0 END) AS n_changes
+        |  FROM hist GROUP BY 1),
+        |r AS (
+        |  SELECT url, n_visits, n_changes,
+        |         round(-ln((n_visits - n_changes + 0.5) / (n_visits + 0.5)), 9) AS change_rate
+        |  FROM agg)
+        |SELECT url, n_visits, n_changes, change_rate,
+        |  CASE WHEN change_rate >= 0.7 THEN 'fast'
+        |       WHEN change_rate < 0.1 THEN 'slow'
+        |       ELSE 'default' END AS revisit_bucket
+        |FROM r""".stripMargin
+    )
+  ) { (s, dir) =>
+    val m149 = pmod(col("event_id"), lit(149))
+    val hist = t(s, dir, "events").select(
+      concat(lit("https://w.test/p"), m149).as("url"),
+      when(m149 < 30, lit(true))
+        .when(m149 >= 120, lit(false))
+        .otherwise(pmod(col("event_id"), lit(3)) === 0).as("changed"))
+    graft.ops.CrawlAnalytics.revisitSchedule(hist, "url", "changed")
+  }
+
+  // ---- multimodal batch prepass: ViT patch counting + sequence packing -----
+  // NaViT-style: per-image token cost = ceil(w/14)·ceil(h/14) (exact integer
+  // ceil-division both engines), then the SAME per-shard concat-then-chunk
+  // interval assignment the text path uses (td_pack_sequences) over patch
+  // counts.
+  register(
+    "mm_pack_patches",
+    Some(
+      """WITH img AS (
+        |  SELECT event_id AS image_id, 's' || (user_id % 8) AS shard,
+        |         64 + event_id % 97 AS w, 64 + event_id % 89 AS h
+        |  FROM events),
+        |tok AS (
+        |  SELECT image_id, shard,
+        |         ((w + 13) // 14) * ((h + 13) // 14) AS n_patches
+        |  FROM img),
+        |c AS (
+        |  SELECT image_id, shard, n_patches,
+        |         CAST(sum(n_patches) OVER (PARTITION BY shard ORDER BY image_id
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+        |  FROM tok)
+        |SELECT image_id, shard, n_patches,
+        |  e - n_patches AS start_token,
+        |  e AS end_token,
+        |  CAST(floor(CAST(e - n_patches AS DOUBLE) / 256) AS BIGINT) AS first_seq,
+        |  CAST(floor(CAST(greatest(e - 1, e - n_patches) AS DOUBLE) / 256) AS BIGINT) AS last_seq
+        |FROM c""".stripMargin
+    )
+  ) { (s, dir) =>
+    val img = t(s, dir, "events").select(
+      col("event_id").as("image_id"),
+      concat(lit("s"), pmod(col("user_id"), lit(8))).as("shard"),
+      (lit(64) + pmod(col("event_id"), lit(97))).as("w"),
+      (lit(64) + pmod(col("event_id"), lit(89))).as("h"))
+    val tok = img.select(
+      col("image_id"), col("shard"),
+      graft.ops.Multimodal.vitPatchCount(col("w"), col("h"), patch = 14).as("n_patches"))
+    Sampling.packSequences(tok, "image_id", "n_patches", seqLen = 256, shardCol = "shard")
+  }
+
   // -------------------------------------------------------------------------
 
   lazy val all: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap

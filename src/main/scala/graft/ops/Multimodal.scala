@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.fixtures.Images
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Multimodal (image/audio/video) column plumbing: opaque `binary` payload
@@ -229,6 +229,17 @@ object Multimodal {
       .withColumn("hamming", bit_count(col("ph").bitwiseXOR(col("ph_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id").as("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Vision-transformer token count for an image of (w, h) at `patch`-px
+    * patches: ceil(w/p)·ceil(h/p) — integer ceil-division, so packing
+    * arithmetic downstream ([[Sampling.packSequences]] over patch counts,
+    * the NaViT-style multimodal batch prepass) is exact cross-engine.
+    */
+  def vitPatchCount(w: Column, h: Column, patch: Int): Column = {
+    require(patch > 0)
+    def ceilDiv(c: Column): Column = floor((c + lit(patch - 1)) / lit(patch)).cast("long")
+    ceilDiv(w) * ceilDiv(h)
   }
 
   /** The full image-dedup decision (the LAION-style prepass): near-dup
