@@ -920,6 +920,12 @@ object TextOps {
       tailThreshold: Double = -6.94): DataFrame = {
     val grams = ngramOccurrences(
       df.withColumn("__ref", refFilter), idCol, textCol, n, carry = Seq("__ref"))
+    // The model frame has two downstream consumers (the consts aggregate
+    // and the scoring join), each re-planning the reference-corpus lineage.
+    // At cluster scale, persist the model as a table between the train and
+    // score passes (a CCNet pipeline does anyway); at fixture scale an
+    // eager materialization costs more than the recompute (measured), so
+    // the operator stays lazy and leaves the choice to the caller.
     val model = grams.filter(col("__ref")).groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
     // T = reference gram occurrences, V = reference gram vocabulary: one
     // tiny frame, cross-joined (broadcast) into the per-gram score.
