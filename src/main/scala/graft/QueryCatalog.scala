@@ -3499,6 +3499,74 @@ object QueryCatalog {
     Sampling.packSequences(tok, "image_id", "n_patches", seqLen = 256, shardCol = "shard")
   }
 
+  // ---- dyadic histogram quantiles (p50/p90/p95/p99 without a global sort) --
+  // Levels are len(bin(x)) — integer/string ops, no libm — so the oracle
+  // replays buckets, cumulative counts, and the exact-rational threshold
+  // selection bit-for-bit.
+  register(
+    "td_dyadic_quantiles",
+    Some(
+      """WITH v AS (SELECT 1 + event_id % 5000 AS v FROM events),
+        |h AS (SELECT CASE WHEN v <= 0 THEN 0 ELSE length(bin(v)) END AS level,
+        |             count(*) AS cnt
+        |      FROM v GROUP BY 1),
+        |c AS (SELECT level, cnt,
+        |             sum(cnt) OVER (ORDER BY level ROWS UNBOUNDED PRECEDING) AS cum,
+        |             (SELECT sum(cnt) FROM h) AS n
+        |      FROM h),
+        |q AS (SELECT unnest([50, 90, 95, 99]) AS q_pct),
+        |hit AS (
+        |  SELECT q.q_pct, c.level,
+        |         row_number() OVER (PARTITION BY q.q_pct ORDER BY c.level) AS rn
+        |  FROM q JOIN c ON c.cum >= (c.n * q.q_pct + 99) // 100)
+        |SELECT CAST(q_pct AS INT) AS q_pct, CAST(level AS INT) AS level,
+        |  CASE WHEN level = 0 THEN -9223372036854775808 ELSE (1::BIGINT << (level - 1)) END AS lo,
+        |  CASE WHEN level = 0 THEN 0 ELSE (1::BIGINT << level) - 1 END AS hi
+        |FROM hit WHERE rn = 1""".stripMargin
+    )
+  ) { (s, dir) =>
+    val vals = t(s, dir, "events")
+      .select((lit(1) + pmod(col("event_id"), lit(5000))).as("v"))
+    graft.ops.Sketches.dyadicQuantiles(
+      graft.ops.Sketches.dyadicHistogram(vals, "v"), Seq(50, 90, 95, 99))
+  }
+
+  // ---- recrawl snapshot diff (CDC between crawl epochs) ---------------------
+  // Membership and hash drift injected by event_id IDENTICALLY on both
+  // sides; the oracle replays the full-outer classification.
+  register(
+    "fr_crawl_diff",
+    Some(
+      """WITH prev AS (
+        |  SELECT 'https://d.test/p' || event_id AS url, 'h' || (event_id % 97) AS h
+        |  FROM events WHERE event_id % 17 <> 0),
+        |curr AS (
+        |  SELECT 'https://d.test/p' || event_id AS url,
+        |         CASE WHEN event_id % 5 = 0 THEN 'c' || (event_id % 97)
+        |              ELSE 'h' || (event_id % 97) END AS h
+        |  FROM events WHERE event_id % 13 <> 0)
+        |SELECT coalesce(p.url, c.url) AS url,
+        |       p.h AS prev_hash, c.h AS curr_hash,
+        |       CASE WHEN p.h IS NULL THEN 'added'
+        |            WHEN c.h IS NULL THEN 'removed'
+        |            WHEN p.h = c.h THEN 'unchanged'
+        |            ELSE 'changed' END AS status
+        |FROM prev p FULL OUTER JOIN curr c ON p.url = c.url""".stripMargin
+    )
+  ) { (s, dir) =>
+    val base = t(s, dir, "events").select(
+      concat(lit("https://d.test/p"), col("event_id")).as("url"),
+      col("event_id"))
+    val prev = base.filter(pmod(col("event_id"), lit(17)) =!= 0)
+      .select(col("url"), concat(lit("h"), pmod(col("event_id"), lit(97))).as("h"))
+    val curr = base.filter(pmod(col("event_id"), lit(13)) =!= 0)
+      .select(col("url"),
+        when(pmod(col("event_id"), lit(5)) === 0,
+          concat(lit("c"), pmod(col("event_id"), lit(97))))
+          .otherwise(concat(lit("h"), pmod(col("event_id"), lit(97)))).as("h"))
+    graft.ops.CrawlAnalytics.crawlDiff(prev, curr, "url", "h")
+  }
+
   // -------------------------------------------------------------------------
 
   lazy val all: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap

@@ -94,6 +94,31 @@ object CrawlAnalytics {
     * Input: (urlCol, changedCol boolean). Output: (url, n_visits,
     * n_changes, change_rate, revisit_bucket).
     */
+  /** Recrawl snapshot diff (the CDC question between two crawl epochs):
+    * classify every URL present in either snapshot as added / removed /
+    * changed / unchanged by content hash. One full-outer equi-join on the
+    * URL — both sides shuffle-partitioned by the same key, no skew beyond
+    * the URL distribution itself; output feeds [[revisitSchedule]]'s
+    * `changed` flag for the next epoch's scheduling.
+    *
+    * Output: (url, prev_hash, curr_hash, status).
+    */
+  def crawlDiff(
+      prev: DataFrame,
+      curr: DataFrame,
+      urlCol: String,
+      hashCol: String): DataFrame = {
+    val p = prev.select(col(urlCol).as("url"), col(hashCol).as("prev_hash"))
+    val c = curr.select(col(urlCol).as("url"), col(hashCol).as("curr_hash"))
+    p.join(c, Seq("url"), "full_outer")
+      .select(
+        col("url"), col("prev_hash"), col("curr_hash"),
+        when(col("prev_hash").isNull, lit("added"))
+          .when(col("curr_hash").isNull, lit("removed"))
+          .when(col("prev_hash") === col("curr_hash"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   def revisitSchedule(
       history: DataFrame,
       urlCol: String,

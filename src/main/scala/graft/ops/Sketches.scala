@@ -127,6 +127,54 @@ object Sketches {
     case _  => 0.7213 / (1.0 + 1.079 / m)
   }
 
+  // ==== Dyadic histogram quantile sketch ====================================
+  //
+  // Latency / payload-size percentiles over 10^10 rows without a global
+  // sort: bucket every positive value into its dyadic level (level L holds
+  // [2^(L-1), 2^L − 1]) and keep one count per level — ≤ 64 rows total, one
+  // map-combinable aggregation, mergeable by addition. Quantiles read off
+  // the cumulative counts with ≤ 2× value error (one dyadic level), which
+  // is the right fidelity for p95/p99 dashboards and throttling decisions.
+  // The level is len(bin(x)) = ⌊log2 x⌋ + 1 — integer/string ops only, no
+  // libm, so an independent engine replays every bucket exactly.
+
+  /** (level, cnt) rows; level 0 collects non-positive values. */
+  def dyadicHistogram(df: DataFrame, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("long")
+    df.select(when(v <= 0, lit(0)).otherwise(length(bin(v))).cast("int").as("level"))
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile bounds from a dyadic histogram: for each q = num/den (exact
+    * rational — no double×count rounding ambiguity), the first level whose
+    * cumulative count reaches ⌈q·N⌉, with its value range. The histogram is
+    * ≤ 64 rows, so the window sort is free.
+    * Output: (q_pct, level, lo, hi) per requested quantile.
+    */
+  def dyadicQuantiles(hist: DataFrame, percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p > 0 && p <= 100))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("level")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(hist.agg(sum(col("cnt")).as("n"))))
+    val qs = percents.map { p =>
+      // threshold = ceil(p * N / 100), exact integer arithmetic
+      val thr = expr(s"cast((n * $p + 99) div 100 as bigint)")
+      cum.filter(col("cum") >= thr)
+        .orderBy(col("level"))
+        .limit(1)
+        .select(
+          lit(p).as("q_pct"), col("level"),
+          when(col("level") === 0, lit(Long.MinValue))
+            .otherwise(expr("cast(shiftleft(1L, level - 1) as bigint)")).as("lo"),
+          when(col("level") === 0, lit(0L))
+            .otherwise(expr("cast(shiftleft(1L, level) as bigint)") - 1).as("hi"))
+    }
+    qs.reduce(_.unionByName(_))
+  }
+
   /** Cardinality estimate from a register table: raw harmonic-mean estimate
     * with the standard small-range linear-counting correction. The harmonic
     * sum Z = Σ 2^-r is accumulated as an INTEGER in units of 2^-61

@@ -68,6 +68,14 @@ class CrawlAnalyticsSpec extends SparkSpec {
     assert(out("u1")._3 > 1.0)
   }
 
+  test("crawlDiff classifies added/removed/changed/unchanged") {
+    val prev = Seq(("u1", "h1"), ("u2", "h2"), ("u3", "h3")).toDF("url", "hash")
+    val curr = Seq(("u2", "h2"), ("u3", "hX"), ("u4", "h4")).toDF("url", "hash")
+    val out = CrawlAnalytics.crawlDiff(prev, curr, "url", "hash")
+      .collect().map(r => r.getAs[String]("url") -> r.getAs[String]("status")).toMap
+    assert(out == Map("u1" -> "removed", "u2" -> "unchanged", "u3" -> "changed", "u4" -> "added"))
+  }
+
   test("vitPatchCount: exact ceil-division token costs") {
     val dims = Seq((28, 28), (29, 29), (1, 1), (224, 112)).toDF("w", "h")
     val got = dims.select(Multimodal.vitPatchCount(col("w"), col("h"), 14).as("n"))

@@ -82,6 +82,32 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  // ---- dyadic histogram ----------------------------------------------------
+
+  test("dyadic histogram: levels, merge-by-union, quantile bounds bracket the exact quantile") {
+    val vals = (1 to 1000).map(_.toLong).toDF("v")
+    val hist = Sketches.dyadicHistogram(vals, "v")
+    val levels = hist.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // level L holds [2^(L-1), 2^L - 1]: 1->{1}, 2->{2,3}, ... 10->{512..1000}
+    assert(levels(1) == 1 && levels(2) == 2 && levels(3) == 4 && levels(10) == 489)
+    assert(levels.values.sum == 1000)
+
+    val qs = Sketches.dyadicQuantiles(hist, Seq(50, 99))
+      .collect().map(r => r.getInt(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    // exact p50 = 500 (level 9: 256..511), exact p99 = 990 (level 10)
+    assert(qs(50) == ((9, 256L, 511L)), qs(50).toString)
+    assert(qs(99) == ((10, 512L, 1023L)), qs(99).toString)
+    // bracket property: exact quantile inside [lo, hi]
+    assert(qs(50)._2 <= 500 && 500 <= qs(50)._3)
+    assert(qs(99)._2 <= 990 && 990 <= qs(99)._3)
+
+    // non-positive values land in level 0
+    val withZero = Seq(-5L, 0L, 1L).toDF("v")
+    val z = Sketches.dyadicHistogram(withZero, "v").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(z(0) == 2 && z(1) == 1)
+  }
+
   test("HLL small-range linear counting engages and is near-exact for tiny sets") {
     val keys = (0 until 8).map(i => s"rare$i").toDF("key")
     val row = Sketches.hllEstimate(Sketches.hllRegisters(keys, "key", 6), 6).collect()(0)
