@@ -3567,6 +3567,33 @@ object QueryCatalog {
     graft.ops.CrawlAnalytics.crawlDiff(prev, curr, "url", "h")
   }
 
+  // ---- custom Catalyst operator: per-key top-k ------------------------------
+  // graft.plans.TopK — logical node + planner strategy + two-phase physical
+  // exec (map-side bounded heaps, clustered final, rank appended). The
+  // oracle states the semantics with the window form the operator replaces;
+  // the ordering is total (score, event_id) so both agree exactly.
+  register(
+    "tk_topk_perkey",
+    Some(
+      """WITH v AS (
+        |  SELECT user_id % 50 AS key,
+        |         (event_id * 2654435761) % 1009 AS score,
+        |         event_id
+        |  FROM events),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY score, event_id) AS rank
+        |  FROM v)
+        |SELECT key, score, event_id, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 5""".stripMargin
+    )
+  ) { (s, dir) =>
+    val df = t(s, dir, "events").select(
+      pmod(col("user_id"), lit(50)).as("key"),
+      pmod(col("event_id") * lit(2654435761L), lit(1009)).as("score"),
+      col("event_id"))
+    graft.plans.TopK.perKey(df, Seq("key"), Seq("score" -> true, "event_id" -> true), k = 5)
+  }
+
   // -------------------------------------------------------------------------
 
   lazy val all: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap

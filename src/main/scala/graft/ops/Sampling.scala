@@ -84,9 +84,15 @@ object Sampling {
       idCol: String,
       quota: Int,
       salt: String = "s0"): DataFrame = {
-    val w = Window.partitionBy(col(strataCol)).orderBy(drawCol(col(idCol), salt), col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= quota)
-      .drop("__rn")
+    // routed through the custom per-key top-k physical operator
+    // (graft.plans.TopK): bounded heaps instead of sort+WindowExec, with
+    // map-side pruning so at most strata×quota rows per partition reach the
+    // shuffle — the window form ships every row. (draw, id) is a total
+    // order, so the result is identical (the td_sample_quota oracle
+    // compares against DuckDB's row_number form).
+    val withDraw = df.withColumn("__draw", drawCol(col(idCol), salt))
+    graft.plans.TopK.perKey(
+        withDraw, Seq(strataCol), Seq("__draw" -> true, idCol -> true), quota, rankName = "__rank")
+      .drop("__draw", "__rank")
   }
 }
