@@ -15,6 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
+  /** Shared ANN re-rank: top-k per query by (cos desc, corpus_id asc) —
+    * a TOTAL order, so the result matches the row_number window form
+    * exactly. Routed through the custom per-key top-k physical operator
+    * (graft.plans.TopK): the scored candidate frame (|Q|·|C| rows on the
+    * brute path) is pruned map-side to ≤ queries·k rows per partition
+    * before the exchange, and nothing is sorted.
+    */
+  private def topKRank(scored: DataFrame, k: Int): DataFrame =
+    graft.plans.TopK.perKey(
+        scored, Seq("query_id"), Seq("cos" -> false, "corpus_id" -> true), k)
+      .select(col("query_id"), col("rank"), col("corpus_id"), col("cos"))
+
   /** dot(a, b) over ArrayType(Double) columns — the native codegen'd
     * expression (graft.expr.VecDot); bit-identical to the sequential
     * `aggregate(zip_with(...))` fold it replaces, ~an order of magnitude
@@ -136,11 +148,7 @@ object VectorOps {
       .crossJoin(unitNormalized(corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("cv")), "cv"))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cos", dot(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("corpus_id"), col("cos"))
+    topKRank(scored, k)
   }
 
   /** Deterministic hyperplane matrix (seed 42): planes x dims, values in
@@ -226,11 +234,7 @@ object VectorOps {
       .join(queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("qv")), Seq("query_id"))
       .join(df.select(col(idCol).as("corpus_id"), col(vecCol).as("cv")), Seq("corpus_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("corpus_id"), col("cos"))
+    topKRank(scored, k)
   }
 
   // ---- IVF: the second ANN scale path (coarse quantizer + probe lists) ----
@@ -302,11 +306,7 @@ object VectorOps {
       .join(corpusLists, Seq("cluster"))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cos", dot(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("corpus_id"), col("cos"))
+    topKRank(scored, k)
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-

@@ -76,7 +76,10 @@ private[plans] object TopKHeaps {
           if (q.size < k) q.offer(rowProj(row).copy())
           else if (ord.compare(row, q.peek()) < 0) { q.poll(); q.offer(rowProj(row).copy()) }
         case None =>
-          val q = new java.util.PriorityQueue[UnsafeRow](k, cmp.asInstanceOf[java.util.Comparator[UnsafeRow]])
+          // initial capacity stays small: k can legitimately be huge
+          // ("no limit"), and the heap only ever holds what it sees
+          val q = new java.util.PriorityQueue[UnsafeRow](
+            math.min(k, 16), cmp.asInstanceOf[java.util.Comparator[UnsafeRow]])
           q.offer(rowProj(row).copy())
           heaps.put(key.copy(), q)
       }
