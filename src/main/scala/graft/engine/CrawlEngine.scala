@@ -855,17 +855,30 @@ final class CrawlEngine(
         val resolved = hrefs
           .withColumn("abs_url", UrlFunctions.resolveUrl(col("base_url"), col("raw_link")))
           .filter(col("abs_url").isNotNull)
-        val eligible0 = resolved
+        val eligibleBase = resolved
           .withColumn(
             "strategy_ok",
             UrlFunctions.strategyAllows(col("abs_url"), lit(cfg.strategy), col("origin_url"))
           )
           .filter(col("strategy_ok") && patternsOkUdf(col("abs_url")))
-          .withColumn(
-            "link_rank",
-            row_number().over(Window.partitionBy(col("parent_key")).orderBy(col("link_idx")))
-          )
-          .filter(col("link_rank") <= cfg.linksPerPageLimit)
+        // link_rank feeds two things: the F4 per-call limit (a DENSE count
+        // over ELIGIBLE links) and the cand_order stride arithmetic (which
+        // only needs a per-parent-unique, order-preserving value < 2^20).
+        // Unlimited crawls — the common case, incl. the bench headline —
+        // therefore skip the per-parent ranking entirely and ride the
+        // posexplode index (+1): same enqueue sequence, and the candidate
+        // pipeline stays map-only instead of paying a 'links' shuffle+sort
+        // per batch. A real limit routes through the custom per-key top-k
+        // operator (graft.plans.TopK): identical dense rank over the
+        // (link_idx) total order, map-side-pruned to limit rows per parent
+        // before the exchange instead of sort+WindowExec.
+        val eligible0 =
+          if (cfg.linksPerPageLimit == Int.MaxValue)
+            eligibleBase.withColumn("link_rank", col("link_idx") + 1)
+          else
+            graft.plans.TopK
+              .perKey(eligibleBase, Seq("parent_key"), Seq("link_idx" -> true),
+                cfg.linksPerPageLimit, rankName = "link_rank")
         // F9 user transform: rewrite/drop/label the request before robots +
         // enqueue (the label routes per-label handlers, reference router.py)
         val eligibleT = (cfg.transformRequest match {

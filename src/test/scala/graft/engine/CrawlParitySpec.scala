@@ -113,6 +113,25 @@ class CrawlParitySpec extends SparkSpec {
     assert(defEngine.seenKeys.size <= seeds.size)
   }
 
+  test("F4 per-call link limit: dense count over ELIGIBLE links, engine ≡ oracle (custom top-k path)") {
+    // limit 3 < the web's out-degree, so the gate actually prunes; the
+    // engine routes this through graft.plans.TopK (per-parent dense rank
+    // over link_idx), the oracle through .take(limit) on the filtered list
+    val cfg = CrawlConfig(linksPerPageLimit = 3)
+    val oracle = CrawlOracle.run(smallSpec, seeds, cfg)
+    val engine = mkEngine(smallSpec, cfg, batchSize = 1).run(seeds)
+    assert(engine.crawlOrder == oracle.crawlOrder)
+    assert(engine.seenKeys == oracle.seenKeys)
+    assert(engine.handledOkKeys == oracle.handledOkKeys)
+    // the limit bit: fewer pages seen than the unlimited crawl
+    val unlimited = CrawlOracle.run(smallSpec, seeds, CrawlConfig())
+    assert(oracle.seenKeys.size < unlimited.seenKeys.size)
+
+    // and at a wider batch the seen set still agrees
+    val engine16 = mkEngine(smallSpec, cfg, batchSize = 16).run(seeds)
+    assert(engine16.seenKeys == oracle.seenKeys)
+  }
+
   test("max_requests_per_crawl exactness at concurrency 1 (test_basic_crawler.py:1094-1122)") {
     val cfg = CrawlConfig(maxRequestsPerCrawl = 3)
     val engine = mkEngine(smallSpec, cfg, batchSize = 1).run(seeds)
