@@ -3567,6 +3567,29 @@ object QueryCatalog {
     graft.ops.CrawlAnalytics.crawlDiff(prev, curr, "url", "h")
   }
 
+  // ---- W4: streaming exact dedup (state carried across micro-batches) -------
+  // The events file is staged TWICE and read with maxFilesPerTrigger=1, so
+  // every key recurs across micro-batch boundaries and the dedup state
+  // store must carry between triggers; the oracle is the batch distinct.
+  register(
+    "w4_stream_dedup",
+    Some("SELECT DISTINCT 'k' || (event_id % 700) AS key FROM events")
+  ) { (s, dir) =>
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val streamDir = tmpDir("w4src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(streamDir, "events_a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(streamDir, "events_b.parquet"))
+    val stream = graft.streaming.EventStream.dedupStream(
+      s, streamDir, schema, concat(lit("k"), pmod(col("event_id"), lit(700))))
+    val name = "w4_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    graft.streaming.EventStream.runAvailableNow(stream, name)
+    s.table(name)
+  }
+
   // ---- custom Catalyst operator: per-key top-k ------------------------------
   // graft.plans.TopK — logical node + planner strategy + two-phase physical
   // exec (map-side bounded heaps, clustered final, rank appended). The

@@ -38,6 +38,28 @@ object EventStream {
         round(col("total_value"), 4).as("total_value")
       )
 
+  /** Streaming exact dedup: first occurrence per key WINS ACROSS
+    * micro-batches (the state store carries the seen-key set between
+    * triggers — the streaming analogue of the frontier's Q1 first-wins
+    * contract). Projected to the key column only, so the emitted row per
+    * key is deterministic regardless of which duplicate arrived first.
+    * At scale the state store is RocksDB-backed and keys should carry a
+    * watermark column + `dropDuplicatesWithinWatermark` to bound state;
+    * unbounded here because the test corpus is bounded.
+    */
+  def dedupStream(
+      spark: SparkSession,
+      dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      keyCol: org.apache.spark.sql.Column
+  ): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1) // force multi-micro-batch state carry
+      .parquet(dir)
+      .select(keyCol.as("key"))
+      .dropDuplicates("key")
+
   /** Run the stream to completion over the files currently present
     * (Trigger.AvailableNow — the batch-bounded execution of the same
     * streaming plan), landing results in an in-memory table.
