@@ -146,33 +146,41 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
-  /** Quantile bounds from a dyadic histogram: for each q = num/den (exact
-    * rational — no double×count rounding ambiguity), the first level whose
-    * cumulative count reaches ⌈q·N⌉, with its value range. The histogram is
-    * ≤ 64 rows, so the window sort is free.
+  /** Quantile bounds from a dyadic histogram: for each q (an exact integer
+    * percent — no double×count rounding ambiguity), the first level whose
+    * cumulative count reaches ⌈q·N⌉, with its value range.
+    *
+    * ONE plan over ONE reference to `hist`: cumulative and total both ride
+    * windows on the ≤64-row histogram, percents fan out by exploding a
+    * literal array, and the per-quantile pick is a min-struct aggregate —
+    * a per-percent filter-branch union would re-run the corpus scan behind
+    * `hist` once per quantile.
+    *
     * Output: (q_pct, level, lo, hi) per requested quantile.
     */
   def dyadicQuantiles(hist: DataFrame, percents: Seq[Int]): DataFrame = {
     require(percents.nonEmpty && percents.forall(p => p > 0 && p <= 100))
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("level")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byLevel = Window.orderBy(col("level"))
     val cum = hist
-      .withColumn("cum", sum(col("cnt")).over(w))
-      .crossJoin(broadcast(hist.agg(sum(col("cnt")).as("n"))))
-    val qs = percents.map { p =>
-      // threshold = ceil(p * N / 100), exact integer arithmetic
-      val thr = expr(s"cast((n * $p + 99) div 100 as bigint)")
-      cum.filter(col("cum") >= thr)
-        .orderBy(col("level"))
-        .limit(1)
-        .select(
-          lit(p).as("q_pct"), col("level"),
-          when(col("level") === 0, lit(Long.MinValue))
-            .otherwise(expr("cast(shiftleft(1L, level - 1) as bigint)")).as("lo"),
-          when(col("level") === 0, lit(0L))
-            .otherwise(expr("cast(shiftleft(1L, level) as bigint)") - 1).as("hi"))
-    }
-    qs.reduce(_.unionByName(_))
+      .withColumn("cum", sum(col("cnt")).over(
+        byLevel.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(
+        byLevel.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    cum
+      .select(
+        col("level"), col("cum"), col("n"),
+        explode(lit(percents.toArray)).as("q_pct"))
+      // threshold = ceil(q * N / 100), exact integer arithmetic
+      .filter(col("cum") >= expr("cast((n * q_pct + 99) div 100 as bigint)"))
+      .groupBy(col("q_pct"))
+      .agg(min(col("level")).as("level"))
+      .select(
+        col("q_pct"), col("level"),
+        when(col("level") === 0, lit(Long.MinValue))
+          .otherwise(expr("cast(shiftleft(1L, level - 1) as bigint)")).as("lo"),
+        when(col("level") === 0, lit(0L))
+          .otherwise(expr("cast(shiftleft(1L, level) as bigint)") - 1).as("hi"))
   }
 
   /** Cardinality estimate from a register table: raw harmonic-mean estimate
