@@ -156,6 +156,68 @@ case class TopKPerKeyFinalExec(
   }
 }
 
+/** OPT-IN optimizer rule: rewrite the declarative rank-filter pattern
+  *
+  *   Filter(rank <= k, Window(row_number() over (partition by p order by o)))
+  *
+  * into [[TopKPerKeyNode]], so existing window-form queries (and plain
+  * SQL) get the heap execution without being rewritten by hand. The
+  * original rank attribute is reused (same exprId), so downstream
+  * references bind unchanged; Spark's own InsertWindowGroupLimit artifact
+  * is stripped when it fired first. Conservative by construction: only a
+  * single row_number window expression, a non-empty partition spec, and a
+  * top-level `rank <= lit` / `rank < lit` (possibly AND-ed with other
+  * predicates, which stay as a residual Filter). Ties at the heap
+  * boundary resolve arbitrarily — exactly as the window form's outcome
+  * depends on partition order for non-total orderings.
+  *
+  * Not installed by default: activate per session with
+  * [[TopK.installRewrite]] or cluster-wide via GraftSparkExtensions.
+  */
+object RewriteRankFilterToTopK
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+
+  import org.apache.spark.sql.catalyst.expressions.{
+    Alias, And, IntegerLiteral, LessThan, LessThanOrEqual, WindowExpression, RowNumber}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window, WindowGroupLimit}
+
+  /** (k, residual predicate) when `cond` bounds `rank` by a literal. */
+  private def extractLimit(
+      cond: Expression, rank: Attribute): Option[(Int, Option[Expression])] = cond match {
+    case LessThanOrEqual(r: Attribute, IntegerLiteral(k)) if r.semanticEquals(rank) =>
+      Some((k, None))
+    case LessThan(r: Attribute, IntegerLiteral(k)) if r.semanticEquals(rank) =>
+      Some((k - 1, None))
+    case And(l, r) =>
+      extractLimit(l, rank).map { case (k, rest) =>
+        (k, Some(rest.map(And(_, r)).getOrElse(r)))
+      }.orElse(extractLimit(r, rank).map { case (k, rest) =>
+        (k, Some(rest.map(And(l, _)).getOrElse(l)))
+      })
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond,
+        Window(Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
+          partitionSpec, orderSpec, child0, _))
+        if partitionSpec.nonEmpty && orderSpec.nonEmpty =>
+      val child = child0 match {
+        // Spark >=3.5 may have inserted its own partial group-limit below
+        // the window; the heap operator subsumes it
+        case WindowGroupLimit(_, _, _, _, inner) => inner
+        case other => other
+      }
+      val rankAttr = alias.toAttribute.asInstanceOf[AttributeReference]
+      extractLimit(cond, rankAttr) match {
+        case Some((k, residual)) if k > 0 =>
+          val topk = TopKPerKeyNode(partitionSpec, orderSpec, k, rankAttr, child)
+          residual.map(Filter(_, topk)).getOrElse(topk)
+        case _ => f
+      }
+  }
+}
+
 /** The planner strategy mapping the logical node to the two-phase plan. */
 object GraftStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
@@ -170,8 +232,10 @@ object GraftStrategy extends SparkStrategy {
   * spark.sql.extensions=graft.plans.GraftSparkExtensions`.
   */
 class GraftSparkExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => GraftStrategy)
+    ext.injectOptimizerRule(_ => RewriteRankFilterToTopK)
+  }
 }
 
 object TopK {
@@ -183,6 +247,24 @@ object TopK {
     val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
     if (!exp.extraStrategies.contains(GraftStrategy))
       exp.extraStrategies = exp.extraStrategies :+ GraftStrategy
+  }
+
+  /** Opt-in window-form rewrite ([[RewriteRankFilterToTopK]]) for an
+    * existing session. Separate from [[install]] on purpose: the strategy
+    * only plans graft's own node, while the rewrite changes the plan of
+    * EVERY matching row_number query on the session.
+    */
+  def installRewrite(spark: SparkSession): Unit = {
+    install(spark)
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    if (!exp.extraOptimizations.contains(RewriteRankFilterToTopK))
+      exp.extraOptimizations = exp.extraOptimizations :+ RewriteRankFilterToTopK
+  }
+
+  /** Remove the rewrite (tests; session hygiene). */
+  def uninstallRewrite(spark: SparkSession): Unit = {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    exp.extraOptimizations = exp.extraOptimizations.filterNot(_ == RewriteRankFilterToTopK)
   }
 
   /** Top `k` rows per distinct value of `keys`, ordered by `orderBy`

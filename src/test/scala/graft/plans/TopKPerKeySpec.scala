@@ -95,6 +95,53 @@ class TopKPerKeySpec extends SparkSpec {
     assert(got == Set((0L, 1), (1L, 2), (2L, 3), (3L, 4)))
   }
 
+  test("opt-in optimizer rule rewrites the window form to the heap operator (same result, rank preserved)") {
+    TopK.installRewrite(spark)
+    try {
+      val q = windowForm(4)
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("TopKPerKeyFinal"), p)
+      assert(!p.contains("WindowExec"), p)
+      val got = q.select("key", "score", "id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+      TopK.uninstallRewrite(spark)
+      // reference = the untouched window plan
+      val exp = windowForm(4).select("key", "score", "id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+      assert(got == exp)
+
+      // residual predicates survive as a Filter above the rewritten node
+      // (CombineFilters folds them into the same Filter as rank <= k, so
+      // extractLimit must split the And)
+      TopK.installRewrite(spark)
+      val residual = pmod(col("id"), lit(2)) === 0
+      val mixed = windowForm(4).filter(residual)
+      assert(mixed.queryExecution.executedPlan.toString.contains("TopKPerKeyFinal"))
+      val mixedGot = mixed.select("key", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      TopK.uninstallRewrite(spark)
+      val mixedExp = windowForm(4).filter(residual)
+        .select("key", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(mixedGot == mixedExp)
+      assert(mixedGot.nonEmpty && mixedGot.size < 40 * 4)
+    } finally TopK.uninstallRewrite(spark)
+  }
+
+  test("optimizer rule leaves non-matching windows alone (rank kept unfiltered; global window)") {
+    TopK.installRewrite(spark)
+    try {
+      // no rank filter -> no rewrite
+      val w = Window.partitionBy(col("key")).orderBy(col("score").asc, col("id").asc)
+      val unfiltered = corpus.withColumn("rank", row_number().over(w))
+      assert(!unfiltered.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      assert(unfiltered.count() == 10000)
+      // empty partition spec (global rank) -> no rewrite
+      val g = Window.orderBy(col("score").asc, col("id").asc)
+      val globalRank = corpus.withColumn("rank", row_number().over(g)).filter(col("rank") <= 5)
+      assert(!globalRank.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+      assert(globalRank.count() == 5)
+    } finally TopK.uninstallRewrite(spark)
+  }
+
   test("multi-column keys") {
     val df = Seq(("a", 1, 10L), ("a", 1, 5L), ("a", 2, 7L), ("b", 1, 1L))
       .toDF("k1", "k2", "v")
