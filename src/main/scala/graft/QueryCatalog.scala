@@ -3590,6 +3590,52 @@ object QueryCatalog {
     s.table(name)
   }
 
+  // ---- z-order frontier layout (north-star Iceberg z-order on
+  // (priority, discovery_time)): Morton interleave + ntile file groups +
+  // min/max pruning stats, replayed in DuckDB from the SAME mask constants
+  // (generated below from graft.ops.Layout's arithmetic — pure integer ops,
+  // bit-for-bit across engines).
+  private def spreadSql(c: String): String = {
+    def step(x: String, shift: Int, mask: Long): String =
+      s"((($x) | (($x) << $shift)) & $mask)"
+    val x0 = s"(($c) & ${(1L << graft.ops.Layout.MaxZBits) - 1})"
+    val x1 = step(x0, 16, 0x0000ffff0000ffffL)
+    val x2 = step(x1, 8, 0x00ff00ff00ff00ffL)
+    val x3 = step(x2, 4, 0x0f0f0f0f0f0f0f0fL)
+    val x4 = step(x3, 2, 0x3333333333333333L)
+    step(x4, 1, 0x5555555555555555L)
+  }
+
+  register(
+    "fr_zorder_prune",
+    Some(
+      s"""WITH src AS (
+         |  SELECT event_id % 1000 AS priority, (event_id * 7) % 1000 AS disc_ts
+         |  FROM events),
+         |z AS (
+         |  SELECT priority, disc_ts,
+         |         (${spreadSql("priority")}) | ((${spreadSql("disc_ts")}) << 1) AS zvalue
+         |  FROM src),
+         |lay AS (
+         |  SELECT *, ntile(16) OVER (ORDER BY zvalue, priority, disc_ts) AS file_group
+         |  FROM z),
+         |st AS (
+         |  SELECT file_group, count(*) AS n_rows,
+         |         min(priority) AS min_a, max(priority) AS max_a,
+         |         min(disc_ts) AS min_b, max(disc_ts) AS max_b
+         |  FROM lay GROUP BY 1)
+         |SELECT CAST(file_group AS INT) AS file_group, n_rows, min_a, max_a, min_b, max_b,
+         |  (max_a >= 100 AND min_a <= 199 AND max_b >= 0 AND min_b <= 499) AS scanned
+         |FROM st""".stripMargin
+    )
+  ) { (s, dir) =>
+    val src = t(s, dir, "events").select(
+      pmod(col("event_id"), lit(1000)).as("priority"),
+      pmod(col("event_id") * 7, lit(1000)).as("disc_ts"))
+    val layout = graft.ops.Layout.zOrderLayout(src, "priority", "disc_ts", groups = 16)
+    graft.ops.Layout.pruneStats(layout, "priority", "disc_ts", 100, 199, 0, 499)
+  }
+
   // ---- custom Catalyst operator: per-key top-k ------------------------------
   // graft.plans.TopK — logical node + planner strategy + two-phase physical
   // exec (map-side bounded heaps, clustered final, rank appended). The
