@@ -3636,6 +3636,43 @@ object QueryCatalog {
     graft.ops.Layout.pruneStats(layout, "priority", "disc_ts", 100, 199, 0, 499)
   }
 
+  // ---- host authority: fixed-iteration integer PageRank ---------------------
+  // The crawl-prioritization signal (Page et al. 1998) in floor-division
+  // arithmetic so every iteration is bit-exact cross-engine; the oracle
+  // UNROLLS the fixed iteration count as plain CTE stages (aggregates are
+  // not allowed in a recursive term) generated from the same constants.
+  private def authoritySql(iters: Int): String = {
+    val base = 15L * graft.ops.GraphOps.AuthorityScale / 100
+    val src = "'h' || (user_id % 20)"
+    val dst =
+      "CASE WHEN event_id % 4 = 0 THEN 'hub' ELSE 'h' || ((user_id + event_id) % 20) END"
+    val head =
+      s"""WITH e AS (SELECT DISTINCT $src AS src, $dst AS dst FROM events),
+         |nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+         |ed AS (SELECT e.src, e.dst, d.out_deg FROM e
+         |       JOIN (SELECT src, count(*) AS out_deg FROM e GROUP BY 1) d USING (src)),
+         |r0 AS (SELECT host, ${graft.ops.GraphOps.AuthorityScale}::BIGINT AS authority FROM nodes),
+         |""".stripMargin
+    val stages = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.host,
+         |         CAST($base + (85 * coalesce(m.in_mass, 0)) // 100 AS BIGINT) AS authority
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT ed.dst AS host, sum(r.authority // ed.out_deg) AS in_mass
+         |    FROM ed JOIN r${i - 1} r ON r.host = ed.src GROUP BY 1) m USING (host))"""
+        .stripMargin
+    }.mkString(",\n")
+    head + stages + s"\nSELECT host, CAST(authority AS BIGINT) AS authority FROM r$iters"
+  }
+
+  register("fr_host_authority", Some(authoritySql(5))) { (s, dir) =>
+    val edges = t(s, dir, "events").select(
+      concat(lit("h"), pmod(col("user_id"), lit(20))).as("src"),
+      when(pmod(col("event_id"), lit(4)) === 0, lit("hub"))
+        .otherwise(concat(lit("h"), pmod(col("user_id") + col("event_id"), lit(20)))).as("dst"))
+    graft.ops.GraphOps.hostAuthority(edges, "src", "dst", iters = 5)
+  }
+
   // ---- custom Catalyst operator: per-key top-k ------------------------------
   // graft.plans.TopK — logical node + planner strategy + two-phase physical
   // exec (map-side bounded heaps, clustered final, rank appended). The

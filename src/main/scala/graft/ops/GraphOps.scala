@@ -114,4 +114,64 @@ object GraphOps {
   def dedupSurvivors(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
     connectedComponents(edges, srcCol, dstCol)
       .withColumn("is_canonical", col("node") === col("component"))
+
+  /** Host authority by fixed-iteration PageRank (Page et al. 1998; the
+    * crawl-prioritization signal OPIC/backlink schedulers approximate) in
+    * INTEGER arithmetic: ranks live in units of 1/SCALE, per-edge
+    * contribution is `rank div out_degree` and the damping update is
+    * `(15·SCALE) div 100 + (85·Σcontrib) div 100` — floor division only,
+    * so every iteration is bit-identical on any engine and any partitioning
+    * (float PageRank sums drift with aggregation order). Mass lost to floor
+    * rounding and dangling hosts evaporates rather than redistributing —
+    * the standard simplification; ranking ORDER is what the scheduler
+    * consumes. Nodes = every host appearing as source or target; duplicate
+    * edges are collapsed first.
+    *
+    * Scale shape: one groupBy for degrees, then per iteration ONE
+    * edges⋈ranks join + ONE aggregation (the same shape and checkpoint
+    * discipline as [[connectedComponents]]); ranks are |hosts| rows, edges
+    * dominate and are partitioned by source host.
+    *
+    * Output: (host, authority) — authority in SCALE units after `iters`.
+    */
+  val AuthorityScale = 1000000L
+
+  def hostAuthority(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int = 10,
+      reliableCheckpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 0)
+    reliableCheckpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def materialize(df: DataFrame): DataFrame =
+      if (reliableCheckpointDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+    val e = materialize(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+    val nodes = materialize(
+      e.select(col("src").as("host")).unionByName(e.select(col("dst").as("host"))).distinct())
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+    // out-degree rides the edge row so the per-iteration join is ranks-only
+    val eDeg = materialize(e.join(outDeg, Seq("src")))
+
+    var ranks = materialize(nodes.withColumn("authority", lit(AuthorityScale)))
+    val base = lit(15L * AuthorityScale / 100)
+    var i = 0
+    while (i < iters) {
+      val contrib = eDeg
+        .join(ranks, eDeg("src") === ranks("host"))
+        // integer `div`, not `/`: double division is exact only below 2^53,
+        // which 10^8 hosts × SCALE-unit ranks approaches
+        .select(col("dst").as("host"), expr("authority div out_deg").as("c"))
+        .groupBy(col("host"))
+        .agg(sum(col("c")).as("in_mass"))
+      val next = nodes
+        .join(contrib, Seq("host"), "left")
+        .select(col("host"),
+          (base + expr("(85 * coalesce(in_mass, 0L)) div 100")).as("authority"))
+      ranks = materialize(next)
+      i += 1
+    }
+    ranks
+  }
 }

@@ -46,4 +46,32 @@ class GraphOpsSpec extends SparkSpec {
     assert(canonical == Set("doc2", "doc7")) // min id per cluster
     assert(rows.count(!_.getBoolean(2)) == 3) // doc9, doc5, doc8 removed
   }
+
+  test("hostAuthority: integer PageRank iterations match hand arithmetic") {
+    import spark.implicits._
+    // a -> b, a -> c, b -> c; out_deg a=2, b=1; SCALE 1e6, base 150000
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("src", "dst")
+    def ranks(iters: Int): Map[String, Long] =
+      GraphOps.hostAuthority(edges, "src", "dst", iters)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ranks(0) == Map("a" -> 1000000L, "b" -> 1000000L, "c" -> 1000000L))
+    // iter1: b <- 1e6 div 2; c <- 500000 + 1e6
+    assert(ranks(1) == Map(
+      "a" -> 150000L,
+      "b" -> (150000L + 85L * 500000 / 100),
+      "c" -> (150000L + 85L * 1500000 / 100)))
+    // iter2: b <- 150000 div 2 = 75000; c <- 75000 + 575000 = 650000
+    assert(ranks(2) == Map(
+      "a" -> 150000L,
+      "b" -> (150000L + 85L * 75000 / 100),
+      "c" -> (150000L + 85L * 650000 / 100)))
+  }
+
+  test("hostAuthority: a hub every leaf links to outranks the leaves") {
+    import spark.implicits._
+    val edges = (0 until 30).map(i => (s"leaf$i", "hub")).toDF("src", "dst")
+    val r = GraphOps.hostAuthority(edges, "src", "dst", iters = 3)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r("hub") > r("leaf0") * 10, s"hub=${r("hub")} leaf=${r("leaf0")}")
+  }
 }
