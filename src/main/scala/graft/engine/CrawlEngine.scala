@@ -1406,6 +1406,26 @@ final class CrawlEngine(
   lazy val errorSnapshotter = new graft.stats.ErrorSnapshotter(
     new graft.storage.KeyValueStore(spark, s"${store.root}/snapshots_kvs"))
 
+  /** Crawler-global recoverable state (reference use_state,
+    * _basic_crawler.py:869-875 → KeyValueStore.get_auto_saved_value →
+    * RecoverableState): a mutable map auto-persisted on the PERSIST_STATE
+    * cadence and at crawl end, recovered by any later engine opened on the
+    * same store. The state key mirrors the reference's
+    * `CRAWLEE_STATE_{crawler id}` with the store-root-derived deterministic
+    * id standing in for the crawler id, so resume finds the same record.
+    */
+  def useState(defaultValue: Map[String, Any] = Map.empty): mutable.Map[String, Any] =
+    stateKvs.getAutoSavedValue(s"CRAWLEE_STATE_${stateKvs.id}", defaultValue)
+
+  private lazy val stateKvs: graft.storage.KeyValueStore = {
+    val kvs = new graft.storage.KeyValueStore(spark, s"${store.root}/state_kvs")
+    // RecoverableState.initialize registers the PERSIST_STATE listener;
+    // _save_crawler_state persists at teardown — Exit covers that here.
+    events.on(graft.events.Event.PersistState)(_ => kvs.persistAutosavedValues())
+    events.on(graft.events.Event.Exit)(_ => kvs.persistAutosavedValues())
+    kvs
+  }
+
   /** Session ids any seed has ever bound to (reference `session_id`,
     * _request.py:61-62) — collision checks only consult this small set, so
     * unbound crawls pay nothing.

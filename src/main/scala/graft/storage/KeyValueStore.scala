@@ -50,6 +50,39 @@ final class KeyValueStore(spark: SparkSession, root: String) {
   def delete(key: String): Unit = records.remove(key)
   def iterateKeys(): Seq[String] = records.keys.toSeq
 
+  // ---- auto-saved values (reference get_auto_saved_value /
+  // persist_autosaved_values, _key_value_store.py:262-311, backed by
+  // RecoverableState, _utils/recoverable_state.py): a mutable map handed to
+  // the caller, cached per key so repeat calls share one instance, loaded
+  // from the persisted record when present (the default is used only when
+  // no record exists), and written back on persistAutosavedValues().
+  private val autosaved =
+    scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.Map[String, Any]]
+
+  /** Get a value that is automatically saved on [[persistAutosavedValues]].
+    * Mutations to the returned map persist across restarts once saved.
+    */
+  def getAutoSavedValue(
+      key: String,
+      defaultValue: Map[String, Any] = Map.empty): scala.collection.mutable.Map[String, Any] =
+    autosaved.getOrElseUpdate(key, {
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+      getJson(key) match {
+        case Some(j) => graft.util.Json.obj(graft.util.Json.parse(j)).foreach { case (k, v) => m(k) = v }
+        case None => defaultValue.foreach { case (k, v) => m(k) = v }
+      }
+      m
+    })
+
+  /** Write every auto-saved value back as a JSON record and commit a
+    * snapshot (the reference's persist_autosaved_values forced save).
+    */
+  def persistAutosavedValues(): Unit =
+    if (autosaved.nonEmpty) {
+      autosaved.foreach { case (k, m) => setJson(k, graft.util.Json.render(m)) }
+      persist()
+    }
+
   def asDataFrame: DataFrame = {
     import spark.implicits._
     records.toSeq.map { case (k, (ct, v)) => (k, ct, v) }.toDF("key", "content_type", "value")

@@ -35,6 +35,30 @@ object Json {
   }
   def bool(v: Any): Boolean = v.asInstanceOf[Boolean]
 
+  /** Serialize a parsed-shape value back to JSON (inverse of [[parse]]):
+    * Map (insertion order preserved), Seq/Vector, String, Long/Int,
+    * Double (finite), Boolean, null. Round-trips everything `parse`
+    * produces — the RecoverableState autosave path depends on that.
+    */
+  def render(v: Any): String = v match {
+    case null => "null"
+    case m: scala.collection.Map[_, _] =>
+      m.iterator
+        .map { case (k, mv) => s"${quote(k.toString)}:${render(mv)}" }
+        .mkString("{", ",", "}")
+    case s: scala.collection.Seq[_] => s.iterator.map(render).mkString("[", ",", "]")
+    case s: String => quote(s)
+    case b: Boolean => b.toString
+    case l: Long => l.toString
+    case i: Int => i.toString
+    case d: Double =>
+      require(!d.isNaN && !d.isInfinite, s"non-finite number not representable in JSON: $d")
+      // integral doubles render without the trailing ".0" only if they came
+      // in as Long; a Double stays a Double so parse(render(x)) == x
+      d.toString
+    case other => throw new IllegalArgumentException(s"unrenderable JSON value: ${other.getClass}")
+  }
+
   /** JSON string literal with full escaping (incl. control chars). */
   def quote(s: String): String = {
     val sb = new StringBuilder(s.length + 2)
