@@ -2938,6 +2938,73 @@ object QueryCatalog {
     graft.ops.Multimodal.imageSetFilter(decorated)
   }
 
+  // REAL audio decode (closes the audio half of the multimodal stub the
+  // way mm_video_frames closed video): the fixture writes RIFF/WAVE
+  // containers with a MANUAL byte assembler; the Spark side decodes them
+  // through javax.sound.sampled.AudioSystem (independent JVM codec path)
+  // into exact-integer stats, and both engines derive duration / RMS /
+  // zero-crossing rate / clipping fraction from those integers (IEEE sqrt
+  // and single divisions — correctly rounded, cross-engine exact).
+  register(
+    "mm_audio_features",
+    Some(
+      """SELECT id, sample_rate, n_samples, peak, n_clipped,
+        |  CAST(floor(CAST(n_samples * 1000 AS DOUBLE) / sample_rate) AS BIGINT) AS duration_ms,
+        |  round(sqrt(CAST(sum_sq AS DOUBLE) / n_samples), 6) AS rms,
+        |  round(CAST(zero_crossings AS DOUBLE) / greatest(n_samples - 1, 1), 6) AS zcr,
+        |  round(CAST(n_clipped AS DOUBLE) / n_samples, 6) AS clip_fraction
+        |FROM read_parquet('/tmp/graft_audio_stats/f_64/*.parquet')
+        |ORDER BY id""".stripMargin
+    )
+  ) { (s, _) =>
+    graft.fixtures.Audio.exportExpectedStats(s, 64)
+    graft.ops.Multimodal
+      .audioFeatures(graft.ops.Multimodal.syntheticAudioTable(s, 64))
+      .orderBy(col("id"))
+  }
+
+  // Decoded-pixel image QUALITY features (LAION/DataComp curation signals):
+  // the Spark side runs the distributed decode and emits raw integers (luma
+  // histogram + Laplacian sum), then derives range/contrast/sharpness/
+  // entropy in Catalyst; the oracle derives the SAME metrics with its own
+  // list/aggregate SQL from the fixture-exported raw integers. Entropy
+  // terms use the round-once + DECIMAL-sum form (td_lm_score device);
+  // contrast/sharpness are exact-integer numerators with one division.
+  register(
+    "mm_image_quality",
+    Some(
+      """WITH raw AS (
+        |  SELECT * FROM read_parquet('/tmp/graft_image_quality/f_64/*.parquet')),
+        |e AS (
+        |  SELECT id, w, h, lap_sq_sum, CAST(w AS BIGINT) * h AS n,
+        |         CAST(i - 1 AS INTEGER) AS bin, hist[i] AS cnt
+        |  FROM raw, LATERAL (SELECT unnest(generate_series(1, len(hist))) AS i)),
+        |agg AS (
+        |  SELECT id, w, h, lap_sq_sum, n,
+        |    CAST(sum(cnt) AS BIGINT) AS n_pixels,
+        |    min(CASE WHEN cnt > 0 THEN bin END) AS luma_min,
+        |    max(CASE WHEN cnt > 0 THEN bin END) AS luma_max,
+        |    sum(bin * cnt) AS lsum,
+        |    sum(bin * bin * cnt) AS lsq,
+        |    sum(CASE WHEN cnt > 0 THEN CAST(round(
+        |      (CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      ln(CAST(n AS DOUBLE) / CAST(cnt AS DOUBLE)), 9) AS DECIMAL(18,9)) END) AS ent
+        |  FROM e GROUP BY 1, 2, 3, 4, 5)
+        |SELECT id, w, h, n_pixels, luma_min, luma_max,
+        |  luma_max - luma_min AS luma_range,
+        |  round(CAST(n * lsq - lsum * lsum AS DOUBLE) / CAST(n * n AS DOUBLE), 6) AS contrast,
+        |  round(CAST(lap_sq_sum AS DOUBLE) /
+        |        CAST(greatest((CAST(w AS BIGINT) - 2) * (h - 2), 1) AS DOUBLE), 6) AS sharpness,
+        |  round(CAST(ent AS DOUBLE), 6) AS entropy_nats
+        |FROM agg ORDER BY id""".stripMargin
+    )
+  ) { (s, _) =>
+    graft.fixtures.Images.exportExpectedQuality(s, 64)
+    graft.ops.Multimodal
+      .imageQualityFeatures(graft.ops.Multimodal.syntheticMediaTable(s, 64))
+      .orderBy(col("id"))
+  }
+
   // Aspect-ratio bucketing (SDXL-style batching prepass): exact
   // integer-cross-product closeness, so the oracle's argmax over the same
   // bucket list is bit-identical; inputs from the fixture export, engine

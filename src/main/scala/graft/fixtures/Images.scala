@@ -119,6 +119,88 @@ object Images {
     bits
   }
 
+  /** Integer luma (0..255) of a packed RGB pixel — the phash gray formula
+    * kept in EXACT integer arithmetic so quality statistics built on it
+    * (histogram, Laplacian) are cross-engine reproducible.
+    */
+  @inline def lumaInt(rgb: Int): Int =
+    (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+
+  /** 256-bin integer luma histogram over the decoded pixels. */
+  def lumaHistogram(img: BufferedImage): Array[Long] = {
+    val hist = new Array[Long](256)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        hist(lumaInt(img.getRGB(x, y))) += 1
+        x += 1
+      }
+      y += 1
+    }
+    hist
+  }
+
+  /** Sum of squared 4-neighbour Laplacian responses over INTERIOR pixels
+    * (v = 4·l(x,y) − l(x±1,y) − l(x,y±1)) — the classic
+    * variance-of-Laplacian sharpness signal's exact-integer numerator.
+    * |v| ≤ 8·255 so v² ≤ ~4.2e6; the Long sum is overflow-safe for any
+    * realistic image.
+    */
+  def lapSqSum(img: BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w < 3 || h < 3) return 0L
+    // one luma row buffer ring avoids re-decoding neighbours 4×
+    val l = Array.ofDim[Int](h, w)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { l(y)(x) = lumaInt(img.getRGB(x, y)); x += 1 }
+      y += 1
+    }
+    var s = 0L
+    y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        val v = 4 * l(y)(x) - l(y)(x - 1) - l(y)(x + 1) - l(y - 1)(x) - l(y + 1)(x)
+        s += v.toLong * v
+        x += 1
+      }
+      y += 1
+    }
+    s
+  }
+
+  /** Oracle side-channel for the image-quality features
+    * (Multimodal.imageQualityFeatures): per-image luma histogram +
+    * Laplacian sum computed from the GENERATOR's bytes, exported as
+    * parquet. The SQL oracle derives every published metric (pixel count,
+    * min/max/range, contrast, sharpness, entropy) from these raw integers
+    * with its own list/aggregate SQL, while the Spark side recovers them
+    * from the distributed binary column through the real decode pipeline.
+    */
+  val QualityExportBase = "/tmp/graft_image_quality"
+  private val exportedQuality = scala.collection.mutable.Set.empty[String]
+
+  def exportExpectedQuality(spark: org.apache.spark.sql.SparkSession, n: Int): String =
+    synchronized {
+      val path = s"$QualityExportBase/f_$n"
+      if (!exportedQuality.contains(path)) {
+        import spark.implicits._
+        (0 until n).map { i =>
+          val r = rowAt(i.toLong)
+          val img = decode(r.bytes)
+          (r.image_id, img.getWidth, img.getHeight, lumaHistogram(img).toSeq, lapSqSum(img))
+        }.toDF("id", "w", "h", "hist", "lap_sq_sum")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(path)
+        exportedQuality += path
+      }
+      path
+    }
+
   /** PSNR between two same-size images (dB); infinity ⇒ 99.0. */
   def psnr(a: BufferedImage, b: BufferedImage): Double = {
     require(a.getWidth == b.getWidth && a.getHeight == b.getHeight, "size mismatch")

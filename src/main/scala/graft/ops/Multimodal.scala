@@ -52,6 +52,71 @@ object Multimodal {
     }
   }
 
+  final case class ImageQualityRaw(id: String, w: Int, h: Int, hist: Array[Long], lap_sq_sum: Long)
+
+  /** LAION/DataComp-style decoded-pixel QUALITY features: luma dynamic
+    * range, contrast (exact-integer variance numerator, one IEEE division),
+    * sharpness (variance-of-Laplacian numerator over interior pixels), and
+    * Shannon entropy of the 256-bin luma histogram. The decode emits only
+    * RAW INTEGERS per image (histogram + Laplacian sum); every published
+    * metric is derived from them in Catalyst, so an independent engine
+    * replays the identical arithmetic from the same integers — the entropy
+    * terms use the round-once-then-DECIMAL-sum form (order-independent,
+    * cross-engine exact; same device as TextOps.lmScore).
+    *
+    * Scale shape: decode is map-only mapPartitions (one decoder context per
+    * partition); the aggregation input is 256 histogram rows per image with
+    * map-side partial aggregation, so the shuffle carries ≤ a few counters
+    * per image — no pixel data ever crosses an exchange.
+    *
+    * Output: (id, w, h, n_pixels, luma_min, luma_max, luma_range, contrast,
+    * sharpness, entropy_nats).
+    */
+  def imageQualityFeatures(media: Dataset[MediaRow]): DataFrame = {
+    implicit val enc = Encoders.product[ImageQualityRaw]
+    val raw = media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val img = Images.decode(r.bytes)
+          if (img == null) None
+          else Some(ImageQualityRaw(
+            r.id, img.getWidth, img.getHeight, Images.lumaHistogram(img), Images.lapSqSum(img)))
+        } catch { case _: Exception => None }
+      }
+    }
+    val n = (col("w").cast("long") * col("h")).as("__n")
+    val e = raw.toDF()
+      .select(col("id"), col("w"), col("h"), col("lap_sq_sum"), n,
+        posexplode(col("hist")).as(Seq("bin", "cnt")))
+    // per-bin entropy term, rounded ONCE then summed as DECIMAL (exact,
+    // order-independent); bins with cnt = 0 contribute nothing
+    val term = when(col("cnt") > 0,
+      round((col("cnt").cast("double") / col("__n").cast("double")) *
+        log(col("__n").cast("double") / col("cnt").cast("double")), 9)
+        .cast("decimal(18,9)"))
+    val agg = e
+      .groupBy(col("id"), col("w"), col("h"), col("lap_sq_sum"), col("__n"))
+      .agg(
+        sum(col("cnt")).as("n_pixels"),
+        min(when(col("cnt") > 0, col("bin"))).as("luma_min"),
+        max(when(col("cnt") > 0, col("bin"))).as("luma_max"),
+        sum(col("bin").cast("long") * col("cnt")).as("__lsum"),
+        sum(col("bin").cast("long") * col("bin") * col("cnt")).as("__lsq"),
+        sum(term).as("__ent"))
+    agg.select(
+      col("id"), col("w"), col("h"), col("n_pixels"),
+      col("luma_min"), col("luma_max"),
+      (col("luma_max") - col("luma_min")).as("luma_range"),
+      // population variance of luma: (n·Σl² − (Σl)²) / n² — exact integer
+      // numerator and denominator, ONE correctly-rounded division
+      round((col("__n") * col("__lsq") - col("__lsum") * col("__lsum")).cast("double") /
+        (col("__n") * col("__n")).cast("double"), 6).as("contrast"),
+      round(col("lap_sq_sum").cast("double") /
+        greatest((col("w").cast("long") - 2) * (col("h") - 2), lit(1L)).cast("double"), 6)
+        .as("sharpness"),
+      round(col("__ent").cast("double"), 6).as("entropy_nats"))
+  }
+
   /** Resize images to (w, h) per partition; re-encodes as PNG. Real. */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     implicit val enc = Encoders.product[MediaRow]
@@ -70,6 +135,59 @@ object Multimodal {
         } catch { case _: Exception => None }
       }
     }
+  }
+
+  final case class AudioRaw(
+      id: String, sample_rate: Int, n_samples: Int, sum_sq: Long,
+      zero_crossings: Long, peak: Int, n_clipped: Long)
+
+  /** REAL audio decode + feature extraction (closes the "audio is stubbed"
+    * disclosure the same way MJPEG closed video): WAV/PCM16 payloads decode
+    * through javax.sound.sampled.AudioSystem — a JVM codec path fully
+    * independent of the fixture's manual RIFF writer — into exact-integer
+    * per-clip statistics (energy, zero crossings, peak, clipping count).
+    * Published metrics derive from those integers in Catalyst: duration,
+    * RMS (IEEE sqrt is correctly rounded, so one sqrt of an exact ratio is
+    * cross-engine reproducible), zero-crossing rate and clipping fraction
+    * (one division each).
+    *
+    * Scale shape: map-only mapPartitions decode (one frame buffer per row,
+    * no accumulation beyond a handful of longs) — nothing but per-clip
+    * counters ever leaves the partition.
+    */
+  def audioFeatures(media: Dataset[MediaRow]): DataFrame = {
+    implicit val enc = Encoders.product[AudioRaw]
+    val raw = media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.bytes))
+          val fmt = in.getFormat
+          val bytes = in.readAllBytes()
+          in.close()
+          if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+          else {
+            val bb = java.nio.ByteBuffer.wrap(bytes).order(
+              if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN else java.nio.ByteOrder.LITTLE_ENDIAN)
+            val pcm = new Array[Short](bytes.length / 2)
+            var i = 0
+            while (i < pcm.length) { pcm(i) = bb.getShort(); i += 1 }
+            val st = graft.fixtures.Audio.rawStats(pcm)
+            Some(AudioRaw(r.id, fmt.getSampleRate.toInt, st.n_samples, st.sum_sq,
+              st.zero_crossings, st.peak, st.n_clipped))
+          }
+        } catch { case _: Exception => None }
+      }
+    }
+    raw.toDF().select(
+      col("id"), col("sample_rate"), col("n_samples"), col("peak"), col("n_clipped"),
+      floor((col("n_samples").cast("long") * 1000L).cast("double") / col("sample_rate"))
+        .cast("long").as("duration_ms"),
+      round(sqrt(col("sum_sq").cast("double") / col("n_samples").cast("double")), 6).as("rms"),
+      round(col("zero_crossings").cast("double") /
+        greatest(col("n_samples").cast("long") - 1, lit(1L)).cast("double"), 6).as("zcr"),
+      round(col("n_clipped").cast("double") / col("n_samples").cast("double"), 6)
+        .as("clip_fraction"))
   }
 
   /** Video frame sampling, `everyMs`-spaced. REAL decode for MJPEG
@@ -118,6 +236,17 @@ object Multimodal {
       val (w, h) = graft.fixtures.Mjpeg.dims(id)
       MediaRow(id, graft.fixtures.Mjpeg.videoBytes(v),
         MediaMeta("video", w, h, "mjpeg", graft.fixtures.Mjpeg.durationMs(v)))
+    }
+  }
+
+  /** Wrap the deterministic WAV fixture as a media table of `n` clips. */
+  def syntheticAudioTable(spark: org.apache.spark.sql.SparkSession, n: Long): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val id = graft.fixtures.Audio.idOf(i)
+      val durMs = graft.fixtures.Audio.nSamplesOf(id).toLong * 1000 / graft.fixtures.Audio.SampleRate
+      MediaRow(id, graft.fixtures.Audio.wavBytes(i), MediaMeta("audio", 0, 0, "wav", durMs))
     }
   }
 
