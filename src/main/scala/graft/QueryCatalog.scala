@@ -2963,6 +2963,37 @@ object QueryCatalog {
       .orderBy(col("id"))
   }
 
+  // Audio resample round trip (mm_resize analogue): decode → decimate by 4
+  // → re-encode WAV at the reduced rate → re-DECODE; the oracle states the
+  // recovered (rate, sample count) analytically from the exported clip
+  // lengths — exact ceil-division — while the engine must run the whole
+  // decode/decimate/encode/decode chain per partition to produce them.
+  register(
+    "mm_audio_resample",
+    Some(
+      """SELECT id, CAST(sample_rate // 4 AS INTEGER) AS sample_rate,
+        |  CAST((n_samples + 3) // 4 AS INTEGER) AS n_samples
+        |FROM read_parquet('/tmp/graft_audio_stats/f_64/*.parquet')
+        |WHERE CAST(substr(id, 5) AS BIGINT) < 48
+        |ORDER BY id""".stripMargin
+    )
+  ) { (s, _) =>
+    import s.implicits._
+    graft.fixtures.Audio.exportExpectedStats(s, 64)
+    graft.ops.Multimodal
+      .audioResample(graft.ops.Multimodal.syntheticAudioTable(s, 48), 4)
+      .map { r =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.bytes))
+        val rate = in.getFormat.getSampleRate.toInt
+        val nSamples = in.readAllBytes().length / 2
+        in.close()
+        (r.id, rate, nSamples)
+      }
+      .toDF("id", "sample_rate", "n_samples")
+      .orderBy(col("id"))
+  }
+
   // Decoded-pixel image QUALITY features (LAION/DataComp curation signals):
   // the Spark side runs the distributed decode and emits raw integers (luma
   // histogram + Laplacian sum), then derives range/contrast/sharpness/

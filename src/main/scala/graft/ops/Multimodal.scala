@@ -190,6 +190,43 @@ object Multimodal {
         .as("clip_fraction"))
   }
 
+  /** Audio resample by integer DECIMATION (keep every `factor`-th sample —
+    * exact, no interpolation filter, so the output is a pure function of
+    * the input integers): decode WAV via AudioSystem → decimate → re-encode
+    * through the RIFF writer with the reduced sample rate. The mm_resize
+    * analogue for audio; consumers re-decode the emitted payload to verify
+    * the whole chain ran. Map-only.
+    */
+  def audioResample(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    require(factor >= 1, s"decimation factor must be >= 1: $factor")
+    implicit val enc = Encoders.product[MediaRow]
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.bytes))
+          val fmt = in.getFormat
+          val bytes = in.readAllBytes()
+          in.close()
+          if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+          else {
+            val bb = java.nio.ByteBuffer.wrap(bytes).order(
+              if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN else java.nio.ByteOrder.LITTLE_ENDIAN)
+            val n = bytes.length / 2
+            val out = new Array[Short]((n + factor - 1) / factor)
+            var i = 0
+            while (i < out.length) { out(i) = bb.getShort(i * factor * 2); i += 1 }
+            val rate = fmt.getSampleRate.toInt / factor
+            val durMs = out.length.toLong * 1000 / math.max(rate, 1)
+            Some(r.copy(
+              bytes = graft.fixtures.Audio.encodeWav(out, rate),
+              meta = r.meta.copy(duration_ms = durMs)))
+          }
+        } catch { case _: Exception => None }
+      }
+    }
+  }
+
   /** Video frame sampling, `everyMs`-spaced. REAL decode for MJPEG
     * (fmt == "mjpeg"): the concatenated-JPEG stream is split by walking
     * the JPEG marker structure (`fixtures.Mjpeg.splitFrames` — no shared

@@ -53,6 +53,21 @@ class AudioSpec extends SparkSpec {
     assert(r.getAs[Int]("peak") == 1000)
   }
 
+  test("decimation resample keeps every k-th sample and the reduced rate") {
+    import spark.implicits._
+    val pcm = Array.tabulate[Short](1001)(i => (i % 3000).toShort)
+    val rows = Seq(MediaRow("r", Audio.encodeWav(pcm), MediaMeta("audio", 0, 0, "wav", 125L)))
+    val out = Multimodal.audioResample(spark.createDataset(rows), 4).collect().head
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(out.bytes))
+    assert(in.getFormat.getSampleRate.toInt == Audio.SampleRate / 4)
+    val bytes = in.readAllBytes()
+    in.close()
+    assert(bytes.length / 2 == 251) // ceil(1001 / 4)
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 251).foreach(i => assert(bb.getShort(i * 2) == pcm(i * 4)))
+  }
+
   test("fixture corpus decodes distributed; some rows clip, all have energy") {
     val out = Multimodal.audioFeatures(Multimodal.syntheticAudioTable(spark, 24)).collect()
     assert(out.length == 24)
