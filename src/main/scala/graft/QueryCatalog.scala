@@ -1147,6 +1147,29 @@ object QueryCatalog {
     list.fromCursor(next, key).select(col("seq"), col("url"))
   }
 
+  // ---- S12 (beyond-reference source): WARC ingestion -----------------------
+  // The Common Crawl container: per-record gzip members concatenated into
+  // .warc.gz segments. The Spark side must stream-split gzip members,
+  // frame records by Content-Length (binary-safe), skip warcinfo records,
+  // and parse the inner HTTP block; the oracle states every expected fact
+  // (url, date, status, mime, body length + sha256 of the EXACT payload
+  // bytes) from the generator's export.
+  register(
+    "s12_warc_read",
+    Some(
+      """SELECT url, warc_date, status, mime, body_len, body_sha
+        |FROM read_parquet('/tmp/graft_warc/expected_4_24/*.parquet')
+        |ORDER BY url""".stripMargin
+    )
+  ) { (s, _) =>
+    val (filesDir, _) = graft.fixtures.Warc.writeCorpus(s, 4, 24)
+    graft.sources.WarcReader.read(s, filesDir + "/*.warc.gz")
+      .select(col("url"), col("warc_date"), col("status"), col("mime"),
+        length(col("body")).cast("long").as("body_len"),
+        sha2(col("body"), 256).as("body_sha"))
+      .orderBy(col("url"))
+  }
+
   // ---- S10: streamed fetch (chunked download, size-cap abort) --------------
   // (reference http_clients/_base.py:160-189 stream()/read_stream();
   // _file_download_crawler.py stream=True). Bodies are deterministic chunk
