@@ -1170,6 +1170,50 @@ object QueryCatalog {
       .orderBy(col("url"))
   }
 
+  // End-to-end Common-Crawl-style pipeline composition: ingest .warc.gz →
+  // keep 200/text-html responses → HTML→text (native parser) → token
+  // counts + text digest. The oracle recomputes everything from the two
+  // INDEPENDENT exports: the WARC generator's record facts (which rows
+  // survive the filter) and the HtmlDocs tree-walk expected text (what the
+  // parser must recover), joined on the record's doc id. Record 5 is the
+  // raw-binary framing probe (not HTML) and is excluded on both sides.
+  register(
+    "td_cc_pipeline",
+    Some(
+      """WITH w AS (
+        |  SELECT url, CAST(regexp_extract(url, 'doc/(\d+)$', 1) AS BIGINT) AS doc_id
+        |  FROM read_parquet('/tmp/graft_warc/expected_4_24/*.parquet')
+        |  WHERE status = 200 AND mime = 'text/html'),
+        |h AS (SELECT doc_id, expected
+        |      FROM read_parquet('/tmp/graft_html_docs/docs_96/*.parquet'))
+        |SELECT w.url, w.doc_id,
+        |  len(regexp_split_to_array(h.expected, '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(h.expected, '[a-zA-Z0-9]+')) +
+        |  len(regexp_extract_all(h.expected, '[^a-zA-Z0-9 \t\n]')) AS bpe_ish_tokens,
+        |  sha256(h.expected) AS text_sha
+        |FROM w JOIN h USING (doc_id)
+        |WHERE w.doc_id <> 5
+        |ORDER BY w.doc_id""".stripMargin
+    )
+  ) { (s, _) =>
+    graft.expr.HtmlFunctions.register(s)
+    graft.fixtures.HtmlDocs.export(s, 96)
+    val (filesDir, _) = graft.fixtures.Warc.writeCorpus(s, 4, 24)
+    graft.sources.WarcReader.read(s, filesDir + "/*.warc.gz")
+      .filter(col("status") === 200 && col("mime") === "text/html")
+      .select(col("url"),
+        regexp_extract(col("url"), "doc/(\\d+)$", 1).cast("long").as("doc_id"),
+        graft.expr.HtmlFunctions.htmlToText(col("body").cast("string")).as("text"))
+      .filter(col("doc_id") =!= 5)
+      .select(col("url"), col("doc_id"),
+        size(split(col("text"), "\\s+")).as("ws_tokens"),
+        (size(regexp_extract_all(col("text"), lit("[a-zA-Z0-9]+"), lit(0))) +
+          size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9 \\t\\n]"), lit(0))))
+          .as("bpe_ish_tokens"),
+        sha2(col("text").cast("binary"), 256).as("text_sha"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- S10: streamed fetch (chunked download, size-cap abort) --------------
   // (reference http_clients/_base.py:160-189 stream()/read_stream();
   // _file_download_crawler.py stream=True). Bodies are deterministic chunk
