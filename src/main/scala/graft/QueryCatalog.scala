@@ -763,6 +763,33 @@ object QueryCatalog {
     store.state().select(col("unique_key"), col("url"))
   }
 
+  // ---- W5: STREAMING WARC ingestion (new-source × Structured Streaming):
+  // the landing-directory segments flow through checkpointed binaryFile
+  // offsets, one file per micro-batch, each record split/parsed inside the
+  // stream; result set ≡ the batch reader's ≡ the generator's export.
+  register(
+    "w5_stream_warc",
+    Some(
+      """SELECT url, status, body_len, body_sha
+        |FROM read_parquet('/tmp/graft_warc/expected_4_24/*.parquet')
+        |ORDER BY url""".stripMargin
+    )
+  ) { (s, _) =>
+    val (filesDir, _) = graft.fixtures.Warc.writeCorpus(s, 4, 24)
+    val ck = java.nio.file.Files.createTempDirectory("w5-ck").toString
+    val name = s"w5_warc_${System.nanoTime()}"
+    val q = graft.sources.WarcReader.readStream(s, filesDir, maxFilesPerTrigger = Some(1))
+      .select(col("url"), col("status"),
+        length(col("body")).cast("long").as("body_len"),
+        sha2(col("body"), 256).as("body_sha"))
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy(col("url"))
+  }
+
   // ---- A7b: statistics state resume (reference _statistics.py:284-299) ----
   // Terminal outcomes streamed through RunStatistics in TWO phases with a
   // KVS persist + a FRESH resume between them; the oracle computes the same

@@ -43,6 +43,41 @@ object WarcReader {
     spark.createDataset(rdd)(Encoders.product[WarcRow]).toDF()
   }
 
+  /** Batch split of an already-materialized WARC payload (the streaming
+    * source's row shape). Same parser as [[records]].
+    */
+  def recordsFromBytes(file: String, bytes: Array[Byte]): Iterator[WarcRow] =
+    records(file, new java.io.ByteArrayInputStream(bytes))
+
+  /** STREAMING ingestion of a WARC landing directory (Structured
+    * Streaming): new `.warc.gz` segments dropped into `pathGlob` flow
+    * through checkpointed file-source offsets — each segment is consumed
+    * exactly once across restarts, and `maxFilesPerTrigger` bounds a
+    * micro-batch's intake (the S6 back-pressure shape applied to archive
+    * ingestion). The binaryFile streaming source materializes one file per
+    * row, so memory per task is O(segment) here — size landing segments
+    * accordingly (a few hundred MB); the batch [[read]] path keeps the
+    * O(record) PortableDataStream contract for arbitrarily large archives.
+    */
+  def readStream(spark: SparkSession, pathGlob: String, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // file streaming sources require the schema up front (no inference pass)
+    val binaryFileSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    val base = spark.readStream.format("binaryFile").schema(binaryFileSchema)
+    val src = maxFilesPerTrigger.fold(base)(n => base.option("maxFilesPerTrigger", n))
+    src.load(pathGlob)
+      .select(org.apache.spark.sql.functions.col("path"),
+        org.apache.spark.sql.functions.col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, c) => recordsFromBytes(p, c) }(Encoders.product[WarcRow])
+      .toDF()
+  }
+
   /** Stream records from one WARC (possibly .gz) input stream. */
   def records(file: String, rawIn: InputStream): Iterator[WarcRow] = {
     val buf = new BufferedInputStream(rawIn, 1 << 16)

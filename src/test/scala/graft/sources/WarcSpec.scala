@@ -49,6 +49,28 @@ class WarcSpec extends SparkSpec {
     assert(rows.map(_.url) == (0 until 7).map(i => Warc.urlOf(i.toLong)))
   }
 
+  test("streaming ingestion: segments consumed exactly once, bounded per trigger") {
+    import java.nio.file.{Files, Paths}
+    val in = Files.createTempDirectory("warc-stream-in").toString
+    val ck = Files.createTempDirectory("warc-stream-ck").toString
+    // two segments dropped before the query starts
+    Files.write(Paths.get(in, "seg-0.warc.gz"), Warc.fileBytes("s0", 0, 8, gzipPerRecord = true))
+    Files.write(Paths.get(in, "seg-1.warc.gz"), Warc.fileBytes("s1", 8, 20, gzipPerRecord = true))
+
+    val q = WarcReader.readStream(spark, in, maxFilesPerTrigger = Some(1))
+      .writeStream
+      .format("memory")
+      .queryName("warc_stream")
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.sql("SELECT url FROM warc_stream").collect().map(_.getString(0)).sorted
+    assert(got.toSeq == (0L until 20L).map(Warc.urlOf).sorted)
+    // one file per micro-batch: offsets checkpoint records 2 batches
+    assert(q.recentProgress.count(_.numInputRows > 0) == 2)
+  }
+
   test("distributed read over a multi-file .warc.gz corpus") {
     val (filesDir, _) = Warc.writeCorpus(spark, 3, 10)
     val df = WarcReader.read(spark, filesDir + "/*.warc.gz")
