@@ -3892,6 +3892,55 @@ object QueryCatalog {
     graft.plans.TopK.perKey(df, Seq("key"), Seq("score" -> true, "event_id" -> true), k = 5)
   }
 
+  // Decode-FREE media metadata (the 100 TB fast path): format and pixel
+  // dimensions parsed from container headers by native codegen expressions
+  // (expr/MediaFunctions + media/HeaderSniff) — no inflate, no IDCT, no
+  // pixel allocation. The oracle is the same generator-side export
+  // mm_image_features decodes against, so the header parse and the full
+  // decoder are independently pinned to the generator's ground truth.
+  register(
+    "mm_header_sniff",
+    Some(
+      """SELECT id, fmt, w, h
+        |FROM read_parquet('/tmp/graft_image_features/f_64/*.parquet')
+        |ORDER BY id""".stripMargin
+    )
+  ) { (s, _) =>
+    graft.fixtures.Images.exportExpectedFeatures(s, 64)
+    graft.expr.MediaFunctions.register(s)
+    graft.ops.Multimodal.syntheticMediaTable(s, 64).toDF()
+      .select(
+        col("id"),
+        graft.expr.MediaFunctions.mediaFormat(col("bytes")).as("fmt"),
+        graft.expr.MediaFunctions.mediaWidth(col("bytes")).as("w"),
+        graft.expr.MediaFunctions.mediaHeight(col("bytes")).as("h"))
+      .orderBy(col("id"))
+  }
+
+  // WAV geometry from the RIFF chunk walk alone (no AudioSystem decode):
+  // rate/frames cross-check the generator export; channels/bits are the
+  // fixture's fixed mono/16-bit layout, stated analytically by the oracle
+  // and recovered from the fmt chunk by the engine.
+  register(
+    "mm_audio_sniff",
+    Some(
+      """SELECT id, sample_rate, 1 AS channels, 16 AS bits, n_samples
+        |FROM read_parquet('/tmp/graft_audio_stats/f_64/*.parquet')
+        |ORDER BY id""".stripMargin
+    )
+  ) { (s, _) =>
+    graft.fixtures.Audio.exportExpectedStats(s, 64)
+    graft.expr.MediaFunctions.register(s)
+    graft.ops.Multimodal.syntheticAudioTable(s, 64).toDF()
+      .select(
+        col("id"),
+        graft.expr.MediaFunctions.wavSampleRate(col("bytes")).as("sample_rate"),
+        graft.expr.MediaFunctions.wavChannels(col("bytes")).as("channels"),
+        graft.expr.MediaFunctions.wavBits(col("bytes")).as("bits"),
+        graft.expr.MediaFunctions.wavFrames(col("bytes")).as("n_samples"))
+      .orderBy(col("id"))
+  }
+
   // -------------------------------------------------------------------------
 
   lazy val all: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap

@@ -1,0 +1,84 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.sql.{Column, SparkSession}
+
+/** Decode-free media header sniffing as native codegen'd expressions over
+  * the raw `binary` column (graft.media.HeaderSniff): format, pixel
+  * dimensions, WAV PCM geometry — each one static call per row inside
+  * whole-stage codegen, no Scala UDF serialization, no decoder allocation
+  * (the HtmlToTextExpr pattern). This is the metadata fast path a 100 TB
+  * media pass runs INSTEAD of `Multimodal.imageFeatures`' full decode when
+  * it only needs dimensions/format for filtering and routing.
+  */
+case class MediaFormatExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "media_format"
+  override protected def nullSafeEval(input: Any): Any =
+    graft.media.HeaderSniff.formatUTF8(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.media.HeaderSniff.formatUTF8($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** One class per HeaderSniff int field; `method` names the static helper
+  * (validated at construction so codegen can splice it verbatim).
+  */
+case class MediaSniffIntExpr(child: Expression, method: String) extends UnaryExpression {
+  require(MediaSniffIntExpr.Methods.contains(method), s"unknown sniff field: $method")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = s"media_$method"
+  override protected def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    method match {
+      case "width"         => graft.media.HeaderSniff.width(b)
+      case "height"        => graft.media.HeaderSniff.height(b)
+      case "sampleRate"    => graft.media.HeaderSniff.sampleRate(b)
+      case "channels"      => graft.media.HeaderSniff.channels(b)
+      case "bitsPerSample" => graft.media.HeaderSniff.bitsPerSample(b)
+      case "audioFrames"   => graft.media.HeaderSniff.audioFrames(b)
+    }
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.media.HeaderSniff.$method($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MediaSniffIntExpr {
+  val Methods: Set[String] =
+    Set("width", "height", "sampleRate", "channels", "bitsPerSample", "audioFrames")
+}
+
+object MediaFunctions {
+
+  import org.apache.spark.sql.functions.call_function
+
+  def mediaFormat(bytes: Column): Column = call_function("media_format", bytes)
+  def mediaWidth(bytes: Column): Column = call_function("media_width", bytes)
+  def mediaHeight(bytes: Column): Column = call_function("media_height", bytes)
+  def wavSampleRate(bytes: Column): Column = call_function("wav_sample_rate", bytes)
+  def wavChannels(bytes: Column): Column = call_function("wav_channels", bytes)
+  def wavBits(bytes: Column): Column = call_function("wav_bits", bytes)
+  def wavFrames(bytes: Column): Column = call_function("wav_frames", bytes)
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "media_format", exprs => MediaFormatExpr(exprs(0)), "scala_udf")
+    Seq(
+      "media_width" -> "width",
+      "media_height" -> "height",
+      "wav_sample_rate" -> "sampleRate",
+      "wav_channels" -> "channels",
+      "wav_bits" -> "bitsPerSample",
+      "wav_frames" -> "audioFrames"
+    ).foreach { case (name, method) =>
+      reg.createOrReplaceTempFunction(
+        name, exprs => MediaSniffIntExpr(exprs(0), method), "scala_udf")
+    }
+  }
+}
