@@ -451,6 +451,10 @@ final class CrawlEngine(
     var done = false
     while (!done && !stopRequested && processedTotal < cfg.maxRequestsPerCrawl) {
       val batchT0 = System.nanoTime()
+      // P5: capture the new-work epoch BEFORE the claim evaluates, so a
+      // concurrent add racing this iteration's empty claim wakes the idle
+      // wait immediately instead of being missed until the next commit.
+      val workEpochBefore = store.newWorkEpoch
       val nowMs = batchIdx.toLong * batchPeriodMs
       // R6: never claim more than the remaining budget (reproduces the
       // concurrency-1 exactness of test_basic_crawler.py:1094-1122);
@@ -531,7 +535,14 @@ final class CrawlEngine(
           // inject new work (reference test_basic_crawler.py:1681+) or stop it
           onIdle(batchIdx) match {
             case Some(newSeeds) => enqueueSeeds(newSeeds); batchIdx += 1
-            case None => done = true
+            case None =>
+              // P5 new-work wakeup: before concluding the crawl is drained,
+              // block on the store's add/reclaim event (a concurrent
+              // streaming ingest or external producer may still be
+              // committing). Woken -> claim again; timeout -> finished.
+              if (cfg.newWorkWaitMs > 0L &&
+                  store.awaitNewWork(workEpochBefore, cfg.newWorkWaitMs)) batchIdx += 1
+              else done = true
           }
         } else done = true
       } else {

@@ -168,4 +168,127 @@ object HeaderSniff {
     val blockAlign = ch.toLong * bits / 8
     if (blockAlign <= 0) -1 else (data / blockAlign).toInt
   }
+
+  /** EXIF orientation (TIFF tag 0x0112 in IFD0 of a JPEG APP1 `Exif`
+    * segment, CIPA DC-008): 1..8 per the spec, 0 when the payload is not a
+    * JPEG, carries no EXIF, or the tag is absent/malformed. Training
+    * pipelines need this BEFORE decode — a rotation-normalizing resize pass
+    * routes on it, and cameras write it far more often than they rewrite
+    * pixels. Both TIFF byte orders (`II`/`MM`) are handled.
+    */
+  def exifOrientation(b: Array[Byte]): Int = {
+    if (b == null || !isJpeg(b)) return 0
+    var i = 2
+    while (i + 3 < b.length) {
+      if (u8(b, i) != 0xff) return 0
+      var m = u8(b, i + 1)
+      while (m == 0xff && i + 2 < b.length) { i += 1; m = u8(b, i + 1) }
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) i += 2
+      else if (m == 0xd9 || m == 0xda) return 0 // EOI/SOS: APP1 always precedes
+      else {
+        val segLen = be16(b, i + 2)
+        if (segLen < 2) return 0
+        if (m == 0xe1 && ascii(b, i + 4, "Exif") && i + 9 < b.length &&
+            b(i + 8) == 0 && b(i + 9) == 0) {
+          val t = i + 10 // TIFF header base
+          val segEnd = math.min(b.length, i + 2 + segLen)
+          if (t + 8 > segEnd) return 0
+          val le =
+            if (ascii(b, t, "II")) true
+            else if (ascii(b, t, "MM")) false
+            else return 0
+          def r16(o: Int): Int = if (le) le16(b, o) else be16(b, o)
+          def r32(o: Int): Int = if (le) le32(b, o) else be32(b, o)
+          if (r16(t + 2) != 42) return 0
+          val ifd = t + r32(t + 4)
+          if (ifd < t || ifd + 2 > segEnd) return 0
+          val n = r16(ifd)
+          var k = 0
+          while (k < n && ifd + 2 + 12 * (k + 1) <= segEnd) {
+            val e = ifd + 2 + 12 * k
+            if (r16(e) == 0x0112 && r16(e + 2) == 3 && r32(e + 4) == 1) {
+              val v = r16(e + 8) // SHORT value left-justified in file order
+              return if (v >= 1 && v <= 8) v else 0
+            }
+            k += 1
+          }
+          return 0
+        }
+        i += 2 + segLen
+      }
+    }
+    0
+  }
+
+  /** 1 = progressive JPEG (SOF2/6/10/14 frame header), 0 = sequential
+    * (baseline/extended/lossless SOFs), -1 = not a JPEG or no frame header
+    * reachable. Progressive payloads cost a full multi-scan buffer to
+    * decode — a curation pass that drops or reroutes them wants the bit
+    * without the decode.
+    */
+  def jpegProgressive(b: Array[Byte]): Int = {
+    if (b == null || !isJpeg(b)) return -1
+    var i = 2
+    while (i + 3 < b.length) {
+      if (u8(b, i) != 0xff) return -1
+      var m = u8(b, i + 1)
+      while (m == 0xff && i + 2 < b.length) { i += 1; m = u8(b, i + 1) }
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) i += 2
+      else if (m == 0xd9 || m == 0xda) return -1
+      else {
+        val segLen = be16(b, i + 2)
+        if (segLen < 2) return -1
+        val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+        if (isSof) return if (m == 0xc2 || m == 0xc6 || m == 0xca || m == 0xce) 1 else 0
+        i += 2 + segLen
+      }
+    }
+    -1
+  }
+
+  /** GIF frame count: image descriptors (0x2C) in the block stream, walking
+    * extension sub-blocks without touching LZW payloads beyond their length
+    * prefixes. 1 = static, >1 = animated — the static-vs-animated split is
+    * a standard image-curation gate. -1 for non-GIFs or lost sync.
+    */
+  def gifFrames(b: Array[Byte]): Int = {
+    if (b == null || !isGif(b)) return -1
+    if (b.length < 13) return -1
+    var i = 13
+    val gPacked = u8(b, 10)
+    if ((gPacked & 0x80) != 0) i += 3 * (1 << ((gPacked & 7) + 1)) // global color table
+    var frames = 0
+    while (i < b.length) {
+      u8(b, i) match {
+        case 0x2c => // image descriptor
+          if (i + 10 > b.length) return -1
+          frames += 1
+          val lPacked = u8(b, i + 9)
+          i += 10
+          if ((lPacked & 0x80) != 0) i += 3 * (1 << ((lPacked & 7) + 1)) // local color table
+          if (i >= b.length) return -1
+          i += 1 // LZW minimum code size
+          var len = if (i < b.length) u8(b, i) else -1
+          while (len > 0) { // data sub-blocks
+            i += 1 + len
+            len = if (i < b.length) u8(b, i) else -1
+          }
+          if (len < 0) return -1
+          i += 1 // block terminator
+        case 0x21 => // extension: label + sub-blocks
+          i += 2
+          var len = if (i < b.length) u8(b, i) else -1
+          while (len > 0) {
+            i += 1 + len
+            len = if (i < b.length) u8(b, i) else -1
+          }
+          if (len < 0) return -1
+          i += 1
+        case 0x3b => return frames // trailer
+        case 0x00 => i += 1 // stray padding between blocks (seen in the wild)
+        case _    => return -1 // lost sync
+      }
+    }
+    frames // truncated tail: report what was seen (truncation IS data)
+  }
 }

@@ -176,6 +176,14 @@ final case class CrawlConfig(
     failedRequestHandler: Option[RequestOptions => Unit] = None,
     // X5 keep_alive: don't stop on empty queue (_basic_crawler.py:189-190)
     keepAlive: Boolean = false,
+    // P5 new-work wakeup (_throttling_request_manager.py:104-107,407-427):
+    // with keep_alive on and the idle hook returning no work, block up to
+    // this long on the store's new-work event (set by any add/reclaim
+    // commit — e.g. a concurrent streaming ingest) before finishing. The
+    // wakeup is event-driven, not a poll: an add landing 100 ms into a
+    // 60 s wait resumes claiming immediately. 0 (default) keeps the
+    // original exit-on-idle behavior.
+    newWorkWaitMs: Long = 0L,
     // R5 abort_on_error: the first terminally-failed request finishes the
     // in-flight work and shuts the crawl down (_basic_crawler.py:1411-1414)
     abortOnError: Boolean = false,

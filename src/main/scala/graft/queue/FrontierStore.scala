@@ -357,6 +357,41 @@ final class FrontierStore(
     n
   }
 
+  // ---- P5 new-work wakeup -----------------------------------------------
+  // The reference's request manager sets an asyncio event on every
+  // add/reclaim, interrupting a worker's empty-queue sleep
+  // (_throttling_request_manager.py:104-107,407-427). The Spark analogue: a
+  // monitor epoch bumped on every commit that can create claimable work
+  // (adds, reclaims, handled transitions — never pure claims), which an
+  // idle engine blocks on instead of spinning or exiting. A separate lock
+  // object keeps waiters off the store's own commit lock: `awaitNewWork`
+  // must be callable while another thread is inside a synchronized commit.
+  private val newWorkMonitor = new Object
+  private var newWorkEpochCounter = 0L
+
+  private def signalNewWork(): Unit = newWorkMonitor.synchronized {
+    newWorkEpochCounter += 1
+    newWorkMonitor.notifyAll()
+  }
+
+  /** Monotonic counter of work-creating commits; capture BEFORE evaluating
+    * a claim so a commit racing the claim is never missed by awaitNewWork.
+    */
+  def newWorkEpoch: Long = newWorkMonitor.synchronized(newWorkEpochCounter)
+
+  /** Block until a work-creating commit lands after `sinceEpoch`, or
+    * `timeoutMs` elapses. True = woken by new work; false = timed out.
+    */
+  def awaitNewWork(sinceEpoch: Long, timeoutMs: Long): Boolean = newWorkMonitor.synchronized {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (newWorkEpochCounter == sinceEpoch) {
+      val remainMs = (deadline - System.nanoTime()) / 1000000L
+      if (remainMs <= 0L) return false
+      newWorkMonitor.wait(remainMs)
+    }
+    true
+  }
+
   /** Set when a compaction superseded files; the next commit vacuums. */
   @volatile private var vacuumPending = false
 
@@ -717,6 +752,7 @@ final class FrontierStore(
       .unionByName(handledEvents)
       .unionByName(reclaimEvents)
     val committed = commitEvents(allEvents)
+    if (committed > 0) signalNewWork() // P5: add/reclaim interrupts idle waits
 
     // Bloom mode: fold this commit's admitted keys into the shard files —
     // fully executor-side (repartition on bucket + per-bucket merge), no

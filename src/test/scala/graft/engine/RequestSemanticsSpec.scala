@@ -175,6 +175,29 @@ class RequestSemanticsSpec extends SparkSpec {
     assert(res.handledOkKeys.contains(SeedRequest(late).uniqueKey))
   }
 
+  test("P5 new-work wakeup: a concurrent external add interrupts the keep-alive idle wait") {
+    import scala.concurrent.duration._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import spark.implicits._
+    // keepAlive + newWorkWaitMs: the engine idles on the empty frontier
+    // BLOCKED on the store's new-work event (not spinning, not exiting);
+    // a streaming-ingest-style addBatch from another thread wakes it, the
+    // late request is crawled, and the next (un-woken) wait ends the run.
+    val late = okUrl
+    val sr = SeedRequest(late)
+    val cfg = CrawlConfig(maxCrawlDepth = 0, keepAlive = true, newWorkWaitMs = 8000L)
+    val (engine, store) = mkEngine(smallSpec, cfg, batchSize = 4)
+    val run = Future(engine.runRequests(Seq.empty))
+    Thread.sleep(400) // let the engine reach the idle wait
+    val host = graft.canon.UrlCanon.parse(late).host
+    store.addBatch(
+      Seq((sr.uniqueKey, late, host, null.asInstanceOf[String], "GET", 0, false, 0L))
+        .toDF("unique_key", "url", "host", "label", "method", "depth", "forefront", "cand_order"))
+    val res = Await.result(run, 90.seconds)
+    assert(res.handledOkKeys.contains(sr.uniqueKey))
+  }
+
   test("Retry-After beats the exponential backoff schedule but stays capped (P3)") {
     val t = new DomainThrottle(Map.empty)
     // exponential: first 429 -> 2s

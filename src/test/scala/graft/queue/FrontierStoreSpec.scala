@@ -388,4 +388,27 @@ class FrontierStoreSpec extends SparkSpec {
       }.isEmpty)
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
+
+  test("P5 new-work event: an add wakes a blocked waiter; pure claims never signal") {
+    import scala.concurrent.duration._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val store = newStore()
+    store.addBatch(cand(Seq("a"), forefront = false))
+    val e0 = store.newWorkEpoch
+    // a claim-only commit creates no claimable work -> no signal
+    store.claim(1, nowMs = 0L)
+    assert(store.newWorkEpoch == e0)
+    // a blocked waiter is woken by a concurrent add well inside its timeout
+    val waiter = Future(store.awaitNewWork(e0, 30000L))
+    Thread.sleep(200)
+    val t0 = System.nanoTime()
+    store.addBatch(cand(Seq("b"), forefront = false, orderBase = 10))
+    assert(Await.result(waiter, 10.seconds), "waiter must be woken by the add")
+    assert((System.nanoTime() - t0) / 1e6 < 5000, "wakeup must be event-driven, not the 30s timeout")
+    // an already-passed epoch returns immediately without waiting
+    assert(store.awaitNewWork(e0, 30000L))
+    // and with no new commit the wait times out (bounded, returns false)
+    assert(!store.awaitNewWork(store.newWorkEpoch, 250L))
+  }
 }
