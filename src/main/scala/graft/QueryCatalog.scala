@@ -3941,6 +3941,32 @@ object QueryCatalog {
       .orderBy(col("id"))
   }
 
+  // EXIF orientation / progressive-JPEG / animated-GIF frame count from the
+  // container byte stream alone (media/HeaderSniff) — the rotation-normalize
+  // and curation gates a training pipeline runs BEFORE any decode. The
+  // corpus mixes containers so each parser also proves it returns its
+  // sentinel on foreign formats; expected values are analytic functions of
+  // the row index exported by the fixture, while the engine walks the real
+  // imageio-written (JPEG/GIF) + hand-spliced (APP1) bytes.
+  register(
+    "mm_container_sniff",
+    Some(
+      """SELECT id, orientation, progressive, gif_frames
+        |FROM read_parquet('/tmp/graft_container_sniff/f_48/*.parquet')
+        |ORDER BY id""".stripMargin
+    )
+  ) { (s, _) =>
+    graft.fixtures.Containers.exportExpected(s, 48)
+    graft.expr.MediaFunctions.register(s)
+    graft.fixtures.Containers.table(s, 48)
+      .select(
+        col("id"),
+        graft.expr.MediaFunctions.exifOrientation(col("bytes")).as("orientation"),
+        graft.expr.MediaFunctions.jpegProgressive(col("bytes")).as("progressive"),
+        graft.expr.MediaFunctions.gifFrames(col("bytes")).as("gif_frames"))
+      .orderBy(col("id"))
+  }
+
   // -------------------------------------------------------------------------
 
   lazy val all: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap

@@ -40,6 +40,9 @@ case class MediaSniffIntExpr(child: Expression, method: String) extends UnaryExp
       case "channels"      => graft.media.HeaderSniff.channels(b)
       case "bitsPerSample" => graft.media.HeaderSniff.bitsPerSample(b)
       case "audioFrames"   => graft.media.HeaderSniff.audioFrames(b)
+      case "exifOrientation" => graft.media.HeaderSniff.exifOrientation(b)
+      case "jpegProgressive" => graft.media.HeaderSniff.jpegProgressive(b)
+      case "gifFrames"       => graft.media.HeaderSniff.gifFrames(b)
     }
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -50,7 +53,8 @@ case class MediaSniffIntExpr(child: Expression, method: String) extends UnaryExp
 
 object MediaSniffIntExpr {
   val Methods: Set[String] =
-    Set("width", "height", "sampleRate", "channels", "bitsPerSample", "audioFrames")
+    Set("width", "height", "sampleRate", "channels", "bitsPerSample", "audioFrames",
+      "exifOrientation", "jpegProgressive", "gifFrames")
 }
 
 object MediaFunctions {
@@ -64,6 +68,9 @@ object MediaFunctions {
   def wavChannels(bytes: Column): Column = call_function("wav_channels", bytes)
   def wavBits(bytes: Column): Column = call_function("wav_bits", bytes)
   def wavFrames(bytes: Column): Column = call_function("wav_frames", bytes)
+  def exifOrientation(bytes: Column): Column = call_function("exif_orientation", bytes)
+  def jpegProgressive(bytes: Column): Column = call_function("jpeg_progressive", bytes)
+  def gifFrames(bytes: Column): Column = call_function("gif_frames", bytes)
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -75,7 +82,10 @@ object MediaFunctions {
       "wav_sample_rate" -> "sampleRate",
       "wav_channels" -> "channels",
       "wav_bits" -> "bitsPerSample",
-      "wav_frames" -> "audioFrames"
+      "wav_frames" -> "audioFrames",
+      "exif_orientation" -> "exifOrientation",
+      "jpeg_progressive" -> "jpegProgressive",
+      "gif_frames" -> "gifFrames"
     ).foreach { case (name, method) =>
       reg.createOrReplaceTempFunction(
         name, exprs => MediaSniffIntExpr(exprs(0), method), "scala_udf")

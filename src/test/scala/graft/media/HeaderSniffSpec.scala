@@ -94,4 +94,50 @@ class HeaderSniffSpec extends SparkSpec {
       .collect()(0)
     assert(n.isNullAt(0) && n.isNullAt(1))
   }
+
+  test("EXIF orientation: both TIFF byte orders, absent tag, foreign formats") {
+    (0L until 48L).foreach { i =>
+      val (o, p, g) = graft.fixtures.Containers.expected(i)
+      val b = graft.fixtures.Containers.bytesAt(i)
+      assert(HeaderSniff.exifOrientation(b) == o, s"orientation at $i")
+      assert(HeaderSniff.jpegProgressive(b) == p, s"progressive at $i")
+      assert(HeaderSniff.gifFrames(b) == g, s"gif frames at $i")
+    }
+    // a plain imageio JPEG (no APP1) and non-JPEG formats report 0 / -1
+    val plainJpeg = Images.encodeJpeg(Images.renderPixels("t", 32, 32), 0.8f)
+    assert(HeaderSniff.exifOrientation(plainJpeg) == 0)
+    assert(HeaderSniff.jpegProgressive(plainJpeg) == 0) // baseline SOF0
+    assert(HeaderSniff.gifFrames(plainJpeg) == -1)
+    val png = encode("png", 20, 20)
+    assert(HeaderSniff.exifOrientation(png) == 0)
+    assert(HeaderSniff.jpegProgressive(png) == -1)
+    assert(HeaderSniff.gifFrames(png) == -1)
+    val wav = graft.fixtures.Audio.wavBytes(0L)
+    assert(HeaderSniff.exifOrientation(wav) == 0)
+    assert(HeaderSniff.gifFrames(wav) == -1)
+    // a single-frame imageio GIF counts exactly 1
+    assert(HeaderSniff.gifFrames(encode("gif", 12, 9)) == 1)
+    // truncation inside the TIFF IFD / GIF block stream never throws
+    (0L until 48L).foreach { i =>
+      val b = graft.fixtures.Containers.bytesAt(i)
+      Seq(3, 8, 16, 24, b.length / 2).foreach { cut =>
+        HeaderSniff.exifOrientation(b.take(cut))
+        HeaderSniff.jpegProgressive(b.take(cut))
+        HeaderSniff.gifFrames(b.take(cut))
+      }
+    }
+    // an orientation value outside 1..8 is rejected, not propagated: craft
+    // SOI + a big-endian APP1 whose orientation SHORT reads 9
+    val badO = Array[Byte](
+      0xff.toByte, 0xd8.toByte, 0xff.toByte, // SOI + fill for isJpeg
+      0xff.toByte, 0xe1.toByte, 0x00, 34, // APP1, len 34
+      'E', 'x', 'i', 'f', 0, 0,
+      'M', 'M', 0x00, 42, 0x00, 0x00, 0x00, 0x08, // TIFF BE, IFD0 at +8
+      0x00, 0x01, // one entry
+      0x01, 0x12, 0x00, 0x03, 0x00, 0x00, 0x00, 0x01, // tag/type/count
+      0x00, 0x09, 0x00, 0x00, // value 9 (out of range)
+      0x00, 0x00, 0x00, 0x00 // next IFD
+    )
+    assert(HeaderSniff.exifOrientation(badO) == 0)
+  }
 }
