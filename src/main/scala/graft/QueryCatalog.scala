@@ -3941,6 +3941,68 @@ object QueryCatalog {
       .orderBy(col("id"))
   }
 
+  // Boilerplate removal (jusText-family): block segmentation is ONE native
+  // codegen call per page; classification is Catalyst arithmetic + a
+  // per-doc window pass. The fixture constructs pages from typed segment
+  // PLANS and exports plan-computed block features; the engine recovers
+  // blocks by parsing the serialized HTML, and DuckDB reclassifies the
+  // exported features with its own window SQL — parse, feature counting,
+  // and the neighbor-inheritance pass are all cross-checked.
+  register(
+    "td_boiler_blocks",
+    Some(
+      """WITH b AS (
+        |  SELECT doc_id, block_idx, chars, link_chars, words, stop_words,
+        |    round(CAST(link_chars AS DOUBLE) / greatest(chars, 1), 6) AS link_density,
+        |    round(CAST(stop_words AS DOUBLE) / greatest(words, 1), 6) AS stop_density
+        |  FROM read_parquet('/tmp/graft_boiler_docs/200/blocks/*.parquet')
+        |), c AS (
+        |  SELECT *, CASE WHEN link_density > 0.3 THEN 'bad'
+        |    WHEN chars >= 80 AND stop_density >= 0.25 THEN 'good'
+        |    ELSE 'short' END AS cls
+        |  FROM b
+        |), w AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN cls <> 'short' THEN cls END IGNORE NULLS)
+        |      OVER (PARTITION BY doc_id ORDER BY block_idx
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_cls,
+        |    first_value(CASE WHEN cls <> 'short' THEN cls END IGNORE NULLS)
+        |      OVER (PARTITION BY doc_id ORDER BY block_idx
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_cls
+        |  FROM c
+        |)
+        |SELECT doc_id, block_idx, chars, link_chars, words, stop_words,
+        |  link_density, stop_density, cls,
+        |  CASE WHEN cls = 'good' THEN true WHEN cls = 'bad' THEN false
+        |    ELSE coalesce(prev_cls = 'good', false) AND coalesce(next_cls = 'good', false)
+        |  END AS keep
+        |FROM w
+        |ORDER BY doc_id, block_idx""".stripMargin
+    )
+  ) { (s, _) =>
+    val base = graft.fixtures.BoilerDocs.export(s, 200)
+    TextOps.boilerBlocks(s.read.parquet(s"$base/docs"), "doc_id", "html")
+      .select(col("doc_id"), col("block_idx"), col("chars"), col("link_chars"),
+        col("words"), col("stop_words"), col("link_density"), col("stop_density"),
+        col("cls"), col("keep"))
+      .orderBy(col("doc_id"), col("block_idx"))
+  }
+
+  // End-to-end main-content extraction: kept blocks reassembled per doc,
+  // checked against the plan side's independently-classified expected text.
+  register(
+    "td_main_content",
+    Some(
+      """SELECT doc_id, expected_content AS content
+        |FROM read_parquet('/tmp/graft_boiler_docs/200/docs/*.parquet')
+        |ORDER BY doc_id""".stripMargin
+    )
+  ) { (s, _) =>
+    val base = graft.fixtures.BoilerDocs.export(s, 200)
+    TextOps.mainContent(s.read.parquet(s"$base/docs"), "doc_id", "html")
+      .orderBy(col("doc_id"))
+  }
+
   // EXIF orientation / progressive-JPEG / animated-GIF frame count from the
   // container byte stream alone (media/HeaderSniff) — the rotation-normalize
   // and curation gates a training pipeline runs BEFORE any decode. The

@@ -2,7 +2,7 @@ package graft.expr
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.sql.{Column, SparkSession}
 
 /** html_to_text(html) as a native codegen'd expression: the extraction is a
@@ -21,14 +21,45 @@ case class HtmlToTextExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** html_blocks(html): block segmentation with per-block boilerplate
+  * features (graft.text.HtmlBlocks) — array of (idx, text, chars,
+  * link_chars, words, stop_words) structs, one static call per row, so the
+  * whole jusText-style classifier downstream is explode + Catalyst
+  * arithmetic with zero Scala UDFs.
+  */
+case class HtmlBlocksExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = HtmlBlocksExpr.Schema
+  override def prettyName: String = "html_blocks"
+  override protected def nullSafeEval(input: Any): Any =
+    graft.text.HtmlBlocks.blocksArrayData(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.HtmlBlocks.blocksArrayData($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HtmlBlocksExpr {
+  val Schema: ArrayType = ArrayType(StructType(Seq(
+    StructField("idx", IntegerType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("chars", IntegerType, nullable = false),
+    StructField("link_chars", IntegerType, nullable = false),
+    StructField("words", IntegerType, nullable = false),
+    StructField("stop_words", IntegerType, nullable = false))), containsNull = false)
+}
+
 object HtmlFunctions {
 
   import org.apache.spark.sql.functions.call_function
 
   def htmlToText(html: Column): Column = call_function("html_to_text", html)
 
+  def htmlBlocks(html: Column): Column = call_function("html_blocks", html)
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "html_to_text", exprs => HtmlToTextExpr(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "html_blocks", exprs => HtmlBlocksExpr(exprs(0)), "scala_udf")
   }
 }

@@ -1004,4 +1004,75 @@ object TextOps {
         col(idCol), col("n_feats"), weight.as("dsir_weight"),
         (weight >= keepThreshold).as("keep"))
   }
+
+  // ---- boilerplate removal / main-content extraction ------------------------
+  // jusText-family block classification (Pomikálek 2011), the content-vs-
+  // chrome gate every HTML training corpus runs before any text op. Block
+  // segmentation + integer feature counting is ONE native codegen call per
+  // page (expr/HtmlBlocksExpr); everything after the explode is Catalyst
+  // arithmetic + one per-doc window pass, so the op is map-only up to a
+  // single partitionBy(doc) window (bounded partitions — blocks per page,
+  // not pages per partition).
+
+  /** Context-free thresholds (rule constants shared with the oracle SQL):
+    * a block is BAD chrome when link-dense, GOOD content when long enough
+    * with function-word density, SHORT otherwise (resolved by neighbors).
+    */
+  val BoilerMaxLinkDensity = 0.3
+  val BoilerMinChars = 80
+  val BoilerMinStopDensity = 0.25
+
+  /** Per-block features + classification. Output: (id, block_idx, chars,
+    * link_chars, words, stop_words, link_density, stop_density, cls, keep)
+    * — cls ∈ {good, bad, short} is the context-free class; keep is the
+    * final verdict after the context pass (a short block survives iff its
+    * nearest non-short neighbors on BOTH sides are good — jusText's
+    * neighbor inheritance, deterministic edge rule: missing neighbor =
+    * bad). Densities divide once and round once (cross-engine exact).
+    */
+  def boilerBlocks(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    graft.expr.HtmlFunctions.register(df.sparkSession)
+    val blocks = df
+      .select(col(idCol),
+        explode(graft.expr.HtmlFunctions.htmlBlocks(col(htmlCol))).as("b"))
+      .select(
+        col(idCol),
+        col("b.idx").as("block_idx"),
+        col("b.text").as("__text"),
+        col("b.chars").as("chars"),
+        col("b.link_chars").as("link_chars"),
+        col("b.words").as("words"),
+        col("b.stop_words").as("stop_words"))
+      .withColumn("link_density",
+        round(col("link_chars").cast("double") / greatest(col("chars"), lit(1)), 6))
+      .withColumn("stop_density",
+        round(col("stop_words").cast("double") / greatest(col("words"), lit(1)), 6))
+      .withColumn("cls",
+        when(col("link_density") > BoilerMaxLinkDensity, lit("bad"))
+          .when(col("chars") >= BoilerMinChars && col("stop_density") >= BoilerMinStopDensity,
+            lit("good"))
+          .otherwise(lit("short")))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("block_idx"))
+    val prevCls = last(when(col("cls") =!= "short", col("cls")), ignoreNulls = true)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val nextCls = first(when(col("cls") =!= "short", col("cls")), ignoreNulls = true)
+      .over(byDoc.rowsBetween(1, Window.unboundedFollowing))
+    blocks
+      .withColumn("keep",
+        when(col("cls") === "good", lit(true))
+          .when(col("cls") === "bad", lit(false))
+          .otherwise(coalesce(prevCls === "good", lit(false)) &&
+            coalesce(nextCls === "good", lit(false))))
+  }
+
+  /** Per-doc main content: kept blocks reassembled in order, one paragraph
+    * per block. Docs whose every block is chrome yield an empty string
+    * (they stay in the output — dropping is the caller's filter).
+    */
+  def mainContent(df: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    boilerBlocks(df, idCol, htmlCol)
+      .groupBy(col(idCol))
+      .agg(concat_ws("\n",
+        sort_array(collect_list(when(col("keep"),
+          struct(col("block_idx"), col("__text"))))).getField("__text")).as("content"))
 }
