@@ -4003,6 +4003,29 @@ object QueryCatalog {
       .orderBy(col("doc_id"))
   }
 
+  // Anchor-text extraction (the link-graph ranking signal; reference link
+  // extraction keeps only URLs): every <a href> with its visible subtree
+  // text, in document order, via the html_anchors native expression —
+  // parse + quote-aware attribute extraction + entity decode on the engine
+  // side vs the fixture plan's constructed (href, label) pairs.
+  register(
+    "l1c_anchor_text",
+    Some(
+      """SELECT doc_id, anchor_idx, href, text
+        |FROM read_parquet('/tmp/graft_boiler_docs/200/anchors/*.parquet')
+        |ORDER BY doc_id, anchor_idx""".stripMargin
+    )
+  ) { (s, _) =>
+    val base = graft.fixtures.BoilerDocs.export(s, 200)
+    graft.expr.HtmlFunctions.register(s)
+    s.read.parquet(s"$base/docs")
+      .select(col("doc_id"),
+        explode(graft.expr.HtmlFunctions.htmlAnchors(col("html"))).as("a"))
+      .select(col("doc_id"), col("a.idx").as("anchor_idx"),
+        col("a.href").as("href"), col("a.text").as("text"))
+      .orderBy(col("doc_id"), col("anchor_idx"))
+  }
+
   // EXIF orientation / progressive-JPEG / animated-GIF frame count from the
   // container byte stream alone (media/HeaderSniff) — the rotation-normalize
   // and curation gates a training pipeline runs BEFORE any decode. The

@@ -48,6 +48,28 @@ object HtmlBlocksExpr {
     StructField("stop_words", IntegerType, nullable = false))), containsNull = false)
 }
 
+/** html_anchors(html): (idx, href, text) per `<a href>` in document order —
+  * the anchor-text link-graph signal (graft.text.Anchors), one static call
+  * per row.
+  */
+case class HtmlAnchorsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = HtmlAnchorsExpr.Schema
+  override def prettyName: String = "html_anchors"
+  override protected def nullSafeEval(input: Any): Any =
+    graft.text.Anchors.anchorsArrayData(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.Anchors.anchorsArrayData($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HtmlAnchorsExpr {
+  val Schema: ArrayType = ArrayType(StructType(Seq(
+    StructField("idx", IntegerType, nullable = false),
+    StructField("href", StringType, nullable = false),
+    StructField("text", StringType, nullable = false))), containsNull = false)
+}
+
 object HtmlFunctions {
 
   import org.apache.spark.sql.functions.call_function
@@ -56,10 +78,14 @@ object HtmlFunctions {
 
   def htmlBlocks(html: Column): Column = call_function("html_blocks", html)
 
+  def htmlAnchors(html: Column): Column = call_function("html_anchors", html)
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "html_to_text", exprs => HtmlToTextExpr(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "html_blocks", exprs => HtmlBlocksExpr(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "html_anchors", exprs => HtmlAnchorsExpr(exprs(0)), "scala_udf")
   }
 }

@@ -19,7 +19,11 @@ import org.apache.spark.sql.SparkSession
   */
 object BoilerDocs {
 
-  final case class Seg(html: String, text: String, linkChars: Int)
+  /** `anchors` = (href, anchor text) pairs the segment embeds, in order —
+    * the plan-side ground truth for the anchor-text oracle.
+    */
+  final case class Seg(html: String, text: String, linkChars: Int,
+      anchors: Seq[(String, String)] = Nil)
 
   private val ContentWords = Vector(
     "crawl", "frontier", "parquet", "shuffle", "broadcast", "partition",
@@ -30,7 +34,9 @@ object BoilerDocs {
     "home", "about", "contact", "archive", "search", "login", "terms",
     "privacy", "careers", "press", "docs", "blog")
 
-  private def anchor(words: String): String = s"""<a href="/${words.replace(' ', '-')}">$words</a>"""
+  private def hrefOf(words: String): String = "/" + words.replace(' ', '-')
+
+  private def anchor(words: String): String = s"""<a href="${hrefOf(words)}">$words</a>"""
 
   private def navSeg(rnd: Random): Seg = {
     val k = 3 + rnd.nextInt(3)
@@ -38,7 +44,8 @@ object BoilerDocs {
     Seg(
       html = "<div>" + labels.map(anchor).mkString(" | ") + "</div>",
       text = labels.mkString(" | "),
-      linkChars = labels.map(_.length).sum)
+      linkChars = labels.map(_.length).sum,
+      anchors = labels.map(l => hrefOf(l) -> l))
   }
 
   private def contentSeg(rnd: Random): Seg = {
@@ -54,7 +61,7 @@ object BoilerDocs {
       val linked = words(j) + " " + words(j + 1)
       val html = "<p>" + (words.take(j) ++ Vector(anchor(linked)) ++ words.drop(j + 2))
         .mkString(" ") + "</p>"
-      Seg(html, text, linked.length)
+      Seg(html, text, linked.length, Seq(hrefOf(linked) -> linked))
     } else Seg("<p>" + text + "</p>", text, 0)
   }
 
@@ -71,7 +78,8 @@ object BoilerDocs {
     Seg(
       html = "<div>" + labels.map(anchor).mkString(" · ") + " · " + tail + "</div>",
       text = labels.mkString(" · ") + " · " + tail,
-      linkChars = labels.map(_.length).sum)
+      linkChars = labels.map(_.length).sum,
+      anchors = labels.map(l => hrefOf(l) -> l))
   }
 
   def planOf(docId: Long): Seq[Seg] = {
@@ -158,6 +166,12 @@ object BoilerDocs {
         (f"bd-$id%06d", htmlOf(plan), expectedContent(plan))
       }.toDF("doc_id", "html", "expected_content")
         .coalesce(1).write.mode("overwrite").parquet(s"$base/docs")
+      plans.flatMap { case (id, plan) =>
+        plan.flatMap(_.anchors).zipWithIndex.map { case ((href, text), ai) =>
+          (f"bd-$id%06d", ai, href, text)
+        }
+      }.toDF("doc_id", "anchor_idx", "href", "text")
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/anchors")
       exported += base
     }
     base

@@ -84,7 +84,7 @@ object HtmlBlocks {
     def walk(nodes: scala.collection.Seq[HtmlToText.Node], linkDepth: Int): Unit =
       nodes.foreach {
         case HtmlToText.Text(t) => append(t, linkDepth > 0)
-        case HtmlToText.Elem(tag, children) =>
+        case HtmlToText.Elem(tag, children, _) =>
           if (HtmlToText.SkipTags.contains(tag)) ()
           else if (HtmlToText.BlockTags.contains(tag)) {
             flush()

@@ -43,7 +43,13 @@ object HtmlToText {
   // ---- document model ------------------------------------------------------
 
   sealed trait Node
-  final case class Elem(tag: String, children: scala.collection.Seq[Node]) extends Node
+  /** `attrs` is the raw attribute span of the open tag (between the tag
+    * name and `>`), kept verbatim so consumers that need one attribute
+    * (e.g. anchor `href` in [[Anchors]]) parse it lazily — the text walk
+    * never touches it.
+    */
+  final case class Elem(tag: String, children: scala.collection.Seq[Node],
+      attrs: String = "") extends Node
   final case class Text(s: String) extends Node
 
   // ---- public API ----------------------------------------------------------
@@ -101,7 +107,7 @@ object HtmlToText {
         if (compr.nonEmpty && (compr.charAt(0) == ' ' || compr.charAt(0) == '\n') && endsWithWs(sb))
           compr = compr.substring(1)
         sb.append(compr)
-      case Elem(tag, children) =>
+      case Elem(tag, children, _) =>
         if (SkipTags.contains(tag)) ()
         else if (tag == "br") sb.append('\n')
         else if (tag == "td") { walk(children, sb, rawText = false); sb.append('\t') }
@@ -118,9 +124,9 @@ object HtmlToText {
   def parse(html: String): Seq[Node] = {
     val n = html.length
     val rootChildren = scala.collection.mutable.ArrayBuffer.empty[Node]
-    // stack of (tag, children buffer); root sentinel has tag ""
-    var stack = List(("", rootChildren))
-    def top: scala.collection.mutable.ArrayBuffer[Node] = stack.head._2
+    // stack of (tag, raw attrs, children buffer); root sentinel has tag ""
+    var stack = List(("", "", rootChildren))
+    def top: scala.collection.mutable.ArrayBuffer[Node] = stack.head._3
 
     def closeTo(tag: String): Unit =
       if (stack.exists(_._1 == tag)) {
@@ -128,9 +134,9 @@ object HtmlToText {
         popOne()
       } // unmatched close: ignore
     def popOne(): Unit = {
-      val (t, children) = stack.head
+      val (t, a, children) = stack.head
       stack = stack.tail
-      stack.head._2 += Elem(t, children)
+      stack.head._3 += Elem(t, children, a)
     }
 
     var i = 0
@@ -189,19 +195,20 @@ object HtmlToText {
             k += 1
           }
           i = k
-          if (VoidTags.contains(tag) || selfClose) top += Elem(tag, Nil)
+          val attrsRaw = html.substring(j, math.max(j, if (done) k - 1 else k))
+          if (VoidTags.contains(tag) || selfClose) top += Elem(tag, Nil, attrsRaw)
           else if (RawTextTags.contains(tag)) {
             // raw content to the matching close tag (case-insensitive)
             val lower = html.toLowerCase
             val close = lower.indexOf(s"</$tag", i)
             val end = if (close < 0) n else close
-            top += Elem(tag, Seq(Text(html.substring(i, end))))
+            top += Elem(tag, Seq(Text(html.substring(i, end))), attrsRaw)
             if (close < 0) i = n
             else {
               val gt = html.indexOf('>', close)
               i = if (gt < 0) n else gt + 1
             }
-          } else stack = (tag, scala.collection.mutable.ArrayBuffer.empty[Node]) :: stack
+          } else stack = (tag, attrsRaw, scala.collection.mutable.ArrayBuffer.empty[Node]) :: stack
           textStart = i
         } else i += 1
       } else i += 1

@@ -88,6 +88,36 @@ class BoilerplateSpec extends SparkSpec {
     assert(cls.keySet == Set("good", "bad", "short"), cls.toString)
   }
 
+  test("anchor extraction: hrefs quote-aware + entity-decoded, text from the subtree") {
+    val html =
+      """<html><body>
+        |<p>see <a href="/a?x=1&amp;y=2">the <b>first</b>
+        |link</a> and <a href='/b' rel=nofollow>second</a>
+        |and <a href=/bare>bare</a> and <a name="target">no href</a></p>
+        |<div><a href="/outer">outer <a href="/inner">inner</a></a></div>
+        |</body></html>""".stripMargin
+    val as = Anchors.extract(html)
+    assert(as.map(a => a.href -> a.text) == Seq(
+      "/a?x=1&y=2" -> "the first link",
+      "/b" -> "second",
+      "/bare" -> "bare",
+      "/outer" -> "outer inner", // nested anchors: outer text spans the subtree
+      "/inner" -> "inner"))
+    assert(as.map(_.idx) == Seq(0, 1, 2, 3, 4))
+    // attr parsing corners
+    assert(Anchors.attrValue(""" class="x" HREF = '/y' """, "href") == "/y")
+    assert(Anchors.attrValue(""" hreflang="en" """, "href") == null)
+    assert(Anchors.attrValue("href", "href") == null)
+  }
+
+  test("anchor extraction agrees with the plan across the corpus") {
+    (0L until 100L).foreach { id =>
+      val plan = BoilerDocs.planOf(id)
+      val got = Anchors.extract(BoilerDocs.htmlOf(plan)).map(a => a.href -> a.text)
+      assert(got == plan.flatMap(_.anchors), s"doc $id")
+    }
+  }
+
   test("plan quality: no ScalaUDF anywhere in the boilerplate pipeline") {
     import spark.implicits._
     val df = (0L until 8L).map(i => (s"d$i", BoilerDocs.htmlOf(BoilerDocs.planOf(i))))
