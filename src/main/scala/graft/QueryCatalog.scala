@@ -4026,6 +4026,70 @@ object QueryCatalog {
       .orderBy(col("doc_id"), col("anchor_idx"))
   }
 
+  // Page metadata (OpenGraph / canonical / robots directives / title) via
+  // the html_meta native expression — the page-level routing signals a
+  // crawl reads before anything else. Engine parses the serialized head;
+  // the fixture exports the plan's constructed entries.
+  register(
+    "l1d_page_meta",
+    Some(
+      """SELECT doc_id, meta_idx, kind, key, value
+        |FROM read_parquet('/tmp/graft_page_fixtures/200/meta/*.parquet')
+        |ORDER BY doc_id, meta_idx""".stripMargin
+    )
+  ) { (s, _) =>
+    graft.fixtures.PageFixtures.export(s, 200)
+    graft.expr.HtmlFunctions.register(s)
+    graft.fixtures.PageFixtures.pagesTable(s, 200)
+      .select(col("doc_id"),
+        explode(graft.expr.HtmlFunctions.htmlMeta(col("html"))).as("m"))
+      .select(col("doc_id"), col("m.idx").as("meta_idx"), col("m.kind").as("kind"),
+        col("m.key").as("key"), col("m.value").as("value"))
+      .orderBy(col("doc_id"), col("meta_idx"))
+  }
+
+  // Image references (src + every srcset candidate with its w/x descriptor
+  // + alt text — the caption signal) via html_image_refs: the
+  // image-frontier seed extraction of an image crawl.
+  register(
+    "l1e_image_refs",
+    Some(
+      """SELECT doc_id, ref_idx, img_idx, url, descriptor, alt
+        |FROM read_parquet('/tmp/graft_page_fixtures/200/refs/*.parquet')
+        |ORDER BY doc_id, ref_idx""".stripMargin
+    )
+  ) { (s, _) =>
+    graft.fixtures.PageFixtures.export(s, 200)
+    graft.expr.HtmlFunctions.register(s)
+    graft.fixtures.PageFixtures.pagesTable(s, 200)
+      .select(col("doc_id"),
+        explode(graft.expr.HtmlFunctions.htmlImageRefs(col("html"))).as("r"))
+      .select(col("doc_id"), col("r.idx").as("ref_idx"), col("r.img_idx").as("img_idx"),
+        col("r.url").as("url"), col("r.descriptor").as("descriptor"), col("r.alt").as("alt"))
+      .orderBy(col("doc_id"), col("ref_idx"))
+  }
+
+  // Charset detection over raw payload bytes (BOM -> declared charset= ->
+  // UTF-8 validation sniff, the WHATWG-default fallback): each fixture
+  // payload is constructed to exercise exactly one tier; the engine's
+  // native charset_of/charset_source byte-walk must recover it.
+  register(
+    "mm_charset_sniff",
+    Some(
+      """SELECT id, charset, source
+        |FROM read_parquet('/tmp/graft_page_fixtures/200/charset/*.parquet')
+        |ORDER BY id""".stripMargin
+    )
+  ) { (s, _) =>
+    graft.fixtures.PageFixtures.export(s, 200)
+    graft.expr.MediaFunctions.register(s)
+    graft.fixtures.PageFixtures.charsetTable(s, 200)
+      .select(col("id"),
+        graft.expr.MediaFunctions.charsetOf(col("bytes")).as("charset"),
+        graft.expr.MediaFunctions.charsetSource(col("bytes")).as("source"))
+      .orderBy(col("id"))
+  }
+
   // EXIF orientation / progressive-JPEG / animated-GIF frame count from the
   // container byte stream alone (media/HeaderSniff) — the rotation-normalize
   // and curation gates a training pipeline runs BEFORE any decode. The

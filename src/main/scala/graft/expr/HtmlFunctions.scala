@@ -70,6 +70,52 @@ object HtmlAnchorsExpr {
     StructField("text", StringType, nullable = false))), containsNull = false)
 }
 
+/** html_meta(html): (idx, kind, key, value) per <meta>/<link rel>/<title> —
+  * OpenGraph, canonical, robots directives (graft.text.PageMeta).
+  */
+case class HtmlMetaExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = HtmlMetaExpr.Schema
+  override def prettyName: String = "html_meta"
+  override protected def nullSafeEval(input: Any): Any =
+    graft.text.PageMeta.metaArrayData(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.PageMeta.metaArrayData($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HtmlMetaExpr {
+  val Schema: ArrayType = ArrayType(StructType(Seq(
+    StructField("idx", IntegerType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("key", StringType, nullable = false),
+    StructField("value", StringType, nullable = false))), containsNull = false)
+}
+
+/** html_image_refs(html): (idx, img_idx, url, descriptor, alt) per <img>
+  * src/srcset candidate and <picture><source srcset> (graft.text.ImageRefs)
+  * — the image-frontier seed extraction of an image crawl.
+  */
+case class HtmlImageRefsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = HtmlImageRefsExpr.Schema
+  override def prettyName: String = "html_image_refs"
+  override protected def nullSafeEval(input: Any): Any =
+    graft.text.ImageRefs.imageRefsArrayData(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.ImageRefs.imageRefsArrayData($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HtmlImageRefsExpr {
+  val Schema: ArrayType = ArrayType(StructType(Seq(
+    StructField("idx", IntegerType, nullable = false),
+    StructField("img_idx", IntegerType, nullable = false),
+    StructField("url", StringType, nullable = false),
+    StructField("descriptor", StringType, nullable = false),
+    StructField("alt", StringType, nullable = false))), containsNull = false)
+}
+
 object HtmlFunctions {
 
   import org.apache.spark.sql.functions.call_function
@@ -80,6 +126,10 @@ object HtmlFunctions {
 
   def htmlAnchors(html: Column): Column = call_function("html_anchors", html)
 
+  def htmlMeta(html: Column): Column = call_function("html_meta", html)
+
+  def htmlImageRefs(html: Column): Column = call_function("html_image_refs", html)
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "html_to_text", exprs => HtmlToTextExpr(exprs(0)), "scala_udf")
@@ -87,5 +137,9 @@ object HtmlFunctions {
       "html_blocks", exprs => HtmlBlocksExpr(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "html_anchors", exprs => HtmlAnchorsExpr(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "html_meta", exprs => HtmlMetaExpr(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "html_image_refs", exprs => HtmlImageRefsExpr(exprs(0)), "scala_udf")
   }
 }

@@ -24,6 +24,26 @@ case class MediaFormatExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** charset_of(bytes) / charset_source(bytes): the three-tier charset
+  * detection (graft.media.CharsetSniff) as native codegen calls — BOM,
+  * declared `charset=`, UTF-8 validation sniff.
+  */
+case class CharsetExpr(child: Expression, wantSource: Boolean) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = if (wantSource) "charset_source" else "charset_of"
+  override protected def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    if (wantSource) graft.media.CharsetSniff.sourceUTF8(b)
+    else graft.media.CharsetSniff.detectUTF8(b)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (wantSource) "sourceUTF8" else "detectUTF8"
+    defineCodeGen(ctx, ev, c => s"graft.media.CharsetSniff.$m($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** One class per HeaderSniff int field; `method` names the static helper
   * (validated at construction so codegen can splice it verbatim).
   */
@@ -71,6 +91,8 @@ object MediaFunctions {
   def exifOrientation(bytes: Column): Column = call_function("exif_orientation", bytes)
   def jpegProgressive(bytes: Column): Column = call_function("jpeg_progressive", bytes)
   def gifFrames(bytes: Column): Column = call_function("gif_frames", bytes)
+  def charsetOf(bytes: Column): Column = call_function("charset_of", bytes)
+  def charsetSource(bytes: Column): Column = call_function("charset_source", bytes)
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -90,5 +112,9 @@ object MediaFunctions {
       reg.createOrReplaceTempFunction(
         name, exprs => MediaSniffIntExpr(exprs(0), method), "scala_udf")
     }
+    reg.createOrReplaceTempFunction(
+      "charset_of", exprs => CharsetExpr(exprs(0), wantSource = false), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "charset_source", exprs => CharsetExpr(exprs(0), wantSource = true), "scala_udf")
   }
 }
