@@ -695,7 +695,12 @@ final class CrawlEngine(
           .withColumn("base_url",
             when(length(col("base_href")) > 0, col("base_href")).otherwise(col("loaded_url")))
           .withColumn("links",
-            when(col("eff_status") === 200,
+            when(col("eff_status") === 200 &&
+              // page-level robots nofollow: the whole page contributes no
+              // links (opt-in; shared pattern with the oracle's check)
+              (if (cfg.respectNofollowMeta)
+                !col("p_body").rlike(graft.oracle.CrawlOracle.NofollowMetaPattern)
+              else lit(true)),
               // selector-parametrized generator (reference
               // _abstract_http_crawler.py:198-219): the (tag, attribute)
               // pair is user configuration, default <a href>

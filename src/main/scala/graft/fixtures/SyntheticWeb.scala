@@ -19,6 +19,7 @@ final case class WebSpec(
     nImages: Int = 1000,
     linkFactor: Int = 1, // out-degree multiplier (bench: real pages carry 50-150 links)
     blockedEvery: Int = 0, // if >0: every Nth page body carries a blocked-content marker (F11)
+    nofollowEvery: Int = 0, // if >0: every Nth page head carries a robots-nofollow meta tag
     // how page links are marked up: ("a", "href") renders <a href="...">,
     // ("img", "src") renders <img src="..."/> — exercises the
     // selector-parametrized extractor (reference selector/attribute params)
@@ -149,6 +150,10 @@ object SyntheticWeb {
     val sb = new StringBuilder("<html><head>")
     val base = baseHref(spec, h, i)
     if (base != null) sb.append(s"""<base href="$base">""")
+    // page-level robots meta (beyond-reference nofollow gate; the engine
+    // and the oracle both read it straight from this body)
+    if (spec.nofollowEvery > 0 && i > 0 && i % spec.nofollowEvery == 0)
+      sb.append("""<meta name="robots" content="nofollow">""")
     sb.append("</head><body>")
     // F11 fixture: the cloudflare challenge marker Blocked.blockedReason
     // detects — a blocked page stays blocked on refetch (rotation exhausts)

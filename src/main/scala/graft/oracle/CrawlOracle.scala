@@ -218,6 +218,14 @@ final case class CrawlConfig(
     // as links — default <a href>, e.g. LinkSelector("img", "src") for an
     // image crawl
     linkSelector: LinkSelector = LinkSelector(),
+    // page-level robots meta: when true, a page whose head declares
+    // <meta name="robots" content="...nofollow..."> contributes NO links to
+    // the frontier (beyond-reference — the reference honors robots.txt
+    // only; this is the standard REP page-level directive). Detection is
+    // the shared CrawlOracle.NofollowMetaPattern regex on the body, applied
+    // identically by the engine (rlike gate on the links column) and the
+    // oracle (pre-extraction check).
+    respectNofollowMeta: Boolean = false,
     // error snapshots (reference statistics/_error_snapshotter.py:1-77):
     // persist failing pages' bodies to a KVS under deduped
     // ERROR_SNAPSHOT_* names for postmortem evidence
@@ -276,6 +284,15 @@ object CrawlOracle {
     * pages carry well-formed quoted hrefs).
     */
   val HrefRe = """(?i)<a\s[^>]*href\s*=\s*"([^"]*)"""".r
+
+  /** Page-level robots nofollow (quoted name-before-content form, the
+    * fixture contract — same quoting contract as HrefRe). Shared by the
+    * engine's rlike gate and the oracle's check so both sides detect
+    * identically.
+    */
+  val NofollowMetaPattern: String =
+    """(?i)<meta\s[^>]*name\s*=\s*"robots"[^>]*content\s*=\s*"[^"]*nofollow"""
+  val NofollowMetaRe = NofollowMetaPattern.r
   val BaseRe = """(?i)<base\s[^>]*href\s*=\s*"([^"]*)"""".r
 
   def extractHrefs(body: String): Seq[String] =
@@ -453,8 +470,11 @@ object CrawlOracle {
                   // unmatched and no default is configured)
                   val handlerOpt = cfg.router.map(_.resolve(req.label))
                   handlerOpt.foreach(h => handledTags(req.uniqueKey) = h.tag)
-                  // handler: extract links, enqueue, emit images (L1-L4)
-                  if (handlerOpt.forall(_.extractLinks)) {
+                  // handler: extract links, enqueue, emit images (L1-L4);
+                  // a robots-nofollow page contributes none (opt-in gate)
+                  val pageNofollow = cfg.respectNofollowMeta &&
+                    NofollowMetaRe.findFirstIn(page.body).isDefined
+                  if (handlerOpt.forall(_.extractLinks) && !pageNofollow) {
                     val base = extractBase(page.body).getOrElse(loadedUrl)
                     val links = extractLinks(page.body).iterator
                       .map(l => if (UrlCanon.isAbsolute(l)) l else UrlCanon.resolve(base, l))

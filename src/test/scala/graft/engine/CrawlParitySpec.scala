@@ -113,6 +113,24 @@ class CrawlParitySpec extends SparkSpec {
     assert(defEngine.seenKeys.size <= seeds.size)
   }
 
+  test("robots-nofollow meta gate: page crawled, its links suppressed, engine ≡ oracle") {
+    val nfSpec = smallSpec.copy(nofollowEvery = 4)
+    val cfgOn = CrawlConfig(respectNofollowMeta = true)
+    val oracleOn = CrawlOracle.run(nfSpec, seeds, cfgOn)
+    val engineOn = mkEngine(nfSpec, cfgOn, batchSize = 8).run(seeds)
+    assert(engineOn.seenKeys == oracleOn.seenKeys)
+    assert(engineOn.handledOkKeys == oracleOn.handledOkKeys)
+    assert(engineOn.failedKeys == oracleOn.failedKeys)
+    // the gate suppresses discovery: strictly fewer URLs seen than flag-off
+    val oracleOff = CrawlOracle.run(nfSpec, seeds, CrawlConfig())
+    assert(oracleOn.seenKeys.size < oracleOff.seenKeys.size)
+    // nofollow pages themselves ARE fetched and handled (only their links die)
+    def isNofollowUrl(u: String): Boolean =
+      u.split("/").lastOption.flatMap(_.toIntOption).exists(i => i > 0 && i % 4 == 0)
+    assert(oracleOn.crawlOrder.exists(isNofollowUrl),
+      s"a nofollow page should still be crawled: ${oracleOn.crawlOrder}")
+  }
+
   test("F4 per-call link limit: dense count over ELIGIBLE links, engine ≡ oracle (custom top-k path)") {
     // limit 3 < the web's out-degree, so the gate actually prunes; the
     // engine routes this through graft.plans.TopK (per-parent dense rank
