@@ -3941,6 +3941,60 @@ object QueryCatalog {
       .orderBy(col("id"))
   }
 
+  // WebDataset tar-shard ingestion (S13, beyond reference — the standard
+  // image-training container): ustar header walk streamed via
+  // PortableDataStream (memory O(member)), gzip sniffed by magic not
+  // extension. Hand-rolled writer vs reader walk = independent paths.
+  register(
+    "s13_tar_read",
+    Some(
+      """SELECT name, size, sha
+        |FROM read_parquet('/tmp/graft_tar/members_4_18/*.parquet')
+        |ORDER BY name""".stripMargin
+    )
+  ) { (s, _) =>
+    val dir = graft.fixtures.Tar.writeCorpus(s, 4, 18)
+    graft.sources.TarReader.read(s, dir + "/*")
+      .select(col("name"), col("size"), sha2(col("bytes"), 256).as("sha"))
+      .orderBy(col("name"))
+  }
+
+  // WebDataset sample grouping: members group by first-dot key into
+  // (image, caption, meta) samples; image geometry recovered decode-free
+  // from the grouped payload (HeaderSniff). The whole op is one groupBy
+  // over the shard scan — the shape a 100 TB WebDataset pass takes.
+  register(
+    "mm_webdataset_samples",
+    Some(
+      """SELECT key, caption, w, h, fmt, has_meta
+        |FROM read_parquet('/tmp/graft_tar/samples_4_18/*.parquet')
+        |ORDER BY key""".stripMargin
+    )
+  ) { (s, _) =>
+    val dir = graft.fixtures.Tar.writeCorpus(s, 4, 18)
+    graft.expr.MediaFunctions.register(s)
+    val members = graft.sources.TarReader.read(s, dir + "/*")
+      .withColumn("basename", element_at(split(col("name"), "/"), -1))
+      .withColumn("key",
+        concat(
+          expr("substring(name, 1, length(name) - length(basename))"),
+          substring_index(col("basename"), ".", 1)))
+      .withColumn("ext",
+        expr("substring(basename, length(substring_index(basename, '.', 1)) + 2)"))
+    members
+      .groupBy(col("key"))
+      .agg(
+        max(when(col("ext") === "txt", col("bytes").cast("string"))).as("caption"),
+        max(when(col("ext").isin("jpg", "png"), col("bytes"))).as("img"),
+        max(col("ext") === "meta.json").as("has_meta"))
+      .select(col("key"), col("caption"),
+        graft.expr.MediaFunctions.mediaWidth(col("img")).as("w"),
+        graft.expr.MediaFunctions.mediaHeight(col("img")).as("h"),
+        graft.expr.MediaFunctions.mediaFormat(col("img")).as("fmt"),
+        col("has_meta"))
+      .orderBy(col("key"))
+  }
+
   // Boilerplate removal (jusText-family): block segmentation is ONE native
   // codegen call per page; classification is Catalyst arithmetic + a
   // per-doc window pass. The fixture constructs pages from typed segment

@@ -1,0 +1,170 @@
+package graft.sources
+
+import java.io.{EOFException, InputStream, PushbackInputStream}
+import java.util.zip.GZIPInputStream
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+
+/** WebDataset-style tar shard ingestion — the standard container for
+  * image-training corpora (a shard is a .tar of `{key}.jpg` + `{key}.txt`
+  * + `{key}.json` members; samples group by key). Same scale contract as
+  * [[WarcReader]]: `binaryFiles` + `PortableDataStream`, so a shard is
+  * STREAMED through a ustar header walk with memory O(member), never
+  * O(shard) — 10^5 shards × 1 GB at the 100 TB design point.
+  *
+  * Parser: ustar headers (name + prefix field), octal sizes, regular-file
+  * typeflags, GNU 'L' long-name records, PAX 'x'/'g' headers skipped,
+  * gzip-sniffed (.tar vs .tar.gz by magic), end = zero block or truncated
+  * tail (truncation IS data at crawl scale — members already parsed are
+  * kept).
+  */
+object TarReader {
+
+  final case class TarRow(shard: String, name: String, size: Long, bytes: Array[Byte])
+
+  def read(spark: SparkSession, pathGlob: String, minPartitions: Int = 0): DataFrame = {
+    val parts = if (minPartitions > 0) minPartitions else spark.sparkContext.defaultParallelism
+    val rdd = spark.sparkContext
+      .binaryFiles(pathGlob, parts)
+      .flatMap { case (file, pds) => members(file, pds.open()) }
+    spark.createDataset(rdd)(Encoders.product[TarRow]).toDF()
+  }
+
+  /** Stream members out of one shard. Gzip is sniffed from the magic so
+    * `.tar` and `.tar.gz` both work regardless of extension.
+    */
+  def members(shard: String, rawIn: InputStream): Iterator[TarRow] = {
+    val pb = new PushbackInputStream(rawIn, 2)
+    val b0 = pb.read(); val b1 = pb.read()
+    if (b1 >= 0) pb.unread(b1)
+    if (b0 >= 0) pb.unread(b0)
+    val in: InputStream =
+      if (b0 == 0x1f && b1 == 0x8b) new GZIPInputStream(pb, 65536) else pb
+
+    new Iterator[TarRow] {
+      private var nextRow: TarRow = _
+      private var finished = false
+      private var pendingLongName: String = null
+
+      private def readBlock(buf: Array[Byte]): Boolean = {
+        var off = 0
+        while (off < 512) {
+          val n = in.read(buf, off, 512 - off)
+          if (n < 0) return false
+          off += n
+        }
+        true
+      }
+
+      private def cstr(b: Array[Byte], off: Int, len: Int): String = {
+        var end = off
+        val max = off + len
+        while (end < max && b(end) != 0) end += 1
+        new String(b, off, end - off, "UTF-8")
+      }
+
+      private def octal(b: Array[Byte], off: Int, len: Int): Long = {
+        var v = 0L
+        var i = off
+        val max = off + len
+        var seen = false
+        while (i < max) {
+          val c = b(i)
+          if (c >= '0' && c <= '7') { v = (v << 3) | (c - '0'); seen = true }
+          else if (seen) return v
+          i += 1
+        }
+        if (seen) v else -1L
+      }
+
+      private def readData(size: Long): Array[Byte] = {
+        if (size > Int.MaxValue - 8) throw new EOFException("member too large for one row")
+        val out = new Array[Byte](size.toInt)
+        var off = 0
+        while (off < size) {
+          val n = in.read(out, off, size.toInt - off)
+          if (n < 0) throw new EOFException("truncated member")
+          off += n
+        }
+        val pad = ((512 - (size % 512)) % 512).toInt
+        var skipped = 0
+        val tmp = new Array[Byte](512)
+        while (skipped < pad) {
+          val n = in.read(tmp, 0, pad - skipped)
+          if (n < 0) return out // padding cut off: member itself is whole
+          skipped += n
+        }
+        out
+      }
+
+      private def skipData(size: Long): Unit = {
+        var remain = size + ((512 - (size % 512)) % 512)
+        val tmp = new Array[Byte](8192)
+        while (remain > 0) {
+          val n = in.read(tmp, 0, math.min(remain, tmp.length.toLong).toInt)
+          if (n < 0) return
+          remain -= n
+        }
+      }
+
+      private def advance(): Unit = {
+        if (nextRow != null || finished) return
+        val hdr = new Array[Byte](512)
+        try {
+          while (nextRow == null && !finished) {
+            if (!readBlock(hdr)) { finished = true; return }
+            if (hdr.forall(_ == 0)) { finished = true; return } // end block
+            val size = octal(hdr, 124, 12)
+            if (size < 0) { finished = true; return } // lost sync
+            val typeflag = hdr(156)
+            if (typeflag == 'L') {
+              // GNU long name: data block carries the next member's name
+              pendingLongName = {
+                val d = readData(size)
+                var end = d.length
+                while (end > 0 && d(end - 1) == 0) end -= 1
+                new String(d, 0, end, "UTF-8")
+              }
+            } else if (typeflag == '0' || typeflag == 0) {
+              val base = cstr(hdr, 0, 100)
+              val prefix = cstr(hdr, 345, 155)
+              val name =
+                if (pendingLongName != null) pendingLongName
+                else if (prefix.nonEmpty) prefix + "/" + base
+                else base
+              pendingLongName = null
+              nextRow = TarRow(shard, name, size, readData(size))
+            } else {
+              pendingLongName = null
+              skipData(size) // dirs, links, PAX 'x'/'g', others
+            }
+          }
+        } catch {
+          case _: EOFException => finished = true // truncated tail
+          case _: java.util.zip.ZipException => finished = true
+        }
+      }
+
+      override def hasNext: Boolean = { advance(); nextRow != null }
+      override def next(): TarRow = {
+        advance()
+        if (nextRow == null) throw new NoSuchElementException
+        val r = nextRow
+        nextRow = null
+        r
+      }
+    }
+  }
+
+  /** WebDataset sample key: basename up to its FIRST dot; the remainder is
+    * the extension ("0001.seg.jpg" → key "0001", ext "seg.jpg").
+    */
+  def splitKey(name: String): (String, String) = {
+    val slash = name.lastIndexOf('/')
+    val dir = if (slash < 0) "" else name.substring(0, slash + 1)
+    val basename = name.substring(slash + 1)
+    val dot = basename.indexOf('.')
+    if (dot < 0) (dir + basename, "")
+    else (dir + basename.substring(0, dot), basename.substring(dot + 1))
+  }
+}
