@@ -124,5 +124,11 @@ class BoilerplateSpec extends SparkSpec {
       .toDF("doc_id", "html")
     val plan = TextOps.boilerBlocks(df, "doc_id", "html").queryExecution.executedPlan.toString
     assert(!plan.contains("ScalaUDF"), plan)
+    // mainContent's groupBy rides the window's hash partitioning on the
+    // SAME doc key: exactly one Exchange for the whole classify+reassemble
+    // pipeline (a second one would mean the agg re-shuffles what the
+    // window already co-located)
+    val mcPlan = TextOps.mainContent(df, "doc_id", "html").queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(mcPlan).length == 1, mcPlan)
   }
 }
