@@ -3973,15 +3973,7 @@ object QueryCatalog {
   ) { (s, _) =>
     val dir = graft.fixtures.Tar.writeCorpus(s, 4, 18)
     graft.expr.MediaFunctions.register(s)
-    val members = graft.sources.TarReader.read(s, dir + "/*")
-      .withColumn("basename", element_at(split(col("name"), "/"), -1))
-      .withColumn("key",
-        concat(
-          expr("substring(name, 1, length(name) - length(basename))"),
-          substring_index(col("basename"), ".", 1)))
-      .withColumn("ext",
-        expr("substring(basename, length(substring_index(basename, '.', 1)) + 2)"))
-    members
+    graft.sources.TarReader.withSampleColumns(graft.sources.TarReader.read(s, dir + "/*"))
       .groupBy(col("key"))
       .agg(
         max(when(col("ext") === "txt", col("bytes").cast("string"))).as("caption"),
@@ -3993,6 +3985,58 @@ object QueryCatalog {
         graft.expr.MediaFunctions.mediaFormat(col("img")).as("fmt"),
         col("has_meta"))
       .orderBy(col("key"))
+  }
+
+  // End-to-end image-corpus pipeline (the td_cc_pipeline analogue for the
+  // image axis): WebDataset shards → first-dot sample grouping → real
+  // decode (dims + phash over pixels) → LAION-style curation rules. The
+  // oracle replays grouping + every rule from the generator's exported
+  // per-sample facts; the engine runs the whole chain from raw tar bytes.
+  register(
+    "mm_wds_pipeline",
+    Some(
+      """WITH f AS (
+        |  SELECT key AS image_id, w, h, fmt, phash, caption,
+        |    CAST(w AS BIGINT) * h AS pixels,
+        |    round(CAST(greatest(w, h) AS DOUBLE) / greatest(least(w, h), 1), 6) AS aspect_ratio,
+        |    round(CAST(byte_len AS DOUBLE) / greatest(CAST(w AS BIGINT) * h, 1), 6) AS bytes_per_pixel,
+        |    length(caption) AS caption_chars,
+        |    len(list_filter(regexp_split_to_array(trim(caption), '\s+'), x -> length(x) > 0)) AS caption_words
+        |  FROM read_parquet('/tmp/graft_tar/samples_4_18/*.parquet'))
+        |SELECT image_id, pixels, aspect_ratio, bytes_per_pixel, caption_chars, caption_words,
+        |  (w >= 32 AND h >= 32) AS ok_dims,
+        |  (aspect_ratio <= 2.5) AS ok_aspect,
+        |  (pixels >= 1024) AS ok_pixels,
+        |  (fmt IN ('png', 'jpeg')) AS ok_fmt,
+        |  (bytes_per_pixel >= 0.1 AND bytes_per_pixel <= 16.0) AS ok_bpp,
+        |  (caption_chars >= 5) AS ok_caption_len,
+        |  (caption_words >= 2 AND caption_words <= 64) AS ok_caption_words,
+        |  (phash <> 0 AND phash <> -1) AS ok_phash,
+        |  ((w >= 32 AND h >= 32) AND aspect_ratio <= 2.5 AND pixels >= 1024
+        |    AND fmt IN ('png', 'jpeg')
+        |    AND bytes_per_pixel >= 0.1 AND bytes_per_pixel <= 16.0
+        |    AND caption_chars >= 5 AND caption_words >= 2 AND caption_words <= 64
+        |    AND phash <> 0 AND phash <> -1) AS keep
+        |FROM f
+        |ORDER BY image_id""".stripMargin
+    )
+  ) { (s, _) =>
+    import s.implicits._
+    val dir = graft.fixtures.Tar.writeCorpus(s, 4, 18)
+    val samples = graft.sources.TarReader
+      .withSampleColumns(graft.sources.TarReader.read(s, dir + "/*"))
+      .groupBy(col("key"))
+      .agg(
+        max(when(col("ext") === "txt", col("bytes").cast("string"))).as("caption"),
+        max(when(col("ext").isin("jpg", "png"), col("bytes"))).as("img"))
+      .select(col("key"), col("caption"), col("img"))
+      .as[(String, String, Array[Byte])]
+    val typed = samples.map { case (k, cap, b) =>
+      val img = graft.fixtures.Images.decode(b)
+      (k, b, img.getWidth, img.getHeight, graft.media.HeaderSniff.format(b), cap,
+        graft.fixtures.Images.phash(img))
+    }.toDF("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+    graft.ops.Multimodal.imageSetFilter(typed).orderBy(col("image_id"))
   }
 
   // Boilerplate removal (jusText-family): block segmentation is ONE native

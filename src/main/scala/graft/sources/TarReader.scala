@@ -156,6 +156,22 @@ object TarReader {
     }
   }
 
+  /** Decorate a members frame with WebDataset sample columns: `key` =
+    * directory + basename up to its first dot, `ext` = the remainder —
+    * pure string arithmetic, stays in codegen.
+    */
+  def withSampleColumns(members: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    members
+      .withColumn("basename", element_at(split(col("name"), "/"), -1))
+      .withColumn("key",
+        concat(
+          expr("substring(name, 1, length(name) - length(basename))"),
+          substring_index(col("basename"), ".", 1)))
+      .withColumn("ext",
+        expr("substring(basename, length(substring_index(basename, '.', 1)) + 2)"))
+  }
+
   /** WebDataset sample key: basename up to its FIRST dot; the remainder is
     * the extension ("0001.seg.jpg" → key "0001", ext "seg.jpg").
     */
