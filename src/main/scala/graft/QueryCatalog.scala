@@ -4214,6 +4214,58 @@ object QueryCatalog {
       .orderBy(col("id"))
   }
 
+  // WebDataset re-shard packing plan (TarWriter — the writer half of the
+  // curation loop): members stream out of real fixture shards via
+  // TarReader, regroup by the first-dot key, and pack into size-bounded
+  // output shards with pure-Catalyst task routing + virtual-offset shard
+  // assignment + in-file member offsets. The oracle replays the whole
+  // plan in DuckDB window SQL from the fixture's exported member facts
+  // (first-dot key rule, integer 512-block padding, md5 task draw,
+  // per-task cumsum, `prior // maxShardBytes`, per-shard offset re-base).
+  // The byte-level half (written shards round-trip through TarReader,
+  // planned offsets == written offsets) is pinned by TarWriterSpec.
+  register(
+    "mm_wds_reshard_plan",
+    Some(
+      """WITH m AS (
+        |  SELECT name, size, regexp_extract(name, '([^/]*)$', 1) AS basename
+        |  FROM read_parquet('/tmp/graft_tar/members_4_18/*.parquet')
+        |), k AS (
+        |  SELECT name, size,
+        |    substr(name, 1, length(name) - length(basename)) || split_part(basename, '.', 1) AS key,
+        |    512 + ((size + 511) // 512) * 512 AS padded
+        |  FROM m
+        |), s AS (
+        |  SELECT key,
+        |    CAST(concat('0x', substr(md5(key), 1, 15)) AS BIGINT) % 3 AS task,
+        |    sum(padded) AS sample_bytes, count(*) AS n_members
+        |  FROM k GROUP BY key
+        |), w AS (
+        |  SELECT *,
+        |    sum(sample_bytes) OVER (PARTITION BY task ORDER BY key) - sample_bytes AS prior
+        |  FROM s
+        |), sh AS (SELECT *, prior // 16384 AS shard FROM w)
+        |SELECT key, task, shard,
+        |  CAST(sample_bytes AS BIGINT) AS sample_bytes,
+        |  CAST(n_members AS BIGINT) AS n_members,
+        |  CAST(prior - min(prior) OVER (PARTITION BY task, shard) AS BIGINT) AS file_offset
+        |FROM sh ORDER BY key""".stripMargin
+    )
+  ) { (s, _) =>
+    val dir = graft.fixtures.Tar.writeCorpus(s, 4, 18)
+    val members = graft.sources.TarReader.withSampleColumns(
+      graft.sources.TarReader.read(s, dir + "/*"))
+    graft.sources.TarWriter.plan(members, maxShardBytes = 16384, tasks = 3)
+      .groupBy(col("key"))
+      .agg(
+        first(col("__task")).as("task"),
+        first(col("__shard")).as("shard"),
+        sum(col("__padded")).as("sample_bytes"),
+        count(lit(1)).as("n_members"),
+        min(col("__file_offset")).as("file_offset"))
+      .orderBy(col("key"))
+  }
+
   // -------------------------------------------------------------------------
 
   lazy val all: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
