@@ -2282,6 +2282,36 @@ object QueryCatalog {
       .select(col("doc_id"), col("lang"))
   }
 
+  // Mixture re-balancing: per-language keep thresholds derived from target
+  // shares (ppm) + a weight budget against availability — integer-exact
+  // floor((ppm*budget)/avail) capped at 1e6, so DuckDB replays the whole
+  // decision including the oversubscribed-stratum cap (zh's target exceeds
+  // its availability at this budget) and dropped untargeted strata (es, fr).
+  register(
+    "td_mixture_sample",
+    Some(
+      """WITH avail AS (SELECT lang, sum(n_chars) AS av FROM documents GROUP BY lang),
+        | t(lang, ppm) AS (SELECT * FROM (VALUES ('en', 500000), ('zh', 300000), ('de', 200000))),
+        | thr AS (SELECT avail.lang, least(1000000, (CAST(ppm AS BIGINT) * 100000) // av) AS thr
+        |         FROM avail JOIN t ON avail.lang = t.lang),
+        | d AS (SELECT doc_id, lang, n_chars,
+        |   (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':mixb'), 1, 15)) AS BIGINT)
+        |     % 1000000) AS mix_draw
+        |   FROM documents)
+        |SELECT d.doc_id, d.lang, d.n_chars, d.mix_draw, thr.thr AS mix_thr
+        |FROM d JOIN thr ON d.lang = thr.lang
+        |WHERE d.mix_draw < thr.thr
+        |ORDER BY d.doc_id""".stripMargin
+    )
+  ) { (s, dir) =>
+    Sampling.mixtureSample(
+      t(s, dir, "documents"), "lang", "doc_id", "n_chars",
+      Map("en" -> 500000L, "zh" -> 300000L, "de" -> 200000L),
+      budget = 100000L, salt = "mixb")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("mix_draw"), col("mix_thr"))
+      .orderBy(col("doc_id"))
+  }
+
   // Sequence packing: whitespace token counts feed a per-shard (source)
   // concat-then-chunk assignment; the oracle replays the identical window
   // cumsum and sequence-id arithmetic.

@@ -95,4 +95,51 @@ object Sampling {
         withDraw, Seq(strataCol), Seq("__draw" -> true, idCol -> true), quota, rankName = "__rank")
       .drop("__draw", "__rank")
   }
+
+  /** Mixture re-balancing (the DoReMi / CCNet language-rebalance shape):
+    * down-sample each stratum so the surviving corpus approaches a target
+    * mixture under a total weight budget. `targetsPpm` gives each
+    * stratum's target share in parts-per-million; a stratum's keep
+    * threshold is `min(1e6, floor(ppm * budget / avail))` draws out of
+    * 1e6 — an oversubscribed stratum (target share exceeds what exists)
+    * caps at 1.0 and keeps everything, the standard "sample up to
+    * availability" behavior. Strata absent from `targetsPpm` drop.
+    *
+    * All threshold arithmetic is INTEGER-EXACT and replayable by an
+    * independent engine: `ppm * budget` runs in DECIMAL(38,0) (it exceeds
+    * 64 bits at the 10^14-token design point) with the remainder
+    * subtracted before the division, so the decimal divide is exact and
+    * no rounding-mode or float semantics leak into the verdict. Output
+    * rows carry (mix_draw, mix_thr) for auditability.
+    *
+    * Scale shape: one tiny per-stratum aggregate (rows = distinct
+    * strata), a broadcast threshold join, and a map-only hash-draw filter
+    * — the corpus is never shuffled.
+    */
+  def mixtureSample(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      weightCol: String,
+      targetsPpm: Map[String, Long],
+      budget: Long,
+      salt: String = "mix0"): DataFrame = {
+    require(targetsPpm.values.forall(p => p >= 0L && p <= 1000000L),
+      "targetsPpm values must be in [0, 1e6]")
+    require(budget > 0L, "budget must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val targets = targetsPpm.toSeq.toDF(strataCol, "__ppm")
+    val avail = df.groupBy(col(strataCol)).agg(sum(col(weightCol)).as("__avail"))
+    val num = col("__ppm").cast("decimal(38,0)") * lit(budget).cast("decimal(38,0)")
+    val den = col("__avail").cast("decimal(38,0)")
+    val thrTable = avail.join(targets, Seq(strataCol))
+      .withColumn("__thr", least(lit(1000000L), ((num - pmod(num, den)) / den).cast("long")))
+      .select(col(strataCol), col("__thr"))
+    df.join(broadcast(thrTable), Seq(strataCol))
+      .withColumn("__draw", drawCol(col(idCol), salt))
+      .filter(col("__draw") < col("__thr"))
+      .withColumnRenamed("__draw", "mix_draw")
+      .withColumnRenamed("__thr", "mix_thr")
+  }
 }

@@ -66,4 +66,42 @@ class SamplingSpec extends SparkSpec {
     assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
       twice.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
+
+  test("mixtureSample: thresholds hit floor((ppm*budget)/avail), capped, untargeted drop") {
+    val avail = docs.groupBy("lang").agg(sum("n_chars")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val targets = Map("en" -> 500000L, "zh" -> 300000L, "de" -> 200000L)
+    val budget = 100000L
+    val out = Sampling.mixtureSample(docs, "lang", "doc_id", "n_chars", targets, budget)
+    val thrs = out.select("lang", "mix_thr").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    targets.foreach { case (l, ppm) =>
+      val expected = math.min(1000000L, ppm * budget / avail(l))
+      assert(thrs.get(l).forall(_ == expected), s"$l: ${thrs.get(l)} vs $expected")
+    }
+    // zh is oversubscribed at this budget: cap at 1e6 keeps every zh doc
+    assert(thrs("zh") == 1000000L)
+    val zhAll = docs.filter(col("lang") === "zh").count()
+    assert(out.filter(col("lang") === "zh").count() == zhAll)
+    // untargeted strata vanish
+    assert(out.filter(col("lang").isin("es", "fr")).count() == 0)
+  }
+
+  test("mixtureSample: kept set grows monotonically with budget (nested samples)") {
+    val targets = Map("en" -> 600000L, "de" -> 400000L)
+    val small = Sampling.mixtureSample(docs, "lang", "doc_id", "n_chars", targets, 20000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val big = Sampling.mixtureSample(docs, "lang", "doc_id", "n_chars", targets, 60000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.nonEmpty && small.subsetOf(big), s"${small.size} ⊄ ${big.size}")
+  }
+
+  test("mixtureSample stays broadcast + map-only (no corpus shuffle)") {
+    val out = Sampling.mixtureSample(
+      docs, "lang", "doc_id", "n_chars", Map("en" -> 500000L), 50000L)
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
