@@ -4296,6 +4296,32 @@ object QueryCatalog {
       .orderBy(col("key"))
   }
 
+  // Real BPE encode (Sennrich greedy lowest-rank merging) over a corpus
+  // whose expected token stream is known BY CONSTRUCTION (the HtmlToText
+  // oracle pattern): the fixture renders text from token plans under a
+  // boundary-closed merge table and exports the planned tokens; the engine
+  // re-derives them by actually pre-tokenizing and merging the rendered
+  // text through the native bpe_encode expression. Training is spec-covered
+  // (BpeSpec cross-checks the incremental trainer against a from-scratch
+  // naive recount).
+  register(
+    "td_bpe_encode",
+    Some(
+      """SELECT doc_id, expected AS tokens_joined, expected_n AS n_tokens
+        |FROM read_parquet('/tmp/graft_bpe/docs_160/*.parquet')
+        |ORDER BY doc_id""".stripMargin
+    )
+  ) { (s, _) =>
+    graft.fixtures.BpeDocs.exportExpected(s, 160)
+    val model = graft.text.Bpe.Model(graft.fixtures.BpeDocs.Merges)
+    graft.text.Bpe.encode(graft.fixtures.BpeDocs.table(s, 160), "text", model)
+      .select(
+        col("doc_id"),
+        array_join(col("tokens"), "|").as("tokens_joined"),
+        col("n_tokens").cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   // -------------------------------------------------------------------------
 
   lazy val all: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
