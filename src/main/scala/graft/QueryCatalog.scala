@@ -4322,6 +4322,39 @@ object QueryCatalog {
       .orderBy(col("doc_id"))
   }
 
+  // End-to-end tokenize→pack pipeline: raw text through the REAL BPE
+  // encoder, token counts straight into per-shard sequence packing — the
+  // full "corpus to training sequences" chain in one plan. The oracle
+  // replays packing from the fixture's by-construction token counts, so a
+  // tokenizer drift breaks it even though the window arithmetic is shared
+  // with td_pack_sequences.
+  register(
+    "td_tokenize_pack",
+    Some(
+      """WITH d AS (
+        |  SELECT doc_id, expected_n, doc_id % 4 AS shard
+        |  FROM read_parquet('/tmp/graft_bpe/docs_160/*.parquet')
+        |), w AS (
+        |  SELECT doc_id, shard, expected_n AS n_tokens,
+        |    sum(expected_n) OVER (PARTITION BY shard ORDER BY doc_id) AS end_token
+        |  FROM d)
+        |SELECT doc_id, shard, n_tokens,
+        |  end_token - n_tokens AS start_token, end_token,
+        |  (end_token - n_tokens) // 32 AS first_seq,
+        |  greatest(end_token - 1, end_token - n_tokens) // 32 AS last_seq
+        |FROM w ORDER BY doc_id""".stripMargin
+    )
+  ) { (s, _) =>
+    graft.fixtures.BpeDocs.exportExpected(s, 160)
+    val model = graft.text.Bpe.Model(graft.fixtures.BpeDocs.Merges)
+    val tokenized = graft.text.Bpe.encode(graft.fixtures.BpeDocs.table(s, 160), "text", model)
+      .withColumn("shard", pmod(col("doc_id"), lit(4L)))
+      .withColumn("n_tokens", col("n_tokens").cast("long"))
+    Sampling.packSequences(tokenized.select("doc_id", "shard", "n_tokens"),
+        "doc_id", "n_tokens", seqLen = 32, shardCol = "shard")
+      .orderBy(col("doc_id"))
+  }
+
   // -------------------------------------------------------------------------
 
   lazy val all: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap
