@@ -4355,6 +4355,33 @@ object QueryCatalog {
       .orderBy(col("doc_id"))
   }
 
+  // Linear model head over embeddings (aesthetic/quality classifier
+  // inference): margin = dot(w, v) + b with a deterministic dyadic weight
+  // vector (exact in binary both engines), round-once, global top-k
+  // through the heap operator. DuckDB rebuilds the identical weights by
+  // list comprehension and replays scoring + ranking.
+  register(
+    "v_linear_head_topk",
+    Some(
+      """WITH w AS (SELECT [(CAST((i*37)%19 AS DOUBLE) - 9)/16.0 FOR i IN range(0,64)] AS wv),
+        |scored AS (
+        |  SELECT vec_id,
+        |    round(list_dot_product(CAST(embedding AS DOUBLE[]), (SELECT wv FROM w)) + 0.25, 6)
+        |      AS margin
+        |  FROM embeddings),
+        |ranked AS (
+        |  SELECT vec_id, margin,
+        |    row_number() OVER (ORDER BY margin DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT rank, vec_id, margin FROM ranked WHERE rank <= 50 ORDER BY rank""".stripMargin
+    )
+  ) { (s, dir) =>
+    val weights = Array.tabulate(64)(i => (((i * 37) % 19) - 9).toDouble / 16.0)
+    graft.ops.VectorOps.linearHeadTopK(
+        t(s, dir, "embeddings"), "vec_id", "embedding", weights, bias = 0.25, k = 50)
+      .orderBy(col("rank"))
+  }
+
   // -------------------------------------------------------------------------
 
   lazy val all: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap

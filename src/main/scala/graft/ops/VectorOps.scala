@@ -369,4 +369,43 @@ object VectorOps {
       }
       path
     }
+
+  /** Linear model head over an embedding column — the LAION-aesthetic /
+    * quality-classifier inference shape: `margin = dot(w, v) + bias`
+    * through the native VecDot against the weight vector as a plan
+    * literal, rounded ONCE (the cross-engine float rule), with the
+    * `keep = margin > 0` verdict. Map-only: one codegen'd pass, the
+    * corpus never shuffles.
+    */
+  def linearHeadScore(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      weights: Array[Double],
+      bias: Double): DataFrame = {
+    ensureRegistered(df)
+    val w = typedLit[Seq[Double]](weights.toSeq)
+    df.select(
+        col(idCol),
+        round(dot(col(vecCol).cast("array<double>"), w) + bias, 6).as("margin"))
+      .withColumn("keep", col("margin") > 0d)
+  }
+
+  /** Global k highest-margin rows via the heap operator (map-side pruned
+    * partial heaps — no global sort, ≤ k rows per partition reach the
+    * final heap). Output: (rank, id, margin), rank 1-based by
+    * (margin DESC, id ASC).
+    */
+  def linearHeadTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      weights: Array[Double],
+      bias: Double,
+      k: Int): DataFrame = {
+    val scored = linearHeadScore(df, idCol, vecCol, weights, bias)
+      .withColumn("__g", lit(1))
+    graft.plans.TopK.perKey(scored, Seq("__g"), Seq("margin" -> false, idCol -> true), k)
+      .select(col("rank"), col(idCol), col("margin"))
+  }
 }

@@ -180,4 +180,25 @@ class OpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("linearHead: margin arithmetic, keep verdict, heap top-k with no sort/UDF") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)), (3L, Seq(-1.0, 0.0)), (4L, Seq(0.5, 0.5))
+    ).toDF("id", "v")
+    val w = Array(2.0, -1.0)
+    val scored = VectorOps.linearHeadScore(df, "id", "v", w, bias = 0.25)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(scored(1L) == ((2.25, true)))
+    assert(scored(2L) == ((-0.75, false)))
+    assert(scored(3L) == ((-1.75, false)))
+    assert(scored(4L) == ((0.75, true)))
+    val top = VectorOps.linearHeadTopK(df, "id", "v", w, bias = 0.25, k = 2).collect()
+    assert(top.map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((1, 1L), (2, 4L)))
+    // map-only scoring + heap top-k: no WindowExec, no global Sort, no UDF
+    val p = VectorOps.linearHeadTopK(df, "id", "v", w, 0.25, 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF") && !p.contains("WindowExec"), p)
+    assert(p.contains("TopKPerKey"), p)
+  }
 }
