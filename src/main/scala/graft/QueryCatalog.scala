@@ -4382,6 +4382,72 @@ object QueryCatalog {
       .orderBy(col("rank"))
   }
 
+  // ANN recall@k eval: the LSH pipeline's top-5 measured against the exact
+  // brute-force top-5, per query. DuckDB replays BOTH pipelines end-to-end
+  // (the proven v_ann_lsh_topk and v_ann_brute_topk CTE bodies) and then
+  // the per-query hit count — so the eval itself, not just its inputs, is
+  // cross-engine-checked.
+  register(
+    "v_ann_recall_lsh",
+    Some(
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), planes AS (
+        |  SELECT p, plane FROM read_parquet('/tmp/graft_lsh_planes/planes_96_64/*.parquet')
+        |  WHERE p < 64
+        |), sigs AS (
+        |  SELECT e.vec_id, p.p // 4 AS table_idx,
+        |         sum(CASE WHEN list_inner_product(e.v, p.plane) >= 0
+        |                  THEN 1 << (p.p % 4) ELSE 0 END) AS signature
+        |  FROM emb e CROSS JOIN planes p GROUP BY e.vec_id, p.p // 4
+        |), cands AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id
+        |  FROM sigs q JOIN sigs c ON q.table_idx = c.table_idx AND q.signature = c.signature
+        |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+        |), lsh_scored AS (
+        |  SELECT cd.query_id, cd.corpus_id,
+        |         list_inner_product(q.v, c.v)
+        |           / (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))) AS cos
+        |  FROM cands cd
+        |  JOIN emb q ON q.vec_id = cd.query_id
+        |  JOIN emb c ON c.vec_id = cd.corpus_id
+        |), lsh_top AS (
+        |  SELECT query_id, corpus_id FROM (
+        |    SELECT query_id, corpus_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank
+        |    FROM lsh_scored) WHERE rank <= 5
+        |), brute_scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |         list_cosine_similarity(q.v, c.v) AS cos
+        |  FROM emb q CROSS JOIN emb c
+        |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+        |), brute_top AS (
+        |  SELECT query_id, corpus_id FROM (
+        |    SELECT query_id, corpus_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank
+        |    FROM brute_scored) WHERE rank <= 5
+        |)
+        |SELECT b.query_id,
+        |  count(l.corpus_id) AS hits,
+        |  5 AS k,
+        |  round(count(l.corpus_id) / CAST(5 AS DOUBLE), 6) AS recall
+        |FROM brute_top b
+        |LEFT JOIN lsh_top l ON b.query_id = l.query_id AND b.corpus_id = l.corpus_id
+        |GROUP BY b.query_id
+        |ORDER BY b.query_id""".stripMargin
+    )
+  ) { (s, dir) =>
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val dims = emb.select(size(col("embedding"))).head().getInt(0)
+    VectorOps.exportPlanes(s, 96, dims)
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = VectorOps.bruteForceTopK(emb, "vec_id", "embedding", queries, "vec_id", "embedding", 5)
+    val approx = VectorOps.lshTopK(emb, "vec_id", "embedding", queries, "vec_id", "embedding", 5,
+      tables = 16, bitsPerTable = 4)
+    VectorOps.annRecallAtK(approx, exact, 5).orderBy(col("query_id"))
+  }
+
   // -------------------------------------------------------------------------
 
   lazy val all: Map[String, Q] = entries.map { case (k, (q, _)) => k -> q }.toMap

@@ -370,6 +370,28 @@ object VectorOps {
       path
     }
 
+  /** ANN quality evaluation — recall@k of an approximate result set
+    * against the exact brute-force ranking (the standard eval before
+    * trusting LSH/IVF parameters at scale; "measure, don't guess").
+    * Both inputs are (query_id, corpus_id, rank) frames as produced by
+    * [[bruteForceTopK]]/[[lshTopK]]/[[ivfTopK]]; the exact side defines
+    * the denominator. Output: (query_id, hits, k, recall).
+    *
+    * Scale shape: both sides are already ≤ queries×k rows (the top-k
+    * operators prune map-side), so the join + per-query count is tiny
+    * relative to the searches it evaluates.
+    */
+  def annRecallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val a = approx.filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id")).withColumn("__hit", lit(1L))
+    val e = exact.filter(col("rank") <= k).select(col("query_id"), col("corpus_id"))
+    e.join(a, Seq("query_id", "corpus_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+      .withColumn("k", lit(k))
+      .withColumn("recall", round(col("hits") / k, 6))
+  }
+
   /** Linear model head over an embedding column — the LAION-aesthetic /
     * quality-classifier inference shape: `margin = dot(w, v) + bias`
     * through the native VecDot against the weight vector as a plan

@@ -201,4 +201,26 @@ class OpsSpec extends SparkSpec {
     assert(!p.contains("ScalaUDF") && !p.contains("WindowExec"), p)
     assert(p.contains("TopKPerKey"), p)
   }
+
+  test("annRecallAtK: per-query hit counts against the exact set") {
+    import spark.implicits._
+    val exact = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3)
+    ).toDF("query_id", "corpus_id", "rank")
+    // query 1: approx finds 2 of 3; query 2: none (disjoint ids);
+    // extra approx rows beyond rank k are ignored
+    val approx = Seq(
+      (1L, 11L, 1), (1L, 12L, 2), (1L, 99L, 3), (1L, 10L, 4),
+      (2L, 90L, 1), (2L, 91L, 2), (2L, 92L, 3)
+    ).toDF("query_id", "corpus_id", "rank")
+    val out = VectorOps.annRecallAtK(approx, exact, 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(out(1L) == ((2L, 0.666667)))
+    assert(out(2L) == ((0L, 0.0)))
+    // perfect approximation: recall 1.0 everywhere
+    val perfect = VectorOps.annRecallAtK(exact, exact, 3)
+      .select("recall").collect().map(_.getDouble(0))
+    assert(perfect.forall(_ == 1.0))
+  }
 }
