@@ -4244,6 +4244,38 @@ object QueryCatalog {
       .orderBy(col("id"))
   }
 
+  // Image-side PII gate: GPS coordinates (micro-degrees out of the Exif
+  // GPS IFD's hemisphere-ref + RATIONAL×3 triplets), capture DateTime,
+  // and the exif_strip scrub — all decode-free byte walks. The post-strip
+  // columns are the scrub's contract: GPS reads the sentinel on EVERY row
+  // afterwards while pixel geometry is untouched. Expected values are
+  // analytic functions of the row index exported by the fixture; the
+  // engine walks real multi-IFD APP1 bytes spliced into imageio JPEGs
+  // (plus EXIF-free and non-JPEG rows proving the sentinels).
+  register(
+    "mm_exif_pii",
+    Some(
+      """SELECT id, gps_microlat, gps_microlon, exif_datetime,
+        |       strip_gps, strip_w, strip_h
+        |FROM read_parquet('/tmp/graft_exif_pii/f_60/*.parquet')
+        |ORDER BY id""".stripMargin
+    )
+  ) { (s, _) =>
+    graft.fixtures.Containers.exportGpsExpected(s, 60)
+    graft.expr.MediaFunctions.register(s)
+    import graft.expr.MediaFunctions._
+    graft.fixtures.Containers.gpsTable(s, 60)
+      .select(
+        col("id"),
+        exifGpsMicroLat(col("bytes")).as("gps_microlat"),
+        exifGpsMicroLon(col("bytes")).as("gps_microlon"),
+        exifDateTime(col("bytes")).as("exif_datetime"),
+        exifGpsMicroLat(exifStrip(col("bytes"))).as("strip_gps"),
+        mediaWidth(exifStrip(col("bytes"))).as("strip_w"),
+        mediaHeight(exifStrip(col("bytes"))).as("strip_h"))
+      .orderBy(col("id"))
+  }
+
   // WebDataset re-shard packing plan (TarWriter — the writer half of the
   // curation loop): members stream out of real fixture shards via
   // TarReader, regroup by the first-dot key, and pack into size-bounded

@@ -125,6 +125,160 @@ object Containers {
     spark.range(n).map(i => (idOf(i), bytesAt(i))).toDF("id", "bytes")
   }
 
+  // --------------------------------------------------------------------
+  // GPS / DateTime EXIF corpus for the image-PII gate (mm_exif_pii):
+  // full multi-IFD APP1 segments (IFD0: orientation + DateTime + GPS-IFD
+  // pointer; GPS IFD: hemisphere refs + RATIONAL×3 coordinates at
+  // TIFF value offsets) hand-spliced into imageio-written JPEGs, plus
+  // EXIF-free JPEGs and non-JPEG (GIF) rows proving the sentinels.
+  //
+  // Row plan (pure function of i):
+  //   i %% 7 == 6 -> animated GIF        (all sentinels; strip = identity)
+  //   i %% 5 == 4 -> JPEG without EXIF   (all sentinels; strip = identity)
+  //   else        -> JPEG + full APP1, TIFF order II iff i %% 2 == 0,
+  //                  GPS present iff i %% 4 != 3.
+  // --------------------------------------------------------------------
+
+  /** Plan-side GPS rationals: (deg, min, sec*100, negative). */
+  def gpsPlan(i: Long): ((Long, Long, Long, Boolean), (Long, Long, Long, Boolean)) = (
+    ((i * 13) % 90, (i * 7) % 60, (i * 311) % 6000, i % 3 == 0),
+    ((i * 29) % 180, (i * 11) % 60, (i * 577) % 6000, i % 2 == 0)
+  )
+
+  def dateTimePlan(i: Long): String =
+    f"20${10 + i % 15}%02d:${1 + i % 12}%02d:${1 + i % 28}%02d ${i % 24}%02d:${i % 60}%02d:${(i * 7) % 60}%02d"
+
+  /** (microlat, microlon, datetime) the GPS sniffers must report;
+    * sentinels for the GIF / no-EXIF / no-GPS rows.
+    */
+  def gpsExpected(i: Long): (Long, Long, String) = {
+    import graft.media.HeaderSniff.{microDegrees, NoGps}
+    if (i % 7 == 6 || i % 5 == 4) (NoGps, NoGps, "")
+    else {
+      val dt = dateTimePlan(i)
+      if (i % 4 == 3) (NoGps, NoGps, dt)
+      else {
+        val ((ad, am, as, an), (od, om, os, on)) = gpsPlan(i)
+        (microDegrees(ad, 1, am, 1, as, 100, an),
+          microDegrees(od, 1, om, 1, os, 100, on), dt)
+      }
+    }
+  }
+
+  /** Pixel width the engine must report both before and after the strip
+    * (the strip must not touch geometry).
+    */
+  def gpsExpectedDims(i: Long): (Int, Int) =
+    if (i % 7 == 6) (8 + (i % 5).toInt, 6 + (i % 3).toInt)
+    else Images.dims(Images.idOf(i))
+
+  def gpsBytesAt(i: Long): Array[Byte] =
+    if (i % 7 == 6) animatedGif(i)
+    else {
+      val id = Images.idOf(i)
+      val (w, h) = Images.dims(id)
+      val jpeg = encodeJpegMode(Images.renderPixels(id, w, h), progressive = false)
+      if (i % 5 == 4) jpeg
+      else {
+        val gps = if (i % 4 == 3) None else Some(gpsPlan(i))
+        jpeg.take(2) ++ exifFullApp1(((i % 8) + 1).toInt, dateTimePlan(i), gps,
+          littleEndian = i % 2 == 0) ++ jpeg.drop(2)
+      }
+    }
+
+  /** APP1 with IFD0 = {orientation, DateTime, [GPS pointer]} and an
+    * optional GPS IFD = {LatRef, Lat, LonRef, Lon} with the RATIONAL
+    * triplets in the data area, per TIFF 6.0 value-offset rules.
+    */
+  private def exifFullApp1(
+      orientation: Int,
+      dateTime: String,
+      gps: Option[((Long, Long, Long, Boolean), (Long, Long, Long, Boolean))],
+      littleEndian: Boolean): Array[Byte] = {
+    val n0 = if (gps.isDefined) 3 else 2
+    val ifd0 = 8
+    val ifd0Size = 2 + n0 * 12 + 4
+    val gpsIfd = ifd0 + ifd0Size
+    val gpsIfdSize = if (gps.isDefined) 2 + 4 * 12 + 4 else 0
+    val dtOff = gpsIfd + gpsIfdSize
+    val latOff = dtOff + 20
+    val lonOff = latOff + 24
+    val total = if (gps.isDefined) lonOff + 24 else dtOff + 20
+    val tiff = new Array[Byte](total)
+    def p16(o: Int, v: Int): Unit =
+      if (littleEndian) { tiff(o) = (v & 0xff).toByte; tiff(o + 1) = ((v >> 8) & 0xff).toByte }
+      else { tiff(o) = ((v >> 8) & 0xff).toByte; tiff(o + 1) = (v & 0xff).toByte }
+    def p32(o: Int, v: Long): Unit = {
+      val x = (v & 0xffffffffL).toInt
+      if (littleEndian) { p16(o, x & 0xffff); p16(o + 2, x >>> 16) }
+      else { p16(o, x >>> 16); p16(o + 2, x & 0xffff) }
+    }
+    def entry(e: Int, tag: Int, typ: Int, count: Long): Unit = {
+      p16(e, tag); p16(e + 2, typ); p32(e + 4, count)
+    }
+    tiff(0) = (if (littleEndian) 'I' else 'M').toByte
+    tiff(1) = tiff(0)
+    p16(2, 42)
+    p32(4, ifd0.toLong)
+    // IFD0 (tags ascending per spec)
+    p16(ifd0, n0)
+    var e = ifd0 + 2
+    entry(e, 0x0112, 3, 1L); p16(e + 8, orientation); e += 12
+    entry(e, 0x0132, 2, 20L); p32(e + 8, dtOff.toLong); e += 12
+    if (gps.isDefined) { entry(e, 0x8825, 4, 1L); p32(e + 8, gpsIfd.toLong); e += 12 }
+    p32(e, 0) // next IFD
+    gps.foreach { case ((ad, am, as, an), (od, om, os, on)) =>
+      p16(gpsIfd, 4)
+      var g = gpsIfd + 2
+      entry(g, 0x0001, 2, 2L); tiff(g + 8) = (if (an) 'S' else 'N').toByte; g += 12
+      entry(g, 0x0002, 5, 3L); p32(g + 8, latOff.toLong); g += 12
+      entry(g, 0x0003, 2, 2L); tiff(g + 8) = (if (on) 'W' else 'E').toByte; g += 12
+      entry(g, 0x0004, 5, 3L); p32(g + 8, lonOff.toLong); g += 12
+      p32(g, 0)
+      def rats(off: Int, d: Long, m: Long, s100: Long): Unit = {
+        p32(off, d); p32(off + 4, 1L)
+        p32(off + 8, m); p32(off + 12, 1L)
+        p32(off + 16, s100); p32(off + 20, 100L)
+      }
+      rats(latOff, ad, am, as)
+      rats(lonOff, od, om, os)
+    }
+    val dtb = dateTime.getBytes("US-ASCII")
+    System.arraycopy(dtb, 0, tiff, dtOff, math.min(19, dtb.length)) // byte 20 stays NUL
+    val payload = Array[Byte]('E', 'x', 'i', 'f', 0, 0) ++ tiff
+    val len = payload.length + 2
+    Array(0xff.toByte, 0xe1.toByte, ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ payload
+  }
+
+  /** (id, bytes) for the GPS corpus — generated per-row on executors. */
+  def gpsTable(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).map(i => (idOf(i), gpsBytesAt(i))).toDF("id", "bytes")
+  }
+
+  val GpsExportBase = "/tmp/graft_exif_pii"
+  private val gpsExported = scala.collection.mutable.Set.empty[String]
+
+  /** Oracle side-channel: the analytically-expected PII extraction plus
+    * the post-strip invariants (GPS gone, geometry untouched).
+    */
+  def exportGpsExpected(spark: SparkSession, n: Int): String = synchronized {
+    val path = s"$GpsExportBase/f_$n"
+    if (!gpsExported.contains(path)) {
+      import spark.implicits._
+      (0 until n).map { i =>
+        val (lat, lon, dt) = gpsExpected(i.toLong)
+        val (w, h) = gpsExpectedDims(i.toLong)
+        (idOf(i.toLong), lat, lon, dt, graft.media.HeaderSniff.NoGps, w, h)
+      }.toDF("id", "gps_microlat", "gps_microlon", "exif_datetime",
+          "strip_gps", "strip_w", "strip_h")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(path)
+      gpsExported += path
+    }
+    path
+  }
+
   val ExportBase = "/tmp/graft_container_sniff"
   private val exported = scala.collection.mutable.Set.empty[String]
 

@@ -220,6 +220,198 @@ object HeaderSniff {
     0
   }
 
+  /** Sentinel for "no GPS coordinate present/parseable". Long.MinValue can
+    * never be a valid micro-degree (|lat| ≤ 90e6, |lon| ≤ 180e6).
+    */
+  val NoGps: Long = Long.MinValue
+
+  /** Exact shared arithmetic for degree°minute′second″ rationals →
+    * signed micro-degrees (used by both the byte-walking extractor below
+    * and fixture plans, so expected values are equal by construction;
+    * the independence of the check lives in byte-walk vs plan, not in
+    * the final rounding).
+    */
+  def microDegrees(dn: Long, dd: Long, mn: Long, md: Long, sn: Long, sd: Long,
+      negative: Boolean): Long = {
+    if (dd <= 0 || md <= 0 || sd <= 0) return NoGps
+    val v = ((dn.toDouble / dd + mn.toDouble / (60.0 * md) +
+      sn.toDouble / (3600.0 * sd)) * 1e6).round
+    if (negative) -v else v
+  }
+
+  /** Locate the Exif APP1 segment's TIFF base; returns (tiffBase, segEnd)
+    * packed as (base.toLong << 32) | segEnd, or -1 when absent. The walk
+    * is the exifOrientation one factored out.
+    */
+  private def exifTiffBase(b: Array[Byte]): Long = {
+    if (b == null || !isJpeg(b)) return -1L
+    var i = 2
+    while (i + 3 < b.length) {
+      if (u8(b, i) != 0xff) return -1L
+      var m = u8(b, i + 1)
+      while (m == 0xff && i + 2 < b.length) { i += 1; m = u8(b, i + 1) }
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) i += 2
+      else if (m == 0xd9 || m == 0xda) return -1L
+      else {
+        val segLen = be16(b, i + 2)
+        if (segLen < 2) return -1L
+        if (m == 0xe1 && ascii(b, i + 4, "Exif") && i + 9 < b.length &&
+            b(i + 8) == 0 && b(i + 9) == 0) {
+          val t = i + 10
+          val segEnd = math.min(b.length, i + 2 + segLen)
+          if (t + 8 > segEnd) return -1L
+          return (t.toLong << 32) | (segEnd.toLong & 0xffffffffL)
+        }
+        i += 2 + segLen
+      }
+    }
+    -1L
+  }
+
+  /** GPS coordinate from the Exif GPS IFD (tags 0x8825 → 1/2 lat, 3/4 lon:
+    * ASCII hemisphere ref + RATIONAL×3 deg/min/sec, TIFF 6.0 value-offset
+    * rules), as signed micro-degrees; [[NoGps]] when the payload is not a
+    * JPEG, carries no EXIF/GPS, or any field is malformed/out of bounds.
+    * Image-side PII detection is a first-class curation gate: face/location
+    * scrubbing passes route on "has GPS" long before any decode.
+    */
+  def exifGpsMicro(b: Array[Byte], wantLon: Boolean): Long = {
+    val packed = exifTiffBase(b)
+    if (packed < 0) return NoGps
+    val t = (packed >>> 32).toInt
+    val segEnd = (packed & 0xffffffffL).toInt
+    val le =
+      if (ascii(b, t, "II")) true
+      else if (ascii(b, t, "MM")) false
+      else return NoGps
+    def r16(o: Int): Int = if (le) le16(b, o) else be16(b, o)
+    def r32(o: Int): Int = if (le) le32(b, o) else be32(b, o)
+    if (r16(t + 2) != 42) return NoGps
+    val ifd0 = t + r32(t + 4)
+    if (ifd0 < t || ifd0 + 2 > segEnd) return NoGps
+    // IFD0 → GPS IFD pointer (tag 0x8825, LONG, count 1)
+    var gpsIfd = -1
+    val n0 = r16(ifd0)
+    var k = 0
+    while (k < n0 && ifd0 + 2 + 12 * (k + 1) <= segEnd) {
+      val e = ifd0 + 2 + 12 * k
+      if (r16(e) == 0x8825 && r16(e + 2) == 4 && r32(e + 4) == 1) gpsIfd = t + r32(e + 8)
+      k += 1
+    }
+    if (gpsIfd < t || gpsIfd + 2 > segEnd) return NoGps
+    val refTag = if (wantLon) 0x0003 else 0x0001
+    val valTag = if (wantLon) 0x0004 else 0x0002
+    var negative = false
+    var haveRef = false
+    var ratOff = -1
+    val n1 = r16(gpsIfd)
+    k = 0
+    while (k < n1 && gpsIfd + 2 + 12 * (k + 1) <= segEnd) {
+      val e = gpsIfd + 2 + 12 * k
+      val tag = r16(e)
+      if (tag == refTag && r16(e + 2) == 2) {
+        // ASCII count 2 fits inline, left-justified in file order
+        val c = u8(b, e + 8)
+        negative = c == 'S'.toInt || c == 'W'.toInt
+        haveRef = c == 'N'.toInt || c == 'S'.toInt || c == 'E'.toInt || c == 'W'.toInt
+      } else if (tag == valTag && r16(e + 2) == 5 && r32(e + 4) == 3) {
+        ratOff = t + r32(e + 8) // 24 bytes of RATIONAL never fit inline
+      }
+      k += 1
+    }
+    if (!haveRef || ratOff < t || ratOff + 24 > segEnd) return NoGps
+    def ru32(o: Int): Long = r32(o).toLong & 0xffffffffL
+    microDegrees(
+      ru32(ratOff), ru32(ratOff + 4),
+      ru32(ratOff + 8), ru32(ratOff + 12),
+      ru32(ratOff + 16), ru32(ratOff + 20), negative)
+  }
+
+  def exifGpsMicroLat(b: Array[Byte]): Long = exifGpsMicro(b, wantLon = false)
+
+  def exifGpsMicroLon(b: Array[Byte]): Long = exifGpsMicro(b, wantLon = true)
+
+  /** EXIF DateTime (tag 0x0132 in IFD0, ASCII "YYYY:MM:DD HH:MM:SS"), ""
+    * when absent/malformed — capture-time metadata is PII under most
+    * dataset policies and the strip gate needs to see it first.
+    */
+  def exifDateTime(b: Array[Byte]): UTF8String = {
+    val empty = UTF8String.fromString("")
+    val packed = exifTiffBase(b)
+    if (packed < 0) return empty
+    val t = (packed >>> 32).toInt
+    val segEnd = (packed & 0xffffffffL).toInt
+    val le =
+      if (ascii(b, t, "II")) true
+      else if (ascii(b, t, "MM")) false
+      else return empty
+    def r16(o: Int): Int = if (le) le16(b, o) else be16(b, o)
+    def r32(o: Int): Int = if (le) le32(b, o) else be32(b, o)
+    if (r16(t + 2) != 42) return empty
+    val ifd0 = t + r32(t + 4)
+    if (ifd0 < t || ifd0 + 2 > segEnd) return empty
+    val n0 = r16(ifd0)
+    var k = 0
+    while (k < n0 && ifd0 + 2 + 12 * (k + 1) <= segEnd) {
+      val e = ifd0 + 2 + 12 * k
+      if (r16(e) == 0x0132 && r16(e + 2) == 2) {
+        val cnt = r32(e + 4)
+        if (cnt < 1 || cnt > 32) return empty
+        val off = if (cnt <= 4) e + 8 else t + r32(e + 8)
+        if (off < t || off + cnt > segEnd) return empty
+        var len = cnt
+        while (len > 0 && b(off + len - 1) == 0) len -= 1 // NUL terminator(s)
+        return UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, off, off + len))
+      }
+      k += 1
+    }
+    empty
+  }
+
+  /** PII scrub: a copy of the JPEG with every Exif APP1 segment spliced
+    * out — GPS, timestamps, camera serials gone; pixels, dimensions, and
+    * every other segment byte-identical (no re-encode, so no generation
+    * loss). Non-JPEG or Exif-free payloads return the input array
+    * unchanged (reference-equal — callers can cheaply detect "nothing to
+    * do"). Malformed walks return the input unmodified rather than risk
+    * truncating entropy data.
+    */
+  def exifStrip(b: Array[Byte]): Array[Byte] = {
+    if (b == null || !isJpeg(b)) return b
+    // first pass: locate Exif APP1 spans [start, end)
+    var spans: List[(Int, Int)] = Nil
+    var i = 2
+    var done = false
+    while (!done && i + 3 < b.length) {
+      if (u8(b, i) != 0xff) return b // lost sync: do not touch the payload
+      var m = u8(b, i + 1)
+      while (m == 0xff && i + 2 < b.length) { i += 1; m = u8(b, i + 1) }
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) i += 2
+      else if (m == 0xd9 || m == 0xda) done = true // entropy data follows: stop walking
+      else {
+        val segLen = be16(b, i + 2)
+        if (segLen < 2 || i + 2 + segLen > b.length) return b
+        if (m == 0xe1 && ascii(b, i + 4, "Exif") && i + 9 < b.length &&
+            b(i + 8) == 0 && b(i + 9) == 0) {
+          spans = (i, i + 2 + segLen) :: spans
+        }
+        i += 2 + segLen
+      }
+    }
+    if (spans.isEmpty) return b
+    val drop = spans.map { case (s, e) => e - s }.sum
+    val out = new Array[Byte](b.length - drop)
+    var src = 0
+    var dst = 0
+    spans.reverse.foreach { case (s, e) =>
+      System.arraycopy(b, src, out, dst, s - src)
+      dst += s - src
+      src = e
+    }
+    System.arraycopy(b, src, out, dst, b.length - src)
+    out
+  }
+
   /** 1 = progressive JPEG (SOF2/6/10/14 frame header), 0 = sequential
     * (baseline/extended/lossless SOFs), -1 = not a JPEG or no frame header
     * reachable. Progressive payloads cost a full multi-scan buffer to

@@ -140,4 +140,56 @@ class HeaderSniffSpec extends SparkSpec {
     )
     assert(HeaderSniff.exifOrientation(badO) == 0)
   }
+
+  test("EXIF GPS/DateTime extraction and the strip scrub over the PII corpus") {
+    import graft.fixtures.Containers
+    (0L until 60L).foreach { i =>
+      val b = Containers.gpsBytesAt(i)
+      val (lat, lon, dt) = Containers.gpsExpected(i)
+      assert(HeaderSniff.exifGpsMicroLat(b) == lat, s"lat at $i")
+      assert(HeaderSniff.exifGpsMicroLon(b) == lon, s"lon at $i")
+      assert(HeaderSniff.exifDateTime(b).toString == dt, s"datetime at $i")
+      val stripped = HeaderSniff.exifStrip(b)
+      if (i % 7 == 6 || i % 5 == 4) {
+        // nothing to scrub: identity, reference-equal (cheap no-op detection)
+        assert(stripped eq b, s"identity strip at $i")
+      } else {
+        assert(stripped.length < b.length, s"strip dropped bytes at $i")
+        assert(HeaderSniff.exifGpsMicroLat(stripped) == HeaderSniff.NoGps)
+        assert(HeaderSniff.exifDateTime(stripped).toString == "")
+        assert(HeaderSniff.exifOrientation(stripped) == 0)
+      }
+      val (w, h) = Containers.gpsExpectedDims(i)
+      assert(HeaderSniff.width(stripped) == w, s"width after strip at $i")
+      assert(HeaderSniff.height(stripped) == h, s"height after strip at $i")
+    }
+    // the scrub never re-encodes: decoded pixels are bit-identical
+    Seq(0L, 1L, 2L, 5L, 12L).foreach { i =>
+      val b = Containers.gpsBytesAt(i)
+      val stripped = HeaderSniff.exifStrip(b)
+      val a0 = ImageIO.read(new java.io.ByteArrayInputStream(b))
+      val a1 = ImageIO.read(new java.io.ByteArrayInputStream(stripped))
+      assert(a0.getWidth == a1.getWidth && a0.getHeight == a1.getHeight)
+      var y = 0
+      while (y < a0.getHeight) {
+        var x = 0
+        while (x < a0.getWidth) {
+          assert(a0.getRGB(x, y) == a1.getRGB(x, y), s"pixel $x,$y at row $i")
+          x += 1
+        }
+        y += 1
+      }
+    }
+    // truncation anywhere in the walk gives sentinels / identity, never throws
+    (0L until 60L by 7L).foreach { i =>
+      val b = Containers.gpsBytesAt(i)
+      Seq(3, 8, 16, 24, 40, b.length / 2).foreach { cut =>
+        val t = b.take(cut)
+        HeaderSniff.exifGpsMicroLat(t)
+        HeaderSniff.exifGpsMicroLon(t)
+        HeaderSniff.exifDateTime(t)
+        HeaderSniff.exifStrip(t)
+      }
+    }
+  }
 }
