@@ -2282,6 +2282,31 @@ object QueryCatalog {
       .select(col("doc_id"), col("lang"))
   }
 
+  // Deterministic train/val/test split: one draw per doc, first cumulative
+  // ppm bound wins — a row's split is a pure function of its id (stable
+  // under re-runs and corpus growth, unlike count-based splits); the
+  // oracle replays the identical draw and CASE chain.
+  register(
+    "td_split_assign",
+    Some(
+      """SELECT doc_id,
+        |  CASE WHEN d < 900000 THEN 'train'
+        |       WHEN d < 950000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':splitv1'), 1, 15)) AS BIGINT)
+        |          % 1000000) AS d
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin
+    )
+  ) { (s, dir) =>
+    Sampling.splitAssign(
+      t(s, dir, "documents"), "doc_id",
+      Seq("train" -> 900000L, "val" -> 50000L, "test" -> 50000L), salt = "splitv1")
+      .select(col("doc_id"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   // Mixture re-balancing: per-language keep thresholds derived from target
   // shares (ppm) + a weight budget against availability — integer-exact
   // floor((ppm*budget)/avail) capped at 1e6, so DuckDB replays the whole
@@ -2913,6 +2938,67 @@ object QueryCatalog {
     VectorOps.exportCentroids(s, cents)
     VectorOps.semanticDedup(emb, "vec_id", "embedding", cents, 0.35)
       .select(col("id").as("vec_id"), col("cluster"), col("dup_of"), col("keep"))
+  }
+
+  // CLIP-score-style caption<->image alignment filter: pairs are built from
+  // the embeddings table (aligned rows mix the image vector with a shifted
+  // neighbor 0.9/0.1; every 7th row gets a swapped caption), then each pair's
+  // cosine must clear a floor AND beat the hardest hash-drawn negative
+  // caption by a margin. The oracle rebuilds the pairs, the unit
+  // normalization, the md5 pool draw, and the max-negative calibration —
+  // the keep verdict compares UNROUNDED doubles on both sides (every term
+  // is a sequential-fold dot product, bit-identical cross-engine).
+  register(
+    "mm_caption_align",
+    Some(
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |nn AS (SELECT count(*) AS n FROM emb),
+        |base AS (
+        |  SELECT a.vec_id AS image_id, a.v AS imgv,
+        |         CASE WHEN a.vec_id % 7 = 0 THEN c.v
+        |              ELSE list_transform(range(1, len(a.v) + 1), i -> a.v[i] * 0.9 + b.v[i] * 0.1)
+        |         END AS txtv
+        |  FROM emb a CROSS JOIN nn
+        |  JOIN emb b ON b.vec_id = (a.vec_id + 11) % nn.n
+        |  JOIN emb c ON c.vec_id = (a.vec_id + 13) % nn.n),
+        |unitv AS (
+        |  SELECT image_id,
+        |         list_transform(imgv, x -> x / sqrt(list_inner_product(imgv, imgv))) AS img,
+        |         list_transform(txtv, x -> x / sqrt(list_inner_product(txtv, txtv))) AS txt
+        |  FROM base),
+        |pool AS (
+        |  SELECT image_id AS pid, txt AS pv FROM unitv
+        |  WHERE (CAST(concat('0x', substr(md5(CAST(image_id AS VARCHAR) || ':alignpool'), 1, 15)) AS BIGINT)
+        |          % 1000000) < 20000),
+        |pairsc AS (SELECT image_id, img, list_inner_product(img, txt) AS pc FROM unitv),
+        |neg AS (
+        |  SELECT u.image_id,
+        |         max(CASE WHEN p.pid = u.image_id THEN -2.0
+        |                  ELSE list_inner_product(u.img, p.pv) END) AS nm
+        |  FROM pairsc u CROSS JOIN pool p GROUP BY u.image_id)
+        |SELECT p.image_id, round(p.pc, 4) AS pair_cos, round(n.nm, 4) AS neg_max,
+        |       (p.pc >= 0.8 AND p.pc - n.nm >= 0.1) AS keep
+        |FROM pairsc p JOIN neg n ON p.image_id = n.image_id
+        |ORDER BY p.image_id""".stripMargin
+    )
+  ) { (s, dir) =>
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val n = e.count()
+    val pairs = e.as("a")
+      .join(e.as("b"), col("b.vec_id") === pmod(col("a.vec_id") + 11, lit(n)))
+      .join(e.as("c"), col("c.vec_id") === pmod(col("a.vec_id") + 13, lit(n)))
+      .select(
+        col("a.vec_id").as("image_id"),
+        col("a.v").as("img"),
+        when(pmod(col("a.vec_id"), lit(7)) === 0, col("c.v"))
+          .otherwise(zip_with(col("a.v"), col("b.v"), (x, y) => x * 0.9 + y * 0.1)).as("txt"))
+    val unit = VectorOps.unitNormalized(VectorOps.unitNormalized(pairs, "img"), "txt")
+    graft.ops.Multimodal.captionAlignment(
+        unit, "image_id", "img", "txt",
+        poolPpm = 20000L, maxPool = 64, minCos = 0.8, margin = 0.1, salt = "alignpool")
+      .select(col("image_id"), round(col("pair_cos"), 4).as("pair_cos"),
+        round(col("neg_max"), 4).as("neg_max"), col("keep"))
+      .orderBy(col("image_id"))
   }
 
   // Half-oracled (VERDICT r3 next-round #8): the distributed decode
@@ -3585,6 +3671,53 @@ object QueryCatalog {
       .withColumn("pixels",
         lit(1000) + expr("cast(substr(id, length(id), 1) as int)") * 10)
     graft.ops.Multimodal.phashDedupSurvivors(feats, maxHamming = 3)
+  }
+
+  // Cross-modal JOINT dedup: pHash-within-3 OR exact-caption edges, union
+  // components, min-id survivor. Captions derive analytically from the id
+  // (every last-digit-multiple-of-3 row shares one boilerplate caption, the
+  // rest are unique), so the oracle rebuilds the caption edges, the brute
+  // Hamming pairs, and the transitive closure from the same fixture export
+  // the phash entry uses — the Spark side runs the banded join + hub-star
+  // caption edges + distributed label propagation instead.
+  register(
+    "mm_joint_dedup",
+    Some(
+      """WITH RECURSIVE ph AS (
+        |  SELECT id, phash,
+        |         CASE WHEN CAST(substr(id, length(id), 1) AS INT) % 3 = 0 THEN 'dup-cap'
+        |              ELSE 'cap-' || id END AS caption
+        |  FROM read_parquet('/tmp/graft_phash_neardup/f_96/*.parquet')),
+        |ppairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM ph a JOIN ph b ON a.id < b.id
+        |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+        |cpairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM ph a JOIN ph b ON a.id < b.id AND a.caption = b.caption),
+        |pairs AS (SELECT * FROM ppairs UNION SELECT * FROM cpairs),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT DISTINCT a AS node, a AS r FROM edges
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b),
+        |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY 1)
+        |SELECT ph.id, coalesce(c.component, ph.id) AS component,
+        |       (ph.id = coalesce(c.component, ph.id)) AS is_survivor
+        |FROM ph LEFT JOIN comp c ON c.node = ph.id
+        |ORDER BY ph.id""".stripMargin
+    )
+  ) { (s, _) =>
+    graft.fixtures.Images.exportNearDupPhashes(s, 96)
+    val feats = graft.ops.Multimodal
+      .imageFeatures(graft.ops.Multimodal.syntheticNearDupTable(s, 96))
+      .toDF()
+      .withColumn("caption",
+        when(pmod(expr("cast(substr(id, length(id), 1) as int)"), lit(3)) === 0, lit("dup-cap"))
+          .otherwise(concat(lit("cap-"), col("id"))))
+    graft.ops.Multimodal.jointDedupSurvivors(feats, maxHamming = 3, idCol = "id")
+      .select(col("id"), col("component"), col("is_survivor"))
+      .orderBy(col("id"))
   }
 
   // ---- frontier analytics: host-level spam/trap scoring --------------------

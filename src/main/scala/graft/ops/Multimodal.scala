@@ -445,6 +445,53 @@ object Multimodal {
       .select(col("id"), col("component"), col("pixels"), (col("__rn") === 1).as("is_survivor"))
   }
 
+  /** Cross-modal JOINT dedup over the BASELINE.json input_hint pair table:
+    * two rows are duplicates when their pHashes are within `maxHamming`
+    * bits OR they carry the exact same caption — the union graph's
+    * connected components are the duplicate clusters and min-id is the
+    * canonical pair (a re-crawled image keeps one caption; a stock photo
+    * captioned identically across hosts collapses too).
+    *
+    * Scale shape: phash edges come from the banded pigeonhole join
+    * ([[phashNearDupPairs]] — exact recall at `maxHamming`, never
+    * all-pairs); caption edges are HUB-STAR — one aggregation finds each
+    * repeated caption's min-id hub and every other holder links to it, so
+    * a boilerplate caption on 10^6 crawled pages contributes 10^6−1 edges,
+    * not 10^12 pairs (the classic hot-key blowup of a naive self-join).
+    * Components run on the union with per-round lineage cuts
+    * ([[GraphOps.connectedComponents]]).
+    *
+    * Output: (id, component, is_survivor) for every input row.
+    */
+  def jointDedupSurvivors(
+      pairs: DataFrame,
+      maxHamming: Int,
+      idCol: String = "image_id",
+      phashCol: String = "phash",
+      captionCol: String = "caption"): DataFrame = {
+    val f = pairs.select(
+      col(idCol).cast("string").as("id"),
+      col(phashCol).cast("long").as("phash"),
+      col(captionCol).cast("string").as("caption"))
+    val phEdges = phashNearDupPairs(f, maxHamming, "id", "phash")
+      .select(col("id_a"), col("id_b"))
+    val capHubs = f.groupBy(col("caption"))
+      .agg(min(col("id")).as("hub"), count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .drop("__n")
+    val capEdges = f.join(capHubs, Seq("caption"))
+      .filter(col("id") =!= col("hub"))
+      .select(col("hub").as("id_a"), col("id").as("id_b"))
+    val comps = GraphOps.connectedComponents(phEdges.unionByName(capEdges), "id_a", "id_b")
+    f.join(comps, f("id") === comps("node"), "left")
+      .select(
+        col("id"),
+        coalesce(col("component"), col("id")).as("component"))
+      // hash-min label propagation converges to the component's min id,
+      // so the survivor test is a column compare — no extra window
+      .withColumn("is_survivor", col("id") === col("component"))
+  }
+
   /** Aspect-ratio bucketing for batched vision training (the SDXL-style
     * prepass: group images by nearest aspect bucket so a batch shares one
     * shape). Closeness of (w, h) to bucket (bw, bh) is computed from EXACT
@@ -528,5 +575,59 @@ object Multimodal {
       okPhash.as("ok_phash"),
       (col("ok_dims") && okAspect && okPixels && okFmt && okBpp &&
         okCapLen && okCapWords && okPhash).as("keep"))
+  }
+
+  /** CLIP-score-style image↔caption alignment filter over paired UNIT
+    * embeddings (compose with [[VectorOps.unitNormalized]]): keep a pair
+    * when its cosine clears `minCos` AND beats the hardest NEGATIVE
+    * caption by `margin`. Negatives are a small deterministic hash-drawn
+    * pool of other rows' caption vectors — the in-batch-negative
+    * calibration of CLIP-filtering pipelines (DataComp-style), made
+    * reproducible (md5 draw, pool sorted by id) instead of batch-shaped.
+    *
+    * Scale shape: the pool is a bounded driver-side k×dims constant
+    * shipped in task binaries exactly like the IVF centroid matrix
+    * ([[VectorOps.ivfCentroids]]); the pair table itself NEVER shuffles —
+    * the whole filter is map-only column arithmetic (`greatest` over
+    * ≤ `maxPool` codegen'd dot terms). The pool draw is an O(poolPpm·n)
+    * collect guarded by `maxPool`: raising the corpus 100× means lowering
+    * `poolPpm` 100×, never widening the plan.
+    *
+    * This is the soft variant of the reference's exact caption-equality
+    * payload check (BASELINE.json input_hint: "caption equality");
+    * curation keeps the aligned pairs rather than asserting equality.
+    */
+  def captionAlignment(
+      pairs: DataFrame,
+      idCol: String,
+      imgCol: String,
+      txtCol: String,
+      poolPpm: Long,
+      maxPool: Int,
+      minCos: Double,
+      margin: Double,
+      salt: String = "alignpool"): DataFrame = {
+    graft.expr.VectorFunctions.register(pairs.sparkSession)
+    require(poolPpm > 0L && poolPpm <= 1000000L, "poolPpm must be in (0, 1e6]")
+    val poolRows = pairs
+      .filter(Sampling.drawCol(col(idCol), salt) < poolPpm)
+      .select(col(idCol).cast("string"), col(txtCol))
+      .collect()
+      .map(r => (r.getString(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    require(poolRows.nonEmpty, "empty negative pool — raise poolPpm")
+    require(poolRows.length <= maxPool,
+      s"negative pool ${poolRows.length} exceeds maxPool=$maxPool — lower poolPpm")
+    val negTerms = poolRows.map { case (pid, pvec) =>
+      // a pair never competes against its own caption: sentinel below any cosine
+      when(col(idCol).cast("string") === lit(pid), lit(-2.0))
+        .otherwise(VectorOps.dot(col(imgCol), typedLit(pvec)))
+    }
+    val negMax = if (negTerms.length == 1) negTerms.head else greatest(negTerms.toSeq: _*)
+    pairs
+      .withColumn("pair_cos", VectorOps.dot(col(imgCol), col(txtCol)))
+      .withColumn("neg_max", negMax)
+      .withColumn("keep",
+        col("pair_cos") >= minCos && (col("pair_cos") - col("neg_max")) >= margin)
   }
 }

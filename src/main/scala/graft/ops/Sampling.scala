@@ -48,6 +48,32 @@ object Sampling {
       .drop("__rate")
   }
 
+  /** Deterministic train/val/test split assignment: each row draws once
+    * from (id, salt) and lands in the first split whose cumulative
+    * parts-per-million bound exceeds the draw. A row's split is a pure
+    * function of its id — stable under re-runs, resume, repartitioning,
+    * and corpus growth (adding documents never moves an existing one
+    * across the split boundary, unlike any count-based split).
+    *
+    * Scale shape: MAP-ONLY — one hash, one chained comparison per row;
+    * the split table is a plan constant. `splits` ppm must total 1e6 so
+    * every draw lands somewhere.
+    */
+  def splitAssign(
+      df: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Long)],
+      salt: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0L), "each split needs a positive ppm share")
+    require(splits.map(_._2).sum == 1000000L, "split ppm shares must total 1e6")
+    val draw = drawCol(col(idCol), salt)
+    val bounds = splits.scanLeft(0L)(_ + _._2).tail
+    val assign = splits.zip(bounds).dropRight(1).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), bound), acc) => when(draw < bound, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", assign)
+  }
+
   /** Sequence packing for training (GPT-style concat-then-chunk): documents
     * concatenate in id order WITHIN EACH SHARD and cut every `seqLen`
     * tokens; each doc maps to its global token interval and the sequence

@@ -46,10 +46,12 @@ object VectorOps {
     * is a bare dot product — 3x less arithmetic than recomputing both
     * norms per pair.
     */
-  def unitNormalized(df: DataFrame, vecCol: String): DataFrame =
+  def unitNormalized(df: DataFrame, vecCol: String): DataFrame = {
+    ensureRegistered(df)
     df.withColumn("__n", norm(col(vecCol)))
       .withColumn(vecCol, transform(col(vecCol), x => x / col("__n")))
       .drop("__n")
+  }
 
   /** Inputs above this size are routed through the LSH-bucketed two-phase
     * path; below it the exact all-pairs form is both faster (no signature

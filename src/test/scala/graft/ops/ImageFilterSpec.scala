@@ -79,4 +79,66 @@ class ImageFilterSpec extends SparkSpec {
     assert(math.abs(r.getDouble(cols.indexOf("bytes_per_pixel")) - 1.0) < 1e-9)
     assert(r.getInt(cols.indexOf("caption_words")) == 4)
   }
+
+  test("jointDedupSurvivors: a shared caption bridges two phash clusters") {
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      // phash cluster 1: a-b within hamming 1
+      ("a", 0L, "cap-a"),
+      ("b", 1L, "dup"),
+      // phash cluster 2: c-d within hamming 1, far from cluster 1
+      ("c", 0x0f0f0f0f0f0f0f0fL, "dup"), // caption bridges b<->c
+      ("d", 0x0f0f0f0f0f0f0f0eL, "cap-d"),
+      // singletons
+      ("e", 0x00ff00ff00ff00ffL, "cap-e"),
+      ("f", 0xf0f0f0f0f0f0f0f0L, "cap-f")
+    ).toDF("image_id", "phash", "caption")
+    val out = Multimodal.jointDedupSurvivors(rows, maxHamming = 3)
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(Seq("a", "b", "c", "d").forall(out(_)._1 == "a"),
+      s"caption edge must merge both phash clusters: $out")
+    assert(out("e") == (("e", true)) && out("f") == (("f", true)), "singletons survive")
+    assert(out("a")._2 && !out("b")._2 && !out("c")._2 && !out("d")._2,
+      s"min-id survivor only: $out")
+  }
+
+  test("captionAlignment: aligned pairs keep, swapped captions and weak margins drop") {
+    import org.apache.spark.sql.functions._
+    // orthogonal-ish basis: pair i's image is e_i; aligned captions equal the
+    // image vector, misaligned ones a different basis vector
+    def basis(i: Int, d: Int = 16): Seq[Double] = Seq.tabulate(d)(j => if (j == i % d) 1.0 else 0.0)
+    val rows = (0 until 8).map { i =>
+      val img = basis(i)
+      // pair 3's caption points at an index no other image uses, so the
+      // swap breaks ONLY pair 3 (no accidental hard negative for pair 12)
+      val txt = if (i == 3) basis(12) else img
+      (i.toLong, img, txt)
+    }
+    val df = rows.toDF("image_id", "img", "txt")
+    val out = Multimodal.captionAlignment(
+        df, "image_id", "img", "txt",
+        poolPpm = 1000000L, maxPool = 64, minCos = 0.8, margin = 0.1)
+      .collect().map(r => r.getLong(0) -> ((r.getAs[Double]("pair_cos"), r.getAs[Boolean]("keep")))).toMap
+    assert(out(3)._2 == false, "swapped caption must drop")
+    assert(math.abs(out(3)._1) < 1e-9, "swapped pair is orthogonal")
+    (0 until 8).filter(_ != 3).foreach { i =>
+      assert(out(i.toLong)._1 == 1.0 && out(i.toLong)._2, s"aligned pair $i keeps: ${out(i.toLong)}")
+    }
+    // margin calibration: a pair whose image also matches a pooled negative
+    // caption fails the margin even though its own cosine clears the floor
+    val hard = Seq(
+      (0L, basis(0), basis(0)),
+      (1L, basis(0), basis(0)) // same image vector: each is the other's hardest negative
+    ).toDF("image_id", "img", "txt")
+    val hardOut = Multimodal.captionAlignment(
+        hard, "image_id", "img", "txt",
+        poolPpm = 1000000L, maxPool = 64, minCos = 0.8, margin = 0.1)
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    assert(hardOut.values.forall(_ == false), s"ambiguous pairs fail the margin: $hardOut")
+    // pool-size contract fails loudly instead of silently truncating
+    intercept[IllegalArgumentException] {
+      Multimodal.captionAlignment(df, "image_id", "img", "txt",
+        poolPpm = 1000000L, maxPool = 2, minCos = 0.8, margin = 0.1)
+    }
+  }
 }

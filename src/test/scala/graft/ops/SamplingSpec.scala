@@ -37,6 +37,27 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(out("2") / 10000.0 - 0.5) < 0.03, out.toString)
   }
 
+  test("splitAssign: exhaustive, reproducible, share-accurate, growth-stable") {
+    val splits = Seq("train" -> 900000L, "val" -> 50000L, "test" -> 50000L)
+    val ids = spark.range(20000).toDF("id")
+    val out = Sampling.splitAssign(ids, "id", splits)
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"), counts.toString)
+    assert(counts.values.sum == 20000L, "every row lands in exactly one split")
+    assert(math.abs(counts("train") / 20000.0 - 0.9) < 0.02, counts.toString)
+    assert(math.abs(counts("val") / 20000.0 - 0.05) < 0.01, counts.toString)
+    // growth stability: the same ids keep their split when the corpus doubles
+    val small = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val grown = Sampling.splitAssign(spark.range(40000).toDF("id"), "id", splits)
+      .filter(col("id") < 20000).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(small == grown, "corpus growth must not move existing rows across splits")
+    // contract: shares must total 1e6
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(ids, "id", Seq("a" -> 1L, "b" -> 2L))
+    }
+  }
+
   test("packSequences: per-shard cumsum intervals, straddlers flagged by seq span") {
     val df = Seq(
       (1L, "s1", 300), (2L, "s1", 300), (3L, "s1", 100),
