@@ -3305,6 +3305,85 @@ object QueryCatalog {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  // Pixel-space verification of phash candidates (hash recalls, pixels
+  // confirm): the fixture pairs each base PNG with a copy perturbed by an
+  // exact per-channel delta, so the pair PSNR is controlled on both sides
+  // of the 27 dB gate. The oracle enumerates candidate pairs brute-force
+  // from the plan-side phash export (independent of the banded join) and
+  // takes expected PSNR from the pixel-arithmetic replay (independent of
+  // the decode path the operator uses; PNG is lossless so both sides see
+  // identical ints).
+  register(
+    "mm_pixel_verified_dedup",
+    Some(
+      """WITH ph AS (SELECT id, phash FROM read_parquet('/tmp/graft_psnr_pairs/f_40/phash/*.parquet')),
+        |px AS (SELECT id_a, id_b, psnr FROM read_parquet('/tmp/graft_psnr_pairs/f_40/psnr/*.parquet')),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |         CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+        |  FROM ph a JOIN ph b ON a.id < b.id
+        |  WHERE bit_count(xor(a.phash, b.phash)) <= 7)
+        |SELECT p.id_a, p.id_b, p.hamming,
+        |       round(coalesce(x.psnr, -1.0), 4) AS psnr_db,
+        |       (coalesce(x.psnr, -1.0) >= 27.0) AS verified
+        |FROM pairs p LEFT JOIN px x ON x.id_a = p.id_a AND x.id_b = p.id_b
+        |ORDER BY p.id_a, p.id_b""".stripMargin
+    )
+  ) { (s, _) =>
+    graft.fixtures.Images.exportPsnrPairs(s, 40)
+    val media = graft.ops.Multimodal.syntheticPsnrPairTable(s, 40)
+    graft.ops.Multimodal.pixelVerifiedNearDupPairs(media, maxHamming = 7, minPsnrDb = 27.0)
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        round(col("psnr_db"), 4).as("psnr_db"), col("verified"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ---- S3c: Google image-sitemap extension (image-frontier seed source) ----
+  // XML with <image:image> blocks synthesized from events; the real SAX
+  // parser extracts (page loc, image loc, caption, title) rows while the
+  // oracle reconstructs them analytically — same device as s3.
+  register(
+    "s3c_sitemap_images",
+    Some(
+      """SELECT event_id,
+        |  'https://h' || (user_id % 7) || '.example.com/p/' || (event_id % 1000) AS loc,
+        |  'https://cdn' || (user_id % 5) || '.example.com/i/' || ((event_id * 7 + t.i) % 10000) || '.jpg' AS image_loc,
+        |  CASE WHEN t.i % 2 = 0 THEN 'img ' || event_id || ' ' || t.i END AS caption,
+        |  CASE WHEN t.i = 0 THEN 'title ' || event_id END AS title
+        |FROM events, LATERAL (SELECT unnest(generate_series(0, 2)) AS i) t
+        |WHERE event_id % 41 = 0 AND t.i < event_id % 3
+        |ORDER BY event_id, image_loc""".stripMargin
+    )
+  ) { (s, dir) =>
+    val cnt = pmod(col("event_id"), lit(3))
+    val imgBlock = (j: Column) => concat(
+      lit("<image:image><image:loc>https://cdn"), pmod(col("user_id"), lit(5)),
+      lit(".example.com/i/"), pmod(col("event_id") * 7 + j, lit(10000)), lit(".jpg</image:loc>"),
+      when(pmod(j, lit(2)) === 0,
+        concat(lit("<image:caption>img "), col("event_id"), lit(" "), j, lit("</image:caption>")))
+        .otherwise(lit("")),
+      when(j === 0, concat(lit("<image:title>title "), col("event_id"), lit("</image:title>")))
+        .otherwise(lit("")),
+      lit("</image:image>"))
+    val xmlBody = concat(
+      lit("<urlset xmlns:image=\"http://www.google.com/schemas/sitemap-image/1.1\"><url><loc>https://h"),
+      pmod(col("user_id"), lit(7)), lit(".example.com/p/"), pmod(col("event_id"), lit(1000)),
+      lit("</loc>"),
+      concat_ws("", transform(sequence(lit(0), lit(2)),
+        j => when(j < cnt, imgBlock(j)).otherwise(lit("")))),
+      lit("</url></urlset>"))
+    val parseImgs = udf { (xml: String) =>
+      graft.sources.Sitemap.parseXml(xml).urls
+        .flatMap(u => u.images.map(im => (u.loc, im.loc, im.caption.orNull, im.title.orNull)))
+    }
+    t(s, dir, "events")
+      .filter(pmod(col("event_id"), lit(41)) === 0)
+      .select(col("event_id"), explode(parseImgs(xmlBody)).as("r"))
+      .select(col("event_id"), col("r._1").as("loc"), col("r._2").as("image_loc"),
+        col("r._3").as("caption"), col("r._4").as("title"))
+      .orderBy(col("event_id"), col("image_loc"))
+  }
+
   // ---- S3: sitemap XML parse (the flatMap generator over documents) --------
   // XML bodies synthesized from events; the oracle knows the loc list
   // analytically. The Spark side runs the real SAX parser.

@@ -423,4 +423,79 @@ object Images {
       }
       path
     }
+
+  // ---- pixel-PSNR pair-verification fixture --------------------------------
+  // Each base image gets one perturbed PNG copy at a base-dependent exact
+  // per-channel delta, so the pair's decoded-pixel PSNR is controlled on
+  // BOTH sides of a verification threshold; PNG is lossless, so the plan
+  // pixels ARE the decoded pixels and every expected value below is
+  // computed without touching the codec path the operator under test uses.
+
+  def psnrPairIdOf(base: Long, variant: Char): String = f"pp-$base%04d-$variant"
+
+  /** Per-channel delta for base's perturbed copy: PSNR = 10·log10(255²/d²)
+    * ≈ {42.1, 36.1, 30.1, 24.1, 20.5} dB — two of five land below a 27 dB
+    * verification gate, none within 3 dB of it.
+    */
+  def psnrPairDelta(base: Long): Int = Array(2, 4, 8, 16, 24)((base % 5).toInt)
+
+  /** Move every channel AWAY from its nearer bound by exactly d
+    * (v ≥ 128 → v−d, else v+d): |diff| = d per channel with no clamping,
+    * so the pair MSE is exactly d².
+    */
+  def perturbPixels(src: BufferedImage, d: Int): BufferedImage = {
+    val out = new BufferedImage(src.getWidth, src.getHeight, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < src.getHeight) {
+      var x = 0
+      while (x < src.getWidth) {
+        val rgb = src.getRGB(x, y)
+        def mv(c: Int): Int = if (c >= 128) c - d else c + d
+        out.setRGB(x, y,
+          (mv((rgb >> 16) & 0xff) << 16) | (mv((rgb >> 8) & 0xff) << 8) | mv(rgb & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Plan pixels for pair-member (base, variant) — a pixel universe
+    * disjoint from the other fixtures' (id salt "pp").
+    */
+  def psnrPairPixels(base: Long, variant: Char): BufferedImage = {
+    val baseId = idOf(base)
+    val (w, h) = dims(baseId)
+    val img = renderPixels("pp" + baseId, w, h)
+    if (variant == 'a') img else perturbPixels(img, psnrPairDelta(base))
+  }
+
+  def psnrPairBytesAt(base: Long, variant: Char): Array[Byte] =
+    encode(psnrPairPixels(base, variant), "png")
+
+  /** Oracle side-channel: per-image plan pHash (pair enumeration replayed
+    * brute-force in SQL, independent of the banded join) and per-pair plan
+    * PSNR (pixel-arithmetic replay, independent of the decode path).
+    */
+  val PsnrPairExportBase = "/tmp/graft_psnr_pairs"
+  private val exportedPsnrPairs = scala.collection.mutable.Set.empty[String]
+
+  def exportPsnrPairs(spark: org.apache.spark.sql.SparkSession, nBases: Int): String =
+    synchronized {
+      val path = s"$PsnrPairExportBase/f_$nBases"
+      if (!exportedPsnrPairs.contains(path)) {
+        import spark.implicits._
+        val hashes = (0 until nBases).flatMap { b =>
+          Seq('a', 'b').map(v => (psnrPairIdOf(b.toLong, v), phash(psnrPairPixels(b.toLong, v))))
+        }
+        hashes.toDF("id", "phash").coalesce(1).write.mode("overwrite").parquet(s"$path/phash")
+        val psnrs = (0 until nBases).map { b =>
+          (psnrPairIdOf(b.toLong, 'a'), psnrPairIdOf(b.toLong, 'b'),
+            psnr(psnrPairPixels(b.toLong, 'a'), psnrPairPixels(b.toLong, 'b')))
+        }
+        psnrs.toDF("id_a", "id_b", "psnr").coalesce(1).write.mode("overwrite").parquet(s"$path/psnr")
+        exportedPsnrPairs += path
+      }
+      path
+    }
 }

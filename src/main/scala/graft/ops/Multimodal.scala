@@ -397,6 +397,96 @@ object Multimodal {
       .select(col("id").as("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Wrap the PSNR-pair fixture as a media table of 2·nBases rows. */
+  def syntheticPsnrPairTable(spark: org.apache.spark.sql.SparkSession, nBases: Long): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    import spark.implicits._
+    spark.range(nBases * 2).map { i =>
+      val base = i / 2
+      val variant = if (i % 2 == 0) 'a' else 'b'
+      val (w, h) = Images.dims(Images.idOf(base))
+      MediaRow(Images.psnrPairIdOf(base, variant), Images.psnrPairBytesAt(base, variant),
+        MediaMeta("image", w, h, "png", 0L))
+    }
+  }
+
+  /** Decoded-pixel PSNR between two images in dB: per-channel squared error
+    * over RGB, 99.0 cap when bit-identical (the input_hint's validation
+    * formula). −1.0 when the dims differ — a hash collision between
+    * different-sized images is by definition not a duplicate.
+    */
+  def psnrDb(a: java.awt.image.BufferedImage, b: java.awt.image.BufferedImage): Double = {
+    if (a.getWidth != b.getWidth || a.getHeight != b.getHeight) return -1.0
+    var se = 0.0
+    var n = 0
+    var y = 0
+    while (y < a.getHeight) {
+      var x = 0
+      while (x < a.getWidth) {
+        val pa = a.getRGB(x, y)
+        val pb = b.getRGB(x, y)
+        var c = 0
+        while (c < 3) {
+          val d = ((pa >> (8 * c)) & 0xff) - ((pb >> (8 * c)) & 0xff)
+          se += d.toDouble * d
+          n += 1
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val mse = se / n
+    if (mse <= 1e-12) 99.0 else 10.0 * math.log10(255.0 * 255.0 / mse)
+  }
+
+  /** Pixel-space VERIFICATION of the perceptual-hash candidates — the exact
+    * re-rank stage of image dedup (hash recalls, pixels confirm): banded
+    * pHash candidates ([[phashNearDupPairs]], exact recall at `maxHamming`)
+    * are joined back to their payload bytes, decoded PAIRWISE, and kept as
+    * `verified` only when the decoded-pixel PSNR clears `minPsnrDb`
+    * (dims-mismatched or undecodable pairs report −1.0 → never verified).
+    *
+    * Scale shape: decode cost is O(candidate pairs), never O(corpus²) and
+    * never O(corpus) re-decodes — the two byte joins move payloads ONLY for
+    * ids that appear in a candidate pair (a vanishing fraction after
+    * banding), and the PSNR pass is map-only mapPartitions downstream of
+    * those joins. At 10^10 images the bytes side is the big table and the
+    * candidate side the small one: Catalyst broadcast-joins the candidates
+    * against the payload scan, so payload bytes still cross no exchange.
+    *
+    * Output: (id_a, id_b, hamming, psnr_db, verified).
+    */
+  def pixelVerifiedNearDupPairs(
+      media: Dataset[MediaRow],
+      maxHamming: Int,
+      minPsnrDb: Double
+  ): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val feats = imageFeatures(media).toDF()
+    val cand = phashNearDupPairs(feats, maxHamming)
+    val bytes = media.toDF().select(col("id"), col("bytes"))
+    cand
+      .join(bytes.select(col("id").as("id_a"), col("bytes").as("bytes_a")), "id_a")
+      .join(bytes.select(col("id").as("id_b"), col("bytes").as("bytes_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"),
+        col("bytes_a"), col("bytes_b"))
+      .as[(String, String, Int, Array[Byte], Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (a, b, ham, ba, bb) =>
+          val p =
+            try {
+              val ia = Images.decode(ba)
+              val ib = Images.decode(bb)
+              if (ia == null || ib == null) -1.0 else psnrDb(ia, ib)
+            } catch { case _: Exception => -1.0 }
+          (a, b, ham, p, p >= minPsnrDb)
+        }
+      }
+      .toDF("id_a", "id_b", "hamming", "psnr_db", "verified")
+  }
+
   /** Vision-transformer token count for an image of (w, h) at `patch`-px
     * patches: ceil(w/p)·ceil(h/p) — integer ceil-division, so packing
     * arithmetic downstream ([[Sampling.packSequences]] over patch counts,

@@ -30,12 +30,21 @@ object Sitemap {
   val MaxSitemapSize: Int = 50 * 1024 * 1024
   val DefaultMaxDepth = 10
 
+  /** One `<image:image>` block of the Google image-sitemap extension
+    * (https://www.google.com/schemas/sitemap-image/1.1 — beyond the
+    * reference's URL-only parser; the image-frontier seed source for the
+    * image+caption crawl: each block names an image payload URL and its
+    * publisher-declared caption/title).
+    */
+  final case class SitemapImage(loc: String, caption: Option[String], title: Option[String])
+
   final case class SitemapUrl(
       loc: String,
       lastmod: Option[Instant],
       changefreq: Option[String],
       priority: Option[Double],
-      originSitemapUrl: Option[String]
+      originSitemapUrl: Option[String],
+      images: Seq[SitemapImage] = Seq.empty
   )
 
   final case class ParseResult(urls: Seq[SitemapUrl], nestedSitemaps: Seq[String])
@@ -86,10 +95,20 @@ object Sitemap {
       var lastmod: Option[Instant] = None
       var changefreq: Option[String] = None
       var priority: Option[Double] = None
+      val images = scala.collection.mutable.ArrayBuffer.empty[SitemapImage]
+      var insideImage = false
+      var imgLoc: String = _
+      var imgCaption: Option[String] = None
+      var imgTitle: Option[String] = None
 
       override def startElement(uri: String, localName: String, qName: String, attrs: Attributes): Unit = {
         if (rootTag == null && (qName == "urlset" || qName == "sitemapindex")) rootTag = qName
-        if (qName == "loc" || qName == "lastmod" || qName == "changefreq" || qName == "priority") {
+        if (qName == "image:image") {
+          insideImage = true
+          imgLoc = null; imgCaption = None; imgTitle = None
+        }
+        if (qName == "loc" || qName == "lastmod" || qName == "changefreq" || qName == "priority" ||
+          (insideImage && (qName == "image:loc" || qName == "image:caption" || qName == "image:title"))) {
           currentTag = qName
           buffer.clear()
         }
@@ -121,13 +140,22 @@ object Sitemap {
               priority = try Some(text.toDouble) catch { case _: Exception => None }
             case "changefreq" if ValidChangeFreqs.contains(text) =>
               changefreq = Some(text)
+            case "image:loc" if text.nonEmpty => imgLoc = text
+            case "image:caption" if text.nonEmpty => imgCaption = Some(text)
+            case "image:title" if text.nonEmpty => imgTitle = Some(text)
             case _ =>
           }
           currentTag = null
         }
+        if (qName == "image:image") {
+          if (imgLoc != null) images += SitemapImage(imgLoc, imgCaption, imgTitle)
+          insideImage = false
+        }
         if (qName == "url") {
-          if (loc != null) urls += SitemapUrl(loc, lastmod, changefreq, priority, Option(origin))
+          if (loc != null)
+            urls += SitemapUrl(loc, lastmod, changefreq, priority, Option(origin), images.toSeq)
           loc = null; lastmod = None; changefreq = None; priority = None
+          images.clear()
         }
       }
     }

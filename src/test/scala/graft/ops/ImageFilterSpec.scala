@@ -102,6 +102,43 @@ class ImageFilterSpec extends SparkSpec {
       s"min-id survivor only: $out")
   }
 
+  test("pixelVerifiedNearDupPairs: psnr confirms/rejects hash candidates; jpeg re-encode verifies; dims mismatch never does") {
+    import graft.fixtures.Images
+    import graft.ops.Multimodal.{MediaMeta, MediaRow}
+    implicit val enc = org.apache.spark.sql.Encoders.product[MediaRow]
+    val base = Images.renderPixels("pv-base", 32, 32)
+    def rowOf(id: String, img: java.awt.image.BufferedImage, fmt: String = "png") =
+      MediaRow(id, Images.encode(img, fmt),
+        MediaMeta("image", img.getWidth, img.getHeight, fmt, 0L))
+    val rows = Seq(
+      rowOf("a-clean", base),
+      rowOf("b-jpeg", base, "jpeg"), // lossy re-encode of the same pixels: high PSNR
+      rowOf("c-near", Images.perturbPixels(base, 4)), // 36 dB: verified
+      rowOf("d-far", Images.perturbPixels(base, 24)), // 20.5 dB: candidate but NOT verified
+      rowOf("e-dims", Images.renderPixels("pv-base", 16, 16)) // different dims
+    )
+    val media = spark.createDataset(rows)
+    val out = graft.ops.Multimodal
+      .pixelVerifiedNearDupPairs(media, maxHamming = 20, minPsnrDb = 27.0)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    def expectedPsnr(d: Int): Double = 10.0 * math.log10(255.0 * 255.0 / (d.toDouble * d))
+    val (cleanNearP, cleanNearV) = out(("a-clean", "c-near"))
+    assert(cleanNearV && math.abs(cleanNearP - expectedPsnr(4)) < 1e-9, s"d=4 pair: $cleanNearP")
+    val (farP, farV) = out(("a-clean", "d-far"))
+    assert(!farV && math.abs(farP - expectedPsnr(24)) < 1e-9, s"d=24 pair: $farP")
+    val (jpegP, jpegV) = out(("a-clean", "b-jpeg"))
+    assert(jpegV && jpegP > 40.0 && jpegP < 99.0, s"quality-0.95 jpeg re-encode: $jpegP")
+    out.collect { case ((a, b), (p, v)) if a == "e-dims" || b == "e-dims" =>
+      assert(p == -1.0 && !v, s"dims-mismatched pair ($a,$b) must never verify")
+    }
+    // bit-identical bytes under two ids: capped 99 dB, verified
+    val twin = spark.createDataset(Seq(rowOf("a-clean", base), rowOf("a-twin", base)))
+    val t = graft.ops.Multimodal.pixelVerifiedNearDupPairs(twin, 0, 27.0).collect()
+    assert(t.length == 1 && t.head.getDouble(3) == 99.0 && t.head.getBoolean(4))
+  }
+
   test("captionAlignment: aligned pairs keep, swapped captions and weak margins drop") {
     import org.apache.spark.sql.functions._
     // orthogonal-ish basis: pair i's image is e_i; aligned captions equal the

@@ -34,6 +34,31 @@ class SourcesSpec extends SparkSpec {
     assert(r.nestedSitemaps.isEmpty)
   }
 
+  test("image-sitemap extension: per-url image blocks with caption/title; loc-less block dropped") {
+    val xml =
+      """<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"
+        |        xmlns:image="http://www.google.com/schemas/sitemap-image/1.1">
+        |  <url>
+        |    <loc>http://example.com/page1</loc>
+        |    <image:image>
+        |      <image:loc>http://cdn.example.com/a.jpg</image:loc>
+        |      <image:caption>cats &amp; dogs</image:caption>
+        |      <image:title>A</image:title>
+        |    </image:image>
+        |    <image:image><image:loc>http://cdn.example.com/b.jpg</image:loc></image:image>
+        |    <image:image><image:caption>no loc, dropped</image:caption></image:image>
+        |  </url>
+        |  <url><loc>http://example.com/page2</loc></url>
+        |</urlset>""".stripMargin
+    val r = Sitemap.parseXml(xml, "http://example.com/sitemap.xml")
+    assert(r.urls.map(_.loc) == Seq("http://example.com/page1", "http://example.com/page2"))
+    val imgs = r.urls.head.images
+    assert(imgs == Seq(
+      Sitemap.SitemapImage("http://cdn.example.com/a.jpg", Some("cats & dogs"), Some("A")),
+      Sitemap.SitemapImage("http://cdn.example.com/b.jpg", None, None)))
+    assert(r.urls(1).images.isEmpty, "images must not leak across <url> boundaries")
+  }
+
   test("XML sitemapindex: nested locs, no urls") {
     val xml =
       """<sitemapindex><sitemap><loc>http://example.com/s1.xml</loc></sitemap>
