@@ -25,7 +25,8 @@ final class SitemapRequestLoader(
     kvs: KeyValueStore,
     fetch: String => Option[(String, Array[Byte])],
     strategy: String = EnqueueStrategy.All,
-    maxDepth: Int = Sitemap.DefaultMaxDepth
+    maxDepth: Int = Sitemap.DefaultMaxDepth,
+    includeImages: Boolean = false
 ) {
 
   private val StateKey = "sitemap_loader_state"
@@ -70,13 +71,23 @@ final class SitemapRequestLoader(
     while (frontier.nonEmpty && depth <= maxDepth && levels < maxLevelsThisCall) {
       val next = scala.collection.mutable.ArrayBuffer.empty[String]
       val found = scala.collection.mutable.ArrayBuffer.empty[String]
+      // (image loc, caption, title) from <image:image> blocks of ALLOWED
+      // pages. Image payloads are NOT strategy-filtered themselves: a
+      // publisher-declared image of an in-scope page is in-scope even on a
+      // CDN host (the Googlebot-Image convention) — the page gate already
+      // bounds what can declare them.
+      val foundImages = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
       frontier.foreach { sm =>
         if (!visited.contains(sm)) {
           visited += sm
           fetch(sm).foreach { case (ct, bytes) =>
             val result = Sitemap.parse(Sitemap.inflate(bytes), ct, sm)
             result.urls.foreach { u =>
-              if (EnqueueStrategy.filterUrl(u.loc, strategy, sm)._1) found += u.loc
+              if (EnqueueStrategy.filterUrl(u.loc, strategy, sm)._1) {
+                found += u.loc
+                if (includeImages)
+                  u.images.foreach(im => foundImages += ((im.loc, im.caption.orNull, im.title.orNull)))
+              }
             }
             result.nestedSitemaps.foreach { n =>
               if (EnqueueStrategy.filterUrl(n, strategy, sm)._1 && !visited.contains(n)) next += n
@@ -98,6 +109,31 @@ final class SitemapRequestLoader(
           lit(false).as("forefront"),
           col("ord").cast("long").as("cand_order")
         )
+        store.addBatch(adds)
+      }
+      // image seeds commit in the same level (second addBatch, still
+      // idempotent under replay): label "image", declared caption/title in
+      // user_data_json — the (image_id, bytes, caption) target table's seed
+      // rows carry their caption from the sitemap straight to the fetch.
+      if (foundImages.nonEmpty) {
+        graft.expr.UrlFunctions.register(spark)
+        val userData = (cap: String, title: String) => graft.util.Json.render(
+          (Map("from_sitemap_image" -> true) ++
+            Option(cap).map("caption" -> _) ++ Option(title).map("title" -> _)): Any)
+        val adds = foundImages.toSeq.zipWithIndex
+          .map { case ((u, cap, title), i) => (u, userData(cap, title), i.toLong) }
+          .toDF("url", "user_data_json", "ord")
+          .select(
+            graft.expr.UrlFunctions.uniqueKeyCol(col("url")).as("unique_key"),
+            col("url"),
+            graft.expr.UrlFunctions.hostOf(col("url")).as("host"),
+            lit("image").as("label"),
+            lit("GET").as("method"),
+            lit(0).as("depth"),
+            lit(false).as("forefront"),
+            col("ord").as("cand_order"),
+            col("user_data_json")
+          )
         store.addBatch(adds)
       }
       depth += 1

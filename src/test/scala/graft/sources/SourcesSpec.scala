@@ -226,6 +226,42 @@ class SourcesSpec extends SparkSpec {
     assert(l2.run(Seq(s"$origin/index.xml")) == 0)
   }
 
+  test("sitemap tandem with includeImages: image seeds carry caption/title user_data; cross-host loc kept") {
+    import org.apache.spark.sql.functions.col
+    val origin = "https://sm.example.com"
+    val docs = Map(
+      s"$origin/s.xml" ->
+        ("""<urlset><url><loc>""" + origin + """/p/1</loc>""" +
+          """<image:image><image:loc>https://cdn.other.com/i/1.jpg</image:loc>""" +
+          """<image:caption>a "quoted" cap</image:caption></image:image>""" +
+          """<image:image><image:loc>""" + origin + """/i/2.png</image:loc>""" +
+          """<image:title>t2</image:title></image:image>""" +
+          """</url></urlset>""")
+    )
+    val fetch: String => Option[(String, Array[Byte])] =
+      u => docs.get(u).map(x => ("application/xml", x.getBytes("UTF-8")))
+    val root = Files.createTempDirectory("tandem-img").toString
+    val store = new graft.queue.FrontierStore(spark, root + "/q")
+    val loader = new SitemapRequestLoader(spark, store,
+      new graft.storage.KeyValueStore(spark, root + "/kv"), fetch,
+      strategy = graft.canon.EnqueueStrategy.SameHostname, includeImages = true)
+    loader.run(Seq(s"$origin/s.xml"))
+    val rows = store.state()
+      .select(col("url"), col("label"), col("user_data_json"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(rows.keySet == Set(
+      s"$origin/p/1", "https://cdn.other.com/i/1.jpg", s"$origin/i/2.png"),
+      s"page gate is strategy-filtered, declared images are not: ${rows.keySet}")
+    assert(rows(s"$origin/p/1")._1 == null)
+    val (lbl1, ud1) = rows("https://cdn.other.com/i/1.jpg")
+    assert(lbl1 == "image")
+    val parsed = graft.util.Json.obj(graft.util.Json.parse(ud1))
+    assert(graft.util.Json.str(parsed("caption")) == "a \"quoted\" cap")
+    assert(graft.util.Json.bool(parsed("from_sitemap_image")))
+    val ud2 = graft.util.Json.obj(graft.util.Json.parse(rows(s"$origin/i/2.png")._2))
+    assert(graft.util.Json.str(ud2("title")) == "t2" && !ud2.contains("caption"))
+  }
+
   test("Statistics: error tracker groups similar messages") {
     import spark.implicits._
     val errors = Seq(
