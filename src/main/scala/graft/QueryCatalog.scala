@@ -2902,6 +2902,65 @@ object QueryCatalog {
       .select(col("query_id"), col("rank"), col("corpus_id"), round(col("cos"), 4).as("cos"))
   }
 
+  // Product-quantization ADC top-k: codebooks trained per 16-dim subspace
+  // (sample-based deterministic Lloyd's, exported like the IVF centroids),
+  // corpus encoded to 4 codes/vector, queries score codes via m table
+  // lookups. The oracle replays subspace slicing, the bias-form L2 argmax
+  // (ip − ‖c‖²/2, ties to lowest c — the native expression's first-max
+  // rule), the per-query tables, and the left-associated 4-term ADC sum —
+  // all sequential-fold doubles, bit-identical cross-engine.
+  register(
+    "v_ann_pq_adc_topk",
+    Some(
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings
+        |), unit AS (
+        |  SELECT vec_id, list_transform(v0, x -> x / sqrt(list_inner_product(v0, v0))) AS v FROM emb
+        |), books AS (
+        |  SELECT m, c, centroid FROM read_parquet('/tmp/graft_pq_codebooks/b_4_8_16/*.parquet')
+        |), assign AS (
+        |  SELECT vec_id, m, c AS code FROM (
+        |    SELECT u.vec_id, b.m, b.c,
+        |           row_number() OVER (PARTITION BY u.vec_id, b.m
+        |             ORDER BY list_inner_product(list_slice(u.v, b.m*16+1, b.m*16+16), b.centroid)
+        |                      - list_inner_product(b.centroid, b.centroid)/2 DESC, b.c ASC) AS rn
+        |    FROM unit u CROSS JOIN books b) WHERE rn = 1
+        |), codes AS (
+        |  SELECT vec_id,
+        |         max(CASE WHEN m = 0 THEN code END) AS c0,
+        |         max(CASE WHEN m = 1 THEN code END) AS c1,
+        |         max(CASE WHEN m = 2 THEN code END) AS c2,
+        |         max(CASE WHEN m = 3 THEN code END) AS c3
+        |  FROM assign GROUP BY vec_id
+        |), qterm AS (
+        |  SELECT u.vec_id AS query_id, b.m, b.c,
+        |         list_inner_product(list_slice(u.v, b.m*16+1, b.m*16+16), b.centroid) AS term
+        |  FROM unit u CROSS JOIN books b WHERE u.vec_id < 10
+        |), scored AS (
+        |  SELECT t0.query_id, cd.vec_id AS corpus_id,
+        |         ((t0.term + t1.term) + t2.term) + t3.term AS cos
+        |  FROM codes cd
+        |  JOIN qterm t0 ON t0.m = 0 AND t0.c = cd.c0
+        |  JOIN qterm t1 ON t1.m = 1 AND t1.c = cd.c1 AND t1.query_id = t0.query_id
+        |  JOIN qterm t2 ON t2.m = 2 AND t2.c = cd.c2 AND t2.query_id = t0.query_id
+        |  JOIN qterm t3 ON t3.m = 3 AND t3.c = cd.c3 AND t3.query_id = t0.query_id
+        |  WHERE t0.query_id <> cd.vec_id
+        |), ranked AS (
+        |  SELECT query_id, corpus_id, cos,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, corpus_id, round(cos, 4) AS cos FROM ranked WHERE rank <= 5""".stripMargin
+    )
+  ) { (s, dir) =>
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val books = VectorOps.pqCodebooks(emb, "vec_id", "embedding", m = 4, k = 8, iters = 2, sampleMod = 4)
+    VectorOps.exportPqCodebooks(s, books)
+    VectorOps.pqTopK(emb, "vec_id", "embedding", emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, books = books)
+      .select(col("query_id"), col("rank"), col("corpus_id"), round(col("cos"), 4).as("cos"))
+  }
+
   // SemDeDup semantic dedup: k-means assignment (centroids trained on a
   // deterministic sample and exported like the IVF entry) + within-cluster
   // earlier-neighbor cosine test; the oracle recomputes assignment, the

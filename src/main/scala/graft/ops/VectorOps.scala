@@ -432,4 +432,158 @@ object VectorOps {
     graft.plans.TopK.perKey(scored, Seq("__g"), Seq("margin" -> false, idCol -> true), k)
       .select(col("rank"), col(idCol), col("margin"))
   }
+
+  // ---- product quantization (Jégou et al. 2011, "Product Quantization for
+  // Nearest Neighbor Search") ------------------------------------------------
+
+  /** PQ codebooks over UNIT-normalized vectors: dims split into `m`
+    * contiguous subspaces (dims % m == 0), `k` centroids per subspace by
+    * the same deterministic sample-trained Lloyd's as [[ivfCentroids]] but
+    * in L2 — assignment is argmin ||x−c||², realized WITHOUT a new
+    * expression as [[graft.expr.VectorFunctions.argmaxDot]] on
+    * bias-AUGMENTED centroids: [c, −‖c‖²/2]·[x, 1] = x·c − ‖c‖²/2, which
+    * orders exactly like −‖x−c‖². Empty clusters keep their previous
+    * centroid. Returns [m][k][dims/m].
+    */
+  def pqCodebooks(
+      df: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iters: Int = 3, sampleMod: Int = 1
+  ): Array[Array[Array[Double]]] = {
+    ensureRegistered(df)
+    val base =
+      if (sampleMod <= 1) df
+      else df.filter(pmod(xxhash64(col(idCol)), lit(sampleMod)) === 0)
+    val unit = unitNormalized(
+      base.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v")), "v").persist()
+    val dims = unit.select(size(col("v"))).first().getInt(0)
+    require(m > 0 && dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val sub = dims / m
+    val books = (0 until m).map { mi =>
+      lloydL2(unit.select(col("id"), slice(col("v"), mi * sub + 1, sub).as("v")), k, iters)
+    }.toArray
+    unit.unpersist(false)
+    books
+  }
+
+  /** Bias-augment a codebook for dot-form L2 assignment (see above). */
+  private def augmented(book: Array[Array[Double]]): Array[Array[Double]] =
+    book.map(c => c :+ (-c.map(x => x * x).sum / 2.0))
+
+  private def lloydL2(sv: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
+    var cents = sv.orderBy(col("id")).limit(k).select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    var it = 0
+    while (it < iters) {
+      val rows = sv
+        .select(
+          graft.expr.VectorFunctions
+            .argmaxDot(concat(col("v"), array(lit(1.0))), augmented(cents)).as("cluster"),
+          posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      rows.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  /** Encode every vector to its `m` per-subspace code indices — the 64×
+    * compression that makes a 10^10-vector index RAM-resident (m bytes vs
+    * dims×8). Map-only: the codebooks are plan constants; one augmented
+    * argmax per subspace. Output: (id, codes array<int>).
+    */
+  def pqEncode(
+      df: DataFrame, idCol: String, vecCol: String,
+      books: Array[Array[Array[Double]]]
+  ): DataFrame = {
+    ensureRegistered(df)
+    val sub = books.head.head.length
+    val unit = unitNormalized(
+      df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v")), "v")
+    val codeCols = books.indices.map { mi =>
+      graft.expr.VectorFunctions.argmaxDot(
+        concat(slice(col("v"), mi * sub + 1, sub), array(lit(1.0))), augmented(books(mi)))
+    }
+    unit.select(col("id"), array(codeCols: _*).as("codes"))
+  }
+
+  /** PQ-ADC top-k: each query builds its m×k distance TABLE (subspace dots
+    * against the codebook — plan-constant arithmetic), and every corpus
+    * CODE row is scored by m table lookups — the scan touches m ints per
+    * vector, never the dims×8 floats (asymmetric distance computation).
+    * `rerankFactor > 0` re-ranks the top k·factor ADC candidates by exact
+    * cosine against the TRUE vectors (the standard two-stage shape —
+    * vector bytes move only for candidate ids, same pattern as
+    * [[graft.ops.Multimodal.pixelVerifiedNearDupPairs]]).
+    *
+    * Scale shape: the query side must be small (tables are per-query plan
+    * arithmetic, the code scan is a broadcast-NLJ like [[bruteForceTopK]]);
+    * for corpus-sized query sets compose with [[ivfTopK]]'s posting-list
+    * routing — codes live IN the lists and ADC replaces the exact re-rank.
+    * Output: (query_id, rank, corpus_id, cos) — cos is the ADC
+    * approximation unless re-ranked.
+    */
+  def pqTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, books: Array[Array[Array[Double]]], rerankFactor: Int = 0
+  ): DataFrame = {
+    ensureRegistered(df)
+    val m = books.length
+    val sub = books.head.head.length
+    val codes = pqEncode(df, idCol, vecCol, books)
+      .select(col("id").as("corpus_id"), col("codes"))
+    val qunit = unitNormalized(
+      queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).cast("array<double>").as("qv")),
+      "qv")
+    val tableCols = (0 until m).map { mi =>
+      array(books(mi).map(c =>
+        dot(slice(col("qv"), mi * sub + 1, sub), typedLit[Seq[Double]](c.toSeq))): _*).as(s"__t$mi")
+    }
+    val q = qunit.select(col("query_id") +: col("qv") +: tableCols: _*)
+    val adc = (0 until m)
+      .map(mi => element_at(col(s"__t$mi"), element_at(col("codes"), mi + 1) + 1))
+      .reduce(_ + _)
+    val scored = q.crossJoin(codes)
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cos", adc)
+      .select(col("query_id"), col("corpus_id"), col("cos"))
+    if (rerankFactor <= 0) topKRank(scored, k)
+    else {
+      val cand = topKRank(scored, k * rerankFactor).select(col("query_id"), col("corpus_id"))
+      val cunit = unitNormalized(
+        df.select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("cv")), "cv")
+      val exact = cand
+        .join(cunit, Seq("corpus_id"))
+        .join(qunit, Seq("query_id"))
+        .select(col("query_id"), col("corpus_id"), dot(col("qv"), col("cv")).as("cos"))
+      topKRank(exact, k)
+    }
+  }
+
+  /** Oracle side-channel for PQ entries (same device as
+    * [[exportCentroids]]): (m, c, centroid) rows per codebook.
+    */
+  val PqExportBase = "/tmp/graft_pq_codebooks"
+  private val exportedPq = scala.collection.mutable.Set.empty[String]
+
+  def exportPqCodebooks(
+      spark: org.apache.spark.sql.SparkSession, books: Array[Array[Array[Double]]]): String =
+    synchronized {
+      val path =
+        s"$PqExportBase/b_${books.length}_${books.head.length}_${books.head.head.length}"
+      if (!exportedPq.contains(path)) {
+        import spark.implicits._
+        books.zipWithIndex.flatMap { case (book, mi) =>
+          book.zipWithIndex.map { case (cent, c) => (mi, c, cent.toSeq) }
+        }.toSeq.toDF("m", "c", "centroid")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(path)
+        exportedPq += path
+      }
+      path
+    }
 }

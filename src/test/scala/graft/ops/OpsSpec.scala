@@ -52,6 +52,75 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall too low")
   }
 
+  test("PQ: codes are m small ints; ADC keeps useful recall; exact re-rank of ADC candidates recovers brute order") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val books = VectorOps.pqCodebooks(emb, "vec_id", "embedding", m = 4, k = 8, iters = 2, sampleMod = 4)
+    assert(books.length == 4 && books.forall(_.length == 8) && books.forall(_.forall(_.length == 16)))
+    val codes = VectorOps.pqEncode(emb, "vec_id", "embedding", books)
+    val c = codes.select(col("codes")).collect().map(_.getSeq[Int](0))
+    assert(c.forall(cs => cs.length == 4 && cs.forall(x => x >= 0 && x < 8)))
+    // encode is a pure function of the vector: repartitioning changes nothing
+    val c2 = VectorOps.pqEncode(emb.repartition(7), "vec_id", "embedding", books)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val c1 = codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(c1 == c2)
+    // ADC recall on a corpus with real cluster structure (random-ish
+    // vectors whose neighbors differ by ~0.05 cosine are PQ's worst case —
+    // 3-bit subspace codes can't resolve them; that regime is what the
+    // rerank stage below is FOR): 8 clusters of 10 near-identical members.
+    import spark.implicits._
+    // ids interleave clusters (i % 8) so the deterministic first-k Lloyd's
+    // init seeds one member per cluster — k-means init quality is the
+    // caller's lever, not the operator's
+    val structured = (0 until 80).map { i =>
+      val cl = i % 8
+      val v = Array.fill(64)(0.0)
+      v(2 * cl) = 1.0
+      v(2 * cl + 1) = 0.05 * (i / 8)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val sBooks = VectorOps.pqCodebooks(structured, "vec_id", "embedding", m = 4, k = 8, iters = 3)
+    val sQueries = structured.filter(col("vec_id") < 8)
+    val sAdc = VectorOps.pqTopK(structured, "vec_id", "embedding", sQueries, "vec_id", "embedding",
+      k = 5, books = sBooks)
+      .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sAdc.length == 8 * 5)
+    val sameCluster = sAdc.count { case (q, c) => q % 8 == c % 8 }
+    info(s"PQ-ADC same-cluster@5 on structured corpus: $sameCluster/40")
+    assert(sameCluster >= 36, s"ADC must retrieve cluster-mates: $sameCluster/40")
+    // two-stage contract on the REAL corpus: the reranked top-k is EXACTLY
+    // the true-cosine ordering of the ADC candidate set (rerank fixes
+    // order among candidates; candidate recall is the ADC knob above).
+    // Replayed locally and independently of the operator's own arithmetic.
+    val candSet = VectorOps.pqTopK(emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+      k = 200, books = books)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2) }
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def unitL(v: Array[Double]): Array[Double] = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      val n = math.sqrt(s); v.map(_ / n)
+    }
+    def dotL(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val reranked = VectorOps.pqTopK(emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+      k = 5, books = books, rerankFactor = 40)
+      .select("query_id", "rank", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.sortBy(_._2).map(_._3).toSeq }
+    candSet.foreach { case (q, cands) =>
+      val expected = cands
+        .map(c => c -> dotL(unitL(vecs(q)), unitL(vecs(c))))
+        .sortBy { case (c, cos) => (-cos, c) }.take(5).map(_._1).toSeq
+      assert(reranked(q) == expected,
+        s"query $q: reranked ${reranked(q)} != exact-order-of-candidates $expected")
+    }
+  }
+
   test("LSH candidate generation is subquadratic (bucket join, not cross join)") {
     val queries = emb.filter(col("vec_id") < 20)
     val plan = VectorOps.lshTopK(emb, "vec_id", "embedding", queries, "vec_id", "embedding", 5)
