@@ -2902,6 +2902,84 @@ object QueryCatalog {
       .select(col("query_id"), col("rank"), col("corpus_id"), round(col("cos"), 4).as("cos"))
   }
 
+  // IVF+PQ composition — posting-list routing with code-only payloads:
+  // the oracle replays BOTH stages (cluster assignment + top-2 probes from
+  // the IVF centroid export; codes + ADC tables from the PQ codebook
+  // export) and the same left-associated 4-term sum.
+  register(
+    "v_ann_ivfpq_topk",
+    Some(
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings
+        |), unit AS (
+        |  SELECT vec_id, list_transform(v0, x -> x / sqrt(list_inner_product(v0, v0))) AS v FROM emb
+        |), cents AS (
+        |  SELECT c, centroid FROM read_parquet('/tmp/graft_ivf_centroids/c_8_64/*.parquet')
+        |), books AS (
+        |  SELECT m, c, centroid FROM read_parquet('/tmp/graft_pq_codebooks/b_4_8_16/*.parquet')
+        |), assigned AS (
+        |  SELECT vec_id, c AS cluster FROM (
+        |    SELECT u.vec_id, ct.c,
+        |           row_number() OVER (PARTITION BY u.vec_id
+        |             ORDER BY list_inner_product(u.v, ct.centroid) DESC, ct.c ASC) AS rn
+        |    FROM unit u CROSS JOIN cents ct
+        |  ) WHERE rn = 1
+        |), probes AS (
+        |  SELECT vec_id AS query_id, c AS cluster FROM (
+        |    SELECT u.vec_id, ct.c,
+        |           row_number() OVER (PARTITION BY u.vec_id
+        |             ORDER BY list_inner_product(u.v, ct.centroid) DESC, ct.c ASC) AS rn
+        |    FROM unit u CROSS JOIN cents ct WHERE u.vec_id < 10
+        |  ) WHERE rn <= 2
+        |), passign AS (
+        |  SELECT vec_id, m, c AS code FROM (
+        |    SELECT u.vec_id, b.m, b.c,
+        |           row_number() OVER (PARTITION BY u.vec_id, b.m
+        |             ORDER BY list_inner_product(list_slice(u.v, b.m*16+1, b.m*16+16), b.centroid)
+        |                      - list_inner_product(b.centroid, b.centroid)/2 DESC, b.c ASC) AS rn
+        |    FROM unit u CROSS JOIN books b) WHERE rn = 1
+        |), codes AS (
+        |  SELECT vec_id,
+        |         max(CASE WHEN m = 0 THEN code END) AS c0,
+        |         max(CASE WHEN m = 1 THEN code END) AS c1,
+        |         max(CASE WHEN m = 2 THEN code END) AS c2,
+        |         max(CASE WHEN m = 3 THEN code END) AS c3
+        |  FROM passign GROUP BY vec_id
+        |), qterm AS (
+        |  SELECT u.vec_id AS query_id, b.m, b.c,
+        |         list_inner_product(list_slice(u.v, b.m*16+1, b.m*16+16), b.centroid) AS term
+        |  FROM unit u CROSS JOIN books b WHERE u.vec_id < 10
+        |), cand AS (
+        |  SELECT p.query_id, a.vec_id AS corpus_id
+        |  FROM probes p JOIN assigned a ON a.cluster = p.cluster
+        |  WHERE p.query_id <> a.vec_id
+        |), scored AS (
+        |  SELECT cn.query_id, cn.corpus_id,
+        |         ((t0.term + t1.term) + t2.term) + t3.term AS cos
+        |  FROM cand cn
+        |  JOIN codes cd ON cd.vec_id = cn.corpus_id
+        |  JOIN qterm t0 ON t0.query_id = cn.query_id AND t0.m = 0 AND t0.c = cd.c0
+        |  JOIN qterm t1 ON t1.query_id = cn.query_id AND t1.m = 1 AND t1.c = cd.c1
+        |  JOIN qterm t2 ON t2.query_id = cn.query_id AND t2.m = 2 AND t2.c = cd.c2
+        |  JOIN qterm t3 ON t3.query_id = cn.query_id AND t3.m = 3 AND t3.c = cd.c3
+        |), ranked AS (
+        |  SELECT query_id, corpus_id, cos,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, corpus_id, round(cos, 4) AS cos FROM ranked WHERE rank <= 5""".stripMargin
+    )
+  ) { (s, dir) =>
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val cents = VectorOps.ivfCentroids(emb, "vec_id", "embedding", k = 8, iters = 2, sampleMod = 4)
+    VectorOps.exportCentroids(s, cents)
+    val books = VectorOps.pqCodebooks(emb, "vec_id", "embedding", m = 4, k = 8, iters = 2, sampleMod = 4)
+    VectorOps.exportPqCodebooks(s, books)
+    VectorOps.ivfPqTopK(emb, "vec_id", "embedding", emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, cents = cents, books = books, nProbe = 2)
+      .select(col("query_id"), col("rank"), col("corpus_id"), round(col("cos"), 4).as("cos"))
+  }
+
   // Product-quantization ADC top-k: codebooks trained per 16-dim subspace
   // (sample-based deterministic Lloyd's, exported like the IVF centroids),
   // corpus encoded to 4 codes/vector, queries score codes via m table

@@ -564,6 +564,63 @@ object VectorOps {
     }
   }
 
+  /** IVF+PQ — the production ANN composition at 10^10 vectors: corpus
+    * rows live in their nearest-centroid posting list ([[ivfTopK]]'s
+    * routing) but carry only their m-int PQ CODES through the probe join,
+    * so the per-query scan inside probed lists is ADC table lookups over
+    * codes — the join moves 64× less data than IVF-with-vectors and never
+    * touches the corpus outside the probed lists. `rerankFactor` re-ranks
+    * the top k·factor ADC candidates by exact cosine (true vectors move
+    * only for candidate ids).
+    */
+  def ivfPqTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      nProbe: Int = 2, rerankFactor: Int = 0
+  ): DataFrame = {
+    ensureRegistered(df)
+    val m = books.length
+    val sub = books.head.head.length
+    val cunit = unitNormalized(
+      df.select(col(idCol).as("corpus_id"), col(vecCol).cast("array<double>").as("cv")), "cv")
+    val codeCols = books.indices.map { mi =>
+      graft.expr.VectorFunctions.argmaxDot(
+        concat(slice(col("cv"), mi * sub + 1, sub), array(lit(1.0))), augmented(books(mi)))
+    }
+    val corpus = cunit.select(
+      col("corpus_id"),
+      graft.expr.VectorFunctions.argmaxDot(col("cv"), cents).as("cluster"),
+      array(codeCols: _*).as("codes"))
+    val qunit = unitNormalized(
+      queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).cast("array<double>").as("qv")),
+      "qv")
+    val tableCols = (0 until m).map { mi =>
+      array(books(mi).map(c =>
+        dot(slice(col("qv"), mi * sub + 1, sub), typedLit[Seq[Double]](c.toSeq))): _*).as(s"__t$mi")
+    }
+    val q = qunit.select(
+      col("query_id") +: col("qv") +:
+        explode(graft.expr.VectorFunctions.topProbes(col("qv"), cents, nProbe)).as("cluster") +:
+        tableCols: _*)
+    val adc = (0 until m)
+      .map(mi => element_at(col(s"__t$mi"), element_at(col("codes"), mi + 1) + 1))
+      .reduce(_ + _)
+    val scored = q.join(corpus, Seq("cluster"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cos", adc)
+      .select(col("query_id"), col("corpus_id"), col("cos"))
+    if (rerankFactor <= 0) topKRank(scored, k)
+    else {
+      val cand = topKRank(scored, k * rerankFactor).select(col("query_id"), col("corpus_id"))
+      val exact = cand
+        .join(cunit, Seq("corpus_id"))
+        .join(qunit, Seq("query_id"))
+        .select(col("query_id"), col("corpus_id"), dot(col("qv"), col("cv")).as("cos"))
+      topKRank(exact, k)
+    }
+  }
+
   /** Oracle side-channel for PQ entries (same device as
     * [[exportCentroids]]): (m, c, centroid) rows per codebook.
     */

@@ -119,6 +119,17 @@ class OpsSpec extends SparkSpec {
       assert(reranked(q) == expected,
         s"query $q: reranked ${reranked(q)} != exact-order-of-candidates $expected")
     }
+    // IVF+PQ probing EVERY posting list scores the identical ADC values as
+    // the flat code scan — routing changes what is scanned, never the math
+    val cents = VectorOps.ivfCentroids(emb, "vec_id", "embedding", k = 8, iters = 2, sampleMod = 4)
+    def asSet(dfr: org.apache.spark.sql.DataFrame) = dfr
+      .select("query_id", "rank", "corpus_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val flat = asSet(VectorOps.pqTopK(emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+      k = 5, books = books))
+    val routed = asSet(VectorOps.ivfPqTopK(emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+      k = 5, cents = cents, books = books, nProbe = 8))
+    assert(routed == flat, "all-lists IVF+PQ must equal the flat ADC scan exactly")
   }
 
   test("LSH candidate generation is subquadratic (bucket join, not cross join)") {
