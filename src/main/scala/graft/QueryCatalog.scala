@@ -3936,6 +3936,82 @@ object QueryCatalog {
       .orderBy(col("id"))
   }
 
+  // CAPSTONE composition over the BASELINE.json input_hint pair-table
+  // shape (image_id, bytes, w, h, fmt, caption, phash): decode features →
+  // LAION-style curation rules → cross-modal joint dedup → final keep =
+  // rules AND survivor. Every stage runs distributed on the Spark side;
+  // the oracle replays rules arithmetic, caption synthesis, brute Hamming
+  // + caption pairs, and the transitive closure from the generator's
+  // exported facts.
+  register(
+    "mm_pair_pipeline",
+    Some(
+      """WITH RECURSIVE raw AS (
+        |  SELECT id, w, h, fmt, byte_len, phash,
+        |         CASE WHEN CAST(substr(id, length(id), 1) AS INT) % 3 = 0
+        |              THEN 'shared caption of pair ' || (CAST(substr(id, 4, 6) AS INT) // 2)
+        |              ELSE 'cap of ' || id END AS cap
+        |  FROM read_parquet('/tmp/graft_phash_neardup/feat_96/*.parquet')),
+        |f AS (
+        |  SELECT id, phash, cap, w, h, fmt,
+        |    CAST(w AS BIGINT) * h AS pixels,
+        |    round(CAST(greatest(w, h) AS DOUBLE) / greatest(least(w, h), 1), 6) AS aspect_ratio,
+        |    round(CAST(byte_len AS DOUBLE) / greatest(CAST(w AS BIGINT) * h, 1), 6) AS bytes_per_pixel,
+        |    length(cap) AS caption_chars,
+        |    len(list_filter(regexp_split_to_array(trim(cap), '\s+'), x -> length(x) > 0)) AS caption_words
+        |  FROM raw),
+        |rules AS (
+        |  SELECT id,
+        |    ((w >= 32 AND h >= 32) AND aspect_ratio <= 2.5 AND pixels >= 1024
+        |      AND fmt IN ('png', 'jpeg')
+        |      AND bytes_per_pixel >= 0.1 AND bytes_per_pixel <= 16.0
+        |      AND caption_chars >= 5 AND caption_words >= 2 AND caption_words <= 64
+        |      AND phash <> 0 AND phash <> -1) AS rules_keep
+        |  FROM f),
+        |ppairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM f a JOIN f b ON a.id < b.id
+        |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+        |cpairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM f a JOIN f b ON a.id < b.id AND a.cap = b.cap),
+        |pairs AS (SELECT * FROM ppairs UNION SELECT * FROM cpairs),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT DISTINCT a AS node, a AS r FROM edges
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b),
+        |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY 1)
+        |SELECT f.id, coalesce(c.component, f.id) AS component,
+        |       (f.id = coalesce(c.component, f.id)) AS is_survivor,
+        |       r.rules_keep,
+        |       (r.rules_keep AND f.id = coalesce(c.component, f.id)) AS keep
+        |FROM f LEFT JOIN comp c ON c.node = f.id JOIN rules r ON r.id = f.id
+        |ORDER BY f.id""".stripMargin
+    )
+  ) { (s, _) =>
+    graft.fixtures.Images.exportNearDupFeatures(s, 96)
+    val media = graft.ops.Multimodal.syntheticNearDupTable(s, 96)
+    val feats = graft.ops.Multimodal.imageFeatures(media).toDF()
+    val bytes = media.toDF().select(col("id"), col("bytes"))
+    val capped = feats.join(bytes, Seq("id"))
+      .withColumn("caption",
+        when(pmod(expr("cast(substr(id, length(id), 1) as int)"), lit(3)) === 0,
+          concat(lit("shared caption of pair "),
+            floor(substring(col("id"), 4, 6).cast("int") / 2).cast("int")))
+          .otherwise(concat(lit("cap of "), col("id"))))
+    val rules = graft.ops.Multimodal.imageSetFilter(
+      capped.select(col("id").as("image_id"), col("bytes"), col("w"), col("h"),
+        col("fmt"), col("caption"), col("phash")))
+    val dedup = graft.ops.Multimodal.jointDedupSurvivors(
+      capped.select(col("id").as("image_id"), col("phash"), col("caption")), maxHamming = 3)
+    rules.select(col("image_id").as("id"), col("keep").as("rules_keep"))
+      .join(dedup.select(col("id"), col("component"), col("is_survivor")), Seq("id"))
+      .withColumn("keep", col("rules_keep") && col("is_survivor"))
+      .select(col("id"), col("component"), col("is_survivor"), col("rules_keep"), col("keep"))
+      .orderBy(col("id"))
+  }
+
   // ---- frontier analytics: host-level spam/trap scoring --------------------
   // A URL-shape corpus with per-host-parity path cardinality (even hosts:
   // ~197 distinct paths — healthy; odd hosts: 20 — a trap/farm shape), deep

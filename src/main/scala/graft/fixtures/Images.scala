@@ -424,6 +424,28 @@ object Images {
       path
     }
 
+  /** Generator-side facts for the near-dup corpus beyond phash — the
+    * curation-rule inputs (dims, format, encoded length) the pipeline
+    * oracle replays rules over.
+    */
+  def exportNearDupFeatures(spark: org.apache.spark.sql.SparkSession, n: Int): String =
+    synchronized {
+      val path = s"$NearDupExportBase/feat_$n"
+      if (!exportedNearDup.contains(path)) {
+        import spark.implicits._
+        (0 until n).map { i =>
+          val bytes = nearDupBytesAt(i.toLong)
+          val img = decode(bytes)
+          (nearDupIdOf(i.toLong), img.getWidth, img.getHeight,
+            if (i % 3 == 1) "jpeg" else "png", bytes.length.toLong, phash(img))
+        }.toDF("id", "w", "h", "fmt", "byte_len", "phash")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(path)
+        exportedNearDup += path
+      }
+      path
+    }
+
   // ---- pixel-PSNR pair-verification fixture --------------------------------
   // Each base image gets one perturbed PNG copy at a base-dependent exact
   // per-channel delta, so the pair's decoded-pixel PSNR is controlled on
