@@ -39,7 +39,7 @@ object Bench {
       "mm_image_quality", "mm_audio_features", "mm_audio_resample", "s12_warc_read", "td_cc_pipeline", "w5_stream_warc",
       "mm_header_sniff", "mm_audio_sniff", "mm_container_sniff",
       "s13_tar_read", "mm_webdataset_samples", "mm_wds_pipeline",
-      "mm_joint_dedup", "mm_pixel_verified_dedup",
+      "mm_joint_dedup", "mm_pixel_verified_dedup", "mm_pair_pipeline",
       // drives a real FrontierStore claim loop since r5 (was inline before)
       "q4_claim_ordering",
       // drive the four storage backends request-by-request / item-by-item (S11)
