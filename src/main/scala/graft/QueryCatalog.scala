@@ -2980,6 +2980,50 @@ object QueryCatalog {
       .select(col("query_id"), col("rank"), col("corpus_id"), round(col("cos"), 4).as("cos"))
   }
 
+  // int8 scalar quantization top-k: per-row symmetric quantization (scale
+  // = max|x|/127, floor(x/scale + 0.5) — floor-form because the engines'
+  // round() disagree on negative halves), approximate IP = scale_a *
+  // scale_b * EXACT-INTEGER code dot (order-independent, so the ranking is
+  // bit-identical cross-engine at any partitioning).
+  register(
+    "v_int8_topk",
+    Some(
+      """WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings
+        |), unit AS (
+        |  SELECT vec_id, list_transform(v0, x -> x / sqrt(list_inner_product(v0, v0))) AS v FROM emb
+        |), q8 AS (
+        |  SELECT vec_id, scale,
+        |         list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)) AS q
+        |  FROM (SELECT vec_id, v,
+        |          list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |        FROM unit)
+        |), scored AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+        |         (a.scale * b.scale) * CAST(list_sum(
+        |           list_transform(range(1, len(a.q) + 1),
+        |             i -> CAST(a.q[i] AS BIGINT) * b.q[i])) AS DOUBLE) AS cos
+        |  FROM q8 a JOIN q8 b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+        |), ranked AS (
+        |  SELECT query_id, corpus_id, cos,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, corpus_id, round(cos, 4) AS cos FROM ranked WHERE rank <= 5""".stripMargin
+    )
+  ) { (s, dir) =>
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val q8 = VectorOps.int8Quantize(emb, "vec_id", "embedding")
+    val queries = q8.filter(col("id") < 10)
+      .select(col("id").as("query_id"), col("q").as("qa"), col("scale").as("sa"))
+    val scored = queries.crossJoin(q8.select(col("id").as("corpus_id"), col("q").as("qb"), col("scale").as("sb")))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        VectorOps.int8Dot(col("qa"), col("qb"), col("sa"), col("sb")).as("cos"))
+    graft.plans.TopK.perKey(scored, Seq("query_id"), Seq("cos" -> false, "corpus_id" -> true), 5)
+      .select(col("query_id"), col("rank"), col("corpus_id"), round(col("cos"), 4).as("cos"))
+  }
+
   // Product-quantization ADC top-k: codebooks trained per 16-dim subspace
   // (sample-based deterministic Lloyd's, exported like the IVF centroids),
   // corpus encoded to 4 codes/vector, queries score codes via m table

@@ -621,6 +621,37 @@ object VectorOps {
     }
   }
 
+  /** Symmetric per-row int8 scalar quantization — the bandwidth half of
+    * the index-compression story (PQ is the memory half): scale =
+    * max|x|/127, q_i = floor(x_i/scale + 0.5) ∈ [−127, 127]. Map-only,
+    * no global statistics (per-row scale makes every row self-contained —
+    * resume/repartition-stable), floor(x+0.5) instead of round() because
+    * the two engines' round() disagree on negative halves. Output:
+    * (id, q array<int>, scale double).
+    */
+  def int8Quantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    ensureRegistered(df)
+    val unit = unitNormalized(
+      df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v")), "v")
+    unit
+      .withColumn("scale",
+        aggregate(col("v"), lit(0.0), (acc, x) => greatest(acc, abs(x))) / 127.0)
+      .withColumn("q",
+        transform(col("v"), x => floor(x / col("scale") + 0.5).cast("int")))
+      .select(col("id"), col("q"), col("scale"))
+  }
+
+  /** Approximate inner product from int8 codes: scale_a·scale_b·Σ qa_i·qb_i.
+    * The sum is EXACT INTEGER arithmetic (|Σ| ≤ dims·127² < 2^31 up to
+    * ~10^5 dims as long) — order-independent, so the only floats are two
+    * scale multiplies: cross-engine deterministic at ANY partitioning,
+    * unlike a double dot whose partial order matters.
+    */
+  def int8Dot(qa: Column, qb: Column, scaleA: Column, scaleB: Column): Column =
+    scaleA * scaleB *
+      aggregate(zip_with(qa, qb, (x, y) => x.cast("long") * y.cast("long")),
+        lit(0L), (acc, x) => acc + x).cast("double")
+
   /** Oracle side-channel for PQ entries (same device as
     * [[exportCentroids]]): (m, c, centroid) rows per codebook.
     */

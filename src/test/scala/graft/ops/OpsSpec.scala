@@ -132,6 +132,35 @@ class OpsSpec extends SparkSpec {
     assert(routed == flat, "all-lists IVF+PQ must equal the flat ADC scan exactly")
   }
 
+  test("int8 quantization: codes bounded, dequantization error <= scale/2, top-5 tracks brute force") {
+    val q8 = VectorOps.int8Quantize(emb, "vec_id", "embedding")
+    val rows = q8.collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getDouble(2)))
+    assert(rows.forall { case (_, q, _) => q.forall(x => x >= -127 && x <= 127) })
+    // per-element reconstruction bound on unit vectors
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    rows.take(50).foreach { case (id, q, scale) =>
+      val v = vecs(id)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n).zip(q).foreach { case (x, qi) =>
+        assert(math.abs(x - qi * scale) <= scale / 2 + 1e-12, s"$id: $x vs ${qi * scale}")
+      }
+    }
+    val queries = emb.filter(col("vec_id") < 20)
+    val brute = VectorOps.bruteForceTopK(emb, "vec_id", "embedding", queries, "vec_id", "embedding", 5)
+      .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qq = q8.filter(col("id") < 20)
+      .select(col("id").as("query_id"), col("q").as("qa"), col("scale").as("sa"))
+    val scored = qq.crossJoin(q8.select(col("id").as("corpus_id"), col("q").as("qb"), col("scale").as("sb")))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        VectorOps.int8Dot(col("qa"), col("qb"), col("sa"), col("sb")).as("cos"))
+    val i8 = graft.plans.TopK.perKey(scored, Seq("query_id"), Seq("cos" -> false, "corpus_id" -> true), 5)
+      .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect i8).size.toDouble / brute.size
+    info(s"int8 top-5 recall vs brute: $recall")
+    assert(recall >= 0.8, s"8-bit codes must nearly preserve the ranking: $recall")
+  }
+
   test("LSH candidate generation is subquadratic (bucket join, not cross join)") {
     val queries = emb.filter(col("vec_id") < 20)
     val plan = VectorOps.lshTopK(emb, "vec_id", "embedding", queries, "vec_id", "embedding", 5)
