@@ -41,7 +41,7 @@ object Bench {
       "s13_tar_read", "mm_webdataset_samples", "mm_wds_pipeline",
       "mm_joint_dedup", "mm_pixel_verified_dedup", "mm_pair_pipeline",
       // drives a real FrontierStore claim loop since r5 (was inline before)
-      "q4_claim_ordering",
+      "q4_claim_ordering", "q14_time_travel",
       // drive the four storage backends request-by-request / item-by-item (S11)
       "s11_backend_parity", "s11_dataset_parity")
     // Untimed JVM/codegen warm-up: the first timed query otherwise absorbs

@@ -592,6 +592,59 @@ object QueryCatalog {
     store.claim(200, nowMs = 1200L).select(col("unique_key"))
   }
 
+  // ---- Q14 (beyond reference): Iceberg-style time travel ------------------
+  // A real store runs three commits (add 200 → claim 50 → handle the even
+  // half of the claims); stateAt(b) reconstructs the per-key state as of
+  // each batch from the log. The oracle rebuilds all three snapshots
+  // analytically: claims take the 50 lowest ids in FIFO order.
+  register(
+    "q14_time_travel",
+    Some(
+      """WITH ids AS (
+        |  SELECT event_id, row_number() OVER (ORDER BY event_id) AS rk
+        |  FROM events WHERE event_id < 200
+        |), snap AS (
+        |  SELECT b.as_of, 'k' || CAST(event_id AS VARCHAR) AS unique_key,
+        |    CASE WHEN b.as_of >= 3 AND rk <= 50 AND event_id % 2 = 0 THEN 2
+        |         WHEN b.as_of >= 2 AND rk <= 50 THEN 1
+        |         ELSE 0 END AS status,
+        |    CASE WHEN b.as_of >= 3 AND rk <= 50 AND event_id % 2 = 0 THEN 3
+        |         WHEN b.as_of >= 2 AND rk <= 50 THEN 2
+        |         ELSE 1 END AS batch_id
+        |  FROM ids CROSS JOIN (SELECT unnest([1, 2, 3]) AS as_of) b
+        |)
+        |SELECT CAST(as_of AS BIGINT) AS as_of, unique_key,
+        |       CAST(status AS INT) AS status, CAST(batch_id AS BIGINT) AS batch_id
+        |FROM snap ORDER BY as_of, unique_key""".stripMargin
+    )
+  ) { (s, dir) =>
+    val store = new graft.queue.FrontierStore(s, tmpDir("q14"))
+    val adds = t(s, dir, "events")
+      .filter(col("event_id") < 200)
+      .select(
+        concat(lit("k"), col("event_id")).as("unique_key"),
+        concat(lit("https://tt.example.com/"), col("event_id")).as("url"),
+        lit("tt.example.com").as("host"),
+        lit(null).cast("string").as("label"),
+        lit("GET").as("method"),
+        lit(0).as("depth"),
+        lit(false).as("forefront"),
+        col("event_id").cast("long").as("cand_order")
+      )
+    store.addBatch(adds)
+    val claimed = store.claim(50, nowMs = 0L)
+    store.markHandled(
+      claimed
+        .filter(pmod(substring(col("unique_key"), 2, 10).cast("long"), lit(2)) === 0)
+        .select(col("unique_key"), lit(true).as("handled_ok"),
+          lit(graft.schema.RequestState.Done).as("state")))
+    Seq(1L, 2L, 3L)
+      .map(b => store.stateAt(b)
+        .select(lit(b).as("as_of"), col("unique_key"), col("status"), col("batch_id")))
+      .reduce(_ unionByName _)
+      .orderBy(col("as_of"), col("unique_key"))
+  }
+
   // ---- Q6 + Q7: mark-handled / reclaim-supersedes state machine ------------
   // k%3==0 handled; k%3==1 reclaimed with retry_count=1 (+forefront when
   // k%2==0); k%3==2 left in progress. A second markHandled of already-

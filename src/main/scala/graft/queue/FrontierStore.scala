@@ -215,6 +215,34 @@ final class FrontierStore(
     events.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Queue state AS OF a committed batch — Iceberg-style time travel over
+    * the retained log window: latest event per key among events with
+    * `batch_id <= asOfBatchId`, reconstructed straight from the log files
+    * (never from the live cached chain). Valid back to the newest
+    * compaction epoch still referenced by the manifest: bucket-local
+    * compaction collapses per-key history inside rewritten buckets, so an
+    * earlier reconstruction would silently DROP keys whose surviving event
+    * is newer than the cut — the method refuses rather than answer wrong.
+    * (Iceberg semantics exactly: snapshots expire at compaction; travel
+    * inside the retention window is exact.)
+    */
+  def stateAt(asOfBatchId: Long): DataFrame = synchronized {
+    val m = manifest
+    val epochOf = """snapshot-(\d+)""".r
+    val floor = m.bucketDirs.values
+      .flatMap(d => epochOf.findFirstMatchIn(d).map(_.group(1).toLong))
+      .maxOption.getOrElse(0L)
+    require(
+      asOfBatchId >= floor && asOfBatchId <= m.batchId,
+      s"time-travel window is [$floor, ${m.batchId}] " +
+        s"(compaction collapsed history before batch $floor); got $asOfBatchId")
+    val files = m.allFiles(root)
+    if (files.isEmpty) emptyEvents(spark)
+    else latestWins(
+      spark.read.schema(eventSchema).parquet(files: _*)
+        .filter(col("batch_id") <= asOfBatchId))
+  }
+
   /** Current queue state (one row per key). Reconstructs from the manifest
     * on first access (resume path), then maintained incrementally.
     */

@@ -265,6 +265,47 @@ class FrontierStoreSpec extends SparkSpec {
     assert(resumed.state().filter(col("status") === lit(graft.schema.Status.Pending)).count() == 4)
   }
 
+  test("stateAt: time travel reproduces every retained batch exactly; refuses past the compaction floor") {
+    val dir = Files.createTempDirectory("frontier-tt").toString
+    val store = new FrontierStore(spark, dir, compactEvery = 3)
+    def snap(): Set[(String, Int, Long)] = store.state()
+      .select("unique_key", "status", "batch_id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val observed = scala.collection.mutable.Map.empty[Long, Set[(String, Int, Long)]]
+    var batch = 0L
+    (1 to 4).foreach { g =>
+      store.addBatch(cand((1 to 5).map(i => s"u$g-$i"), forefront = false, orderBase = g * 10L))
+      batch += 1
+      observed(batch) = snap()
+      if (store.claim(3, nowMs = g * 1000L).count() > 0) {
+        batch += 1
+        observed(batch) = snap()
+      }
+    }
+    val results = (1L to batch).map { b =>
+      try Right(store.stateAt(b)
+        .select("unique_key", "status", "batch_id").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet)
+      catch { case e: IllegalArgumentException => Left(e) }
+    }
+    assert(results.last.isRight, "the current batch is always reconstructible")
+    // refusals form a prefix (the compaction floor), and every answered
+    // batch matches the state observed live right after that commit
+    val firstOk = results.indexWhere(_.isRight)
+    results.zipWithIndex.foreach { case (r, i) =>
+      r match {
+        case Right(s) =>
+          assert(i >= firstOk)
+          assert(s == observed(i + 1L), s"stateAt(${i + 1}) diverged from the live snapshot")
+        case Left(e) =>
+          assert(i < firstOk, s"refusal after an answered batch: ${e.getMessage}")
+      }
+    }
+    // 8 commits at compactEvery=3 guarantees at least one compaction,
+    // so the earliest batch must refuse rather than answer lossily
+    assert(results.head.isLeft, "pre-compaction history must refuse, not answer wrong")
+  }
+
   test("resume from manifest: new store instance sees identical state") {
     val dir = Files.createTempDirectory("frontier-resume").toString
     val store = new FrontierStore(spark, dir)
