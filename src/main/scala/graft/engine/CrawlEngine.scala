@@ -278,7 +278,7 @@ final class CrawlEngine(
       val seedDf = spark.createDataFrame(
         spark.sparkContext.parallelize(rows, math.max(1, math.min(rows.size, 4))),
         CrawlEngine.seedSchema)
-      store.addBatch(seedDf)
+      store.addBatch(seedDf, candBound = rows.size.toLong)
     }
     enqueueSeeds(seeds)
 

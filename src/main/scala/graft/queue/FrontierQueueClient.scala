@@ -74,7 +74,7 @@ final class FrontierQueueClient(
     // one report row per candidate (in-batch duplicates included); pick the
     // first-occurrence row per key (the one not flagged as a duplicate) and
     // emit in input order — duplicates report present=true (module Q1 rule)
-    val byKey = store.addBatch(FrontierStore.normalizeAdds(df))
+    val byKey = store.addBatch(FrontierStore.normalizeAdds(df), candBound = requests.size.toLong)
       .select("unique_key", "was_already_present", "was_already_handled")
       .collect()
       .map(r => ProcessedRequest(r.getString(0), r.getBoolean(1), r.getBoolean(2)))
