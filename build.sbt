@@ -31,5 +31,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g default (was 8g): local[32] runs 32 concurrent tasks in ONE JVM —
+  // at 8g the bench's later queries and the headline crawl ran under heavy
+  // GC pressure (crawl measured 112s inside the full bench vs 71s in a
+  // fresh JVM, same box/minutes apart). Parameterised for smaller hosts;
+  // on a real cluster executor/driver memory comes from spark-submit, not
+  // this local-runner flag.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )
