@@ -169,7 +169,14 @@ object GraphOps {
         .join(contrib, Seq("host"), "left")
         .select(col("host"),
           (base + expr("(85 * coalesce(in_mass, 0L)) div 100")).as("authority"))
-      ranks = materialize(next)
+      // checkpoint every SECOND round (and the last): halves the driver
+      // round-trips — each fixed-iteration round is one tiny join+agg, and
+      // a 2-deep lazy tail executes inside the next checkpoint's single
+      // job. Plan depth stays bounded at two rounds; results are
+      // bit-identical because every operation is integer floor arithmetic
+      // (order-independent sums), pinned by GraphOpsSpec's hand-computed
+      // iteration values.
+      ranks = if (i % 2 == 1 || i == iters - 1) materialize(next) else next
       i += 1
     }
     ranks
