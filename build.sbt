@@ -31,6 +31,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // The generated-class cache defaults to 100 entries; one crawl
+  // micro-batch alone compiles ~120 whole-stage units, so consecutive
+  // batches evicted each other and re-compiled identical sources every
+  // batch (1074 janino compiles, 16s, in a 74s 44k-page crawl). Large
+  // enough for the whole bench suite; scale-independent.
+  "-Dspark.sql.codegen.cache.maxEntries=8192",
   // 32g default (was 8g): local[32] runs 32 concurrent tasks in ONE JVM —
   // at 8g the bench's later queries and the headline crawl ran under heavy
   // GC pressure (crawl measured 112s inside the full bench vs 71s in a

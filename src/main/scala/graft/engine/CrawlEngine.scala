@@ -280,7 +280,7 @@ final class CrawlEngine(
         CrawlEngine.seedSchema)
       store.addBatch(seedDf, candBound = rows.size.toLong)
     }
-    enqueueSeeds(seeds)
+    traceTop("seed-enqueue")(enqueueSeeds(seeds))
 
     val crawlOrder = mutable.ArrayBuffer.empty[String]
     val handledTags = mutable.HashMap.empty[String, String]
@@ -1334,6 +1334,8 @@ final class CrawlEngine(
 
         unioned.unpersist(false)
         val batchWallMs = (System.nanoTime() - batchT0) / 1000000
+        if (sys.env.contains("GRAFT_TRACE"))
+          println(f"[trace] batch=$batchIdx batch-total ${batchWallMs / 1000.0}%.2fs")
         batchSizer.foreach(_.record(claimedCount, batchWallMs, batchPeriodMs))
         events.emit(graft.events.Event.SystemInfo, batchWallMs) // X6 snapshot tick
         appendMetrics(batchIdx, nowMs, claimedCount,
@@ -1345,16 +1347,19 @@ final class CrawlEngine(
     val seen =
       if (trackOrder) store.state().select(col("unique_key")).collect().map(_.getString(0)).toSet
       else Set.empty[String]
-    seenCount = if (trackOrder) seen.size.toLong else store.state().count()
+    seenCount = traceTop("seen-count")(
+      if (trackOrder) seen.size.toLong else store.state().count())
     runStats.addRuntime((System.nanoTime() - runT0) / 1000000L)
-    flushMetrics()
-    runStats.persist()
-    persistProxyState()
-    // a compaction on the final commit defers its vacuum to "the next
-    // commit" — which never comes once the crawl ends. Reclaim the
-    // superseded snapshot/delta files now (the last prefetch was awaited
-    // above, so no concurrent reader holds the old generation).
-    store.vacuumNow()
+    traceTop("run-teardown") {
+      flushMetrics()
+      runStats.persist()
+      persistProxyState()
+      // a compaction on the final commit defers its vacuum to "the next
+      // commit" — which never comes once the crawl ends. Reclaim the
+      // superseded snapshot/delta files now (the last prefetch was awaited
+      // above, so no concurrent reader holds the old generation).
+      store.vacuumNow()
+    }
     if (stopRequested) events.emit(graft.events.Event.Aborting, "stop")
     events.emit(graft.events.Event.Exit, processedTotal) // X6: final state durable
     delaysDf.foreach(_.unpersist(false))

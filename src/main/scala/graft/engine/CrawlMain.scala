@@ -31,6 +31,10 @@ object CrawlMain {
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.contains("GRAFT_CODEGEN_LOG"))
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator",
+        org.apache.logging.log4j.Level.INFO)
     import spark.implicits._
 
     val spec = WebSpec(hosts = hosts, pagesPerHost = pagesPerHost,

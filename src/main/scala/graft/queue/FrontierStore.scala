@@ -310,6 +310,14 @@ final class FrontierStore(
 
   def batchId: Long = manifest.batchId
 
+  /** Per-batch driver constant (ordering-counter bases, batch ids, the
+    * virtual clock) as a references-array value instead of an inline
+    * literal: keeps every micro-batch's codegen SOURCE byte-identical so
+    * the whole-stage cache hits across batches (graft.expr.DriverLong).
+    */
+  private def dLong(v: Long): org.apache.spark.sql.Column =
+    graft.expr.DriverConst.driverLong(spark, v)
+
   /** Row count of the most recent claim() commit (saves callers a count). */
   @volatile var lastClaimCount: Long = 0L
 
@@ -586,8 +594,8 @@ final class FrontierStore(
       .withColumn("status", lit(Status.Handled))
       .withColumn("state", col("r_state"))
       .withColumn("lock_expires_at", lit(0L))
-      .withColumn("event_seq", lit(maxEv + 2 * S + 1))
-      .withColumn("batch_id", lit(batchId + 1))
+      .withColumn("event_seq", dLong(maxEv + 2 * S + 1))
+      .withColumn("batch_id", dLong(batchId + 1))
       // prior status was InProgress: its pending position was already
       // consumed by the claim event — no epoch removal here
       .withColumn("prev_epoch", lit(null).cast("long"))
@@ -607,11 +615,11 @@ final class FrontierStore(
       .drop("r_key")
       .withColumn("__pos", pmod(xxhash64(col("unique_key")), lit(Stride / 2)) + 1)
       .withColumn("status", lit(Status.Pending))
-      .withColumn("seq", when(col("forefront"), lit(-1L)).otherwise(lit(maxSeq + S) + col("__pos")))
-      .withColumn("forefront_seq", when(col("forefront"), lit(maxFf + 2 * S) + col("__pos")).otherwise(lit(-1L)))
+      .withColumn("seq", when(col("forefront"), lit(-1L)).otherwise(dLong(maxSeq + S) + col("__pos")))
+      .withColumn("forefront_seq", when(col("forefront"), dLong(maxFf + 2 * S) + col("__pos")).otherwise(lit(-1L)))
       .withColumn("lock_expires_at", lit(0L))
-      .withColumn("event_seq", lit(maxEv + 3 * S) + col("__pos"))
-      .withColumn("batch_id", lit(batchId + 1))
+      .withColumn("event_seq", dLong(maxEv + 3 * S) + col("__pos"))
+      .withColumn("batch_id", dLong(batchId + 1))
       .withColumn("prev_epoch", lit(null).cast("long")) // prior InProgress
       .drop("__pos")
       .select(eventCols: _*)
@@ -752,14 +760,14 @@ final class FrontierStore(
             col("max_retries"),
             lit(0).as("rotation_count"),
             col("forefront"),
-            when(col("forefront"), lit(-1L)).otherwise(lit(maxSeq) + col("__pos")).as("seq"),
-            when(col("forefront"), lit(maxFf) + col("__ffpos")).otherwise(lit(-1L)).as("forefront_seq"),
+            when(col("forefront"), lit(-1L)).otherwise(dLong(maxSeq) + col("__pos")).as("seq"),
+            when(col("forefront"), dLong(maxFf) + col("__ffpos")).otherwise(lit(-1L)).as("forefront_seq"),
             lit(Status.Pending).as("status"),
             lit(graft.schema.RequestState.Unprocessed).as("state"),
             lit(false).as("handled_ok"),
             lit(0L).as("lock_expires_at"),
-            (lit(maxEv) + col("__pos")).as("event_seq"),
-            lit(batchId + 1).as("batch_id"),
+            (dLong(maxEv) + col("__pos")).as("event_seq"),
+            dLong(batchId + 1).as("batch_id"),
             lit(null).cast("long").as("prev_epoch"), // brand-new pending position
             lit(null).cast("int").as("last_proxy_tier")
           )
@@ -786,14 +794,14 @@ final class FrontierStore(
             when(isNew, col("max_retries")).otherwise(col("ex_max_retries")).as("max_retries"),
             when(isNew, lit(0)).otherwise(col("ex_rotation")).as("rotation_count"),
             when(isNew, col("forefront")).otherwise(lit(true)).as("forefront"),
-            when(isNew && !col("forefront"), lit(maxSeq) + col("__pos")).otherwise(lit(-1L)).as("seq"),
-            when(col("forefront"), lit(maxFf) + col("__ffpos")).otherwise(lit(-1L)).as("forefront_seq"),
+            when(isNew && !col("forefront"), dLong(maxSeq) + col("__pos")).otherwise(lit(-1L)).as("seq"),
+            when(col("forefront"), dLong(maxFf) + col("__ffpos")).otherwise(lit(-1L)).as("forefront_seq"),
             lit(Status.Pending).as("status"),
             when(isNew, lit(graft.schema.RequestState.Unprocessed)).otherwise(col("ex_state")).as("state"),
             when(isNew, lit(false)).otherwise(col("ex_ok")).as("handled_ok"),
             when(isNew, lit(0L)).otherwise(col("ex_lock")).as("lock_expires_at"),
-            when(isNew, lit(maxEv) + col("__pos")).otherwise(lit(maxEv + S) + col("__ffpos")).as("event_seq"),
-            lit(batchId + 1).as("batch_id"),
+            when(isNew, dLong(maxEv) + col("__pos")).otherwise(dLong(maxEv + S) + col("__ffpos")).as("event_seq"),
+            dLong(batchId + 1).as("batch_id"),
             when(isNew, lit(null).cast("long"))
               .otherwise(when(col("ex_ffseq") >= 0, lit(-1L)).otherwise(shiftright(col("ex_seq"), 42)))
               .as("prev_epoch"),
@@ -948,13 +956,13 @@ final class FrontierStore(
     val preFiltered =
       if (noQuota && blockedHosts.isEmpty && claimBucketPruning)
         epochCutoff(maxN) match {
-          case Some(c) => prunedState.filter(epochExpr <= c)
+          case Some(c) => prunedState.filter(epochExpr <= dLong(c))
           case None => prunedState
         }
       else prunedState
     val eligible = preFiltered.filter(
       (col("status") === Status.Pending) ||
-        (col("status") === Status.InProgress && col("lock_expires_at") <= nowMs)
+        (col("status") === Status.InProgress && col("lock_expires_at") <= dLong(nowMs))
     )
     val notBlocked =
       if (blockedHosts.isEmpty) eligible
@@ -1027,8 +1035,8 @@ final class FrontierStore(
       .withColumn("state", col("r_state"))
       .withColumn("handled_ok", col("r_ok"))
       .withColumn("lock_expires_at", lit(0L))
-      .withColumn("event_seq", lit(maxEv + 2 * S + 1))
-      .withColumn("batch_id", lit(batchId + 1))
+      .withColumn("event_seq", dLong(maxEv + 2 * S + 1))
+      .withColumn("batch_id", dLong(batchId + 1))
       // consumes the row's (still-Pending) position — seq fields unchanged
       .withColumn("prev_epoch", epochExpr)
       .select(eventCols: _*)
@@ -1037,11 +1045,11 @@ final class FrontierStore(
       .withColumn("prev_epoch", epochExpr)
       .withColumn("__pos", pmod(xxhash64(col("unique_key")), lit(S / 2)) + 1)
       .withColumn("status", lit(Status.Pending))
-      .withColumn("seq", when(col("forefront"), lit(-1L)).otherwise(lit(maxSeq + S) + col("__pos")))
-      .withColumn("forefront_seq", when(col("forefront"), lit(maxFf + 2 * S) + col("__pos")).otherwise(lit(-1L)))
+      .withColumn("seq", when(col("forefront"), lit(-1L)).otherwise(dLong(maxSeq + S) + col("__pos")))
+      .withColumn("forefront_seq", when(col("forefront"), dLong(maxFf + 2 * S) + col("__pos")).otherwise(lit(-1L)))
       .withColumn("lock_expires_at", lit(0L))
-      .withColumn("event_seq", lit(maxEv + 3 * S) + col("__pos"))
-      .withColumn("batch_id", lit(batchId + 1))
+      .withColumn("event_seq", dLong(maxEv + 3 * S) + col("__pos"))
+      .withColumn("batch_id", dLong(batchId + 1))
       .drop("__pos")
       .select(eventCols: _*)
     commitWithAdds(adds, terminalEvents, reclaimEvents, maxSeq, maxFf, maxEv, candBound)
@@ -1070,9 +1078,9 @@ final class FrontierStore(
       .withColumn("prev_epoch", epochExpr)
       .withColumn("status", lit(Status.InProgress))
       .withColumn("state", lit(graft.schema.RequestState.BeforeNav))
-      .withColumn("lock_expires_at", lit(nowMs + leaseMs))
-      .withColumn("event_seq", lit(maxEv) + col("claim_rank").cast("long"))
-      .withColumn("batch_id", lit(batchId + 1))
+      .withColumn("lock_expires_at", dLong(nowMs + leaseMs))
+      .withColumn("event_seq", dLong(maxEv) + col("claim_rank").cast("long"))
+      .withColumn("batch_id", dLong(batchId + 1))
       .drop("claim_rank")
       .select(eventCols: _*)
 
@@ -1107,11 +1115,11 @@ final class FrontierStore(
   def pendingCount(nowMs: Long): Long =
     state().filter(
       (col("status") === Status.Pending) ||
-        (col("status") === Status.InProgress && col("lock_expires_at") <= nowMs)
+        (col("status") === Status.InProgress && col("lock_expires_at") <= dLong(nowMs))
     ).count()
 
   def inProgressCount(nowMs: Long): Long =
-    state().filter(col("status") === Status.InProgress && col("lock_expires_at") > nowMs).count()
+    state().filter(col("status") === Status.InProgress && col("lock_expires_at") > dLong(nowMs)).count()
 
   def isEmpty(nowMs: Long): Boolean = pendingCount(nowMs) == 0
   def isFinished(nowMs: Long): Boolean = isEmpty(nowMs) && inProgressCount(nowMs) == 0
