@@ -288,7 +288,13 @@ final class FrontierStore(
     */
   private def mergeDelta(delta: DataFrame, deltaRows: Long): Unit = {
     stateRowsBound += deltaRows // upper bound: new keys <= delta rows
-    val deltaLatest = latestWins(delta)
+    // coalesce the DELTA side (narrow, batch-scale) before the union: the
+    // window behind latestWins leaves shuffle.partitions partitions, and
+    // a union per commit grew the cached chain by that many — late in a
+    // crawl every state scan was a 449-task stage of mostly-empty tasks
+    // (event-log measured). Only the delta side is squeezed; the cached
+    // base keeps its layout untouched.
+    val deltaLatest = latestWins(delta).coalesce(4)
     // Small deltas: broadcast anti-join (no shuffle of the base, but the
     // broadcast build is a DRIVER-side collect — serial). Large deltas
     // (bulk enqueues): a shuffled anti-join keeps everything parallel.
