@@ -47,10 +47,18 @@ object DriverConst {
     }
   }
 
-  /** Register SQL-callable names (idempotent, once per session). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "driver_long", exprs => DriverLong(longOf(exprs(0))), "scala_udf")
+  /** Register SQL-callable names (idempotent, once per session; the
+    * existence check keeps the hot path from re-registering — and from
+    * emitting a "replaced a previously registered function" WARN — on
+    * every call).
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("driver_long")
+    if (reg.lookupFunctionBuilder(id).isEmpty)
+      reg.createOrReplaceTempFunction(
+        "driver_long", exprs => DriverLong(longOf(exprs(0))), "scala_udf")
+  }
 
   /** A Long column whose value stays OUT of the codegen source. */
   def driverLong(spark: SparkSession, v: Long): Column = {
