@@ -575,7 +575,10 @@ final class CrawlEngine(
           else boundSessionIds.toSet.filter(id => !sessionPool.getById(id).exists(_.isUsable(sessNow)))
         val (collided, allowed) =
           if (unavailableBound.isEmpty)
-            (allowed0.filter(lit(false)), allowed0)
+            // limit(0) optimizes to an empty LocalRelation — the common
+            // unbound-crawl case must not pay a full batch-scan union arm
+            // in every commit and disposition just to contribute 0 rows
+            (allowed0.limit(0), allowed0)
           else
             (allowed0.filter(col("session_id").isInCollection(unavailableBound)),
              allowed0.filter(col("session_id").isNull || !col("session_id").isInCollection(unavailableBound)))
@@ -613,7 +616,12 @@ final class CrawlEngine(
             "strategy_ok",
             UrlFunctions.strategyAllows(col("loaded_url"), lit(cfg.strategy), col("url"))
           )
-        val redirFailed = redirResolved.filter(!col("strategy_ok"))
+        // pinned: redirect-strategy failures are NOT part of the `unioned`
+        // checkpoint (only redirOk is), so an unpinned frame would re-run
+        // the whole fetch join (a pagesDf shuffle) inside EVERY consumer —
+        // the commit's terminal arm and the disposition both read it
+        val redirFailed = trace("redir-pin")(
+          materialize(redirResolved.filter(!col("strategy_ok"))))
         val p2 = pagesDf.select(
           col("p_url").as("t_url"),
           col("p_body").as("t_body"),
@@ -945,10 +953,27 @@ final class CrawlEngine(
         def term(df: DataFrame, ok: Boolean, state: Int): DataFrame =
           df.select(FrontierStore.eventCols: _*)
             .withColumn("r_ok", lit(ok)).withColumn("r_state", lit(state))
-        val terminal = term(ok200, ok = true, RequestState.Done)
-          .unionByName(term(fail404, ok = false, RequestState.Error))
-          .unionByName(term(exhausted, ok = false, RequestState.Error))
-          .unionByName(term(rotateExhausted, ok = false, RequestState.Error))
+        // ONE pass over the pinned batch for the four fetched terminal
+        // classes (ok / client-error / retry-exhausted / rotation-
+        // exhausted): each used to be its own filter arm of the commit
+        // union, so the write stage re-scanned the checkpointed batch once
+        // per class (449-task write stages, event-log measured; the class
+        // only decides r_ok/r_state, which fold into computed columns —
+        // the same single-pass shape `disposition` below already uses).
+        // All terminal rows share one event_seq, so arm order never
+        // mattered. redirFailed/robotsSkipped/collided come from frames
+        // OUTSIDE `unioned` and stay as their own (pinned or empty) arms.
+        val termFetched = unioned
+          .filter(
+            (!isBlockedRow &&
+              (col("eff_status") === 200 || !isRetryableStatus || !retryAllowed)) ||
+            (isBlockedRow && col("rotation_count") >= cfg.maxSessionRotations))
+          .withColumn("__r_ok", !col("is_blocked") && col("eff_status") === 200)
+          .withColumn("__r_state",
+            when(col("__r_ok"), lit(RequestState.Done)).otherwise(lit(RequestState.Error)))
+        val terminal = termFetched
+          .select(
+            (FrontierStore.eventCols :+ col("__r_ok").as("r_ok") :+ col("__r_state").as("r_state")): _*)
           .unionByName(term(redirFailed, ok = false, RequestState.Skipped))
           .unionByName(term(robotsSkipped, ok = false, RequestState.Skipped))
           .unionByName(term(collided, ok = false, RequestState.Error))
@@ -1046,6 +1071,31 @@ final class CrawlEngine(
               .drop("tf_key", "tf_tier")
         }
 
+        // ONE pass over the pinned batch for the two reclaim classes
+        // (retry / session-rotate): the class only decides which counter
+        // increments, so it folds into conditional columns instead of two
+        // full filter arms (same single-pass rationale as `termFetched`).
+        // A configured error handler rewrites retry URLs through its UDF,
+        // so that (rare, off in bench and parity defaults) case keeps the
+        // two-arm shape.
+        def reclaimEvents(wrap: DataFrame => DataFrame): DataFrame =
+          if (cfg.errorHandler.isDefined)
+            wrap(canRetry).select(FrontierStore.eventCols: _*)
+              .withColumn("retry_count", col("retry_count") + 1)
+              .unionByName(
+                wrap(canRotate).select(FrontierStore.eventCols: _*)
+                  .withColumn("rotation_count", col("rotation_count") + 1))
+          else
+            wrap(
+              unioned.filter(
+                (isBlockedRow && col("rotation_count") < cfg.maxSessionRotations) ||
+                (!isBlockedRow && isRetryableStatus && retryAllowed)))
+              .withColumn("retry_count",
+                when(!col("is_blocked"), col("retry_count") + 1).otherwise(col("retry_count")))
+              .withColumn("rotation_count",
+                when(col("is_blocked"), col("rotation_count") + 1).otherwise(col("rotation_count")))
+              .select(FrontierStore.eventCols: _*)
+
         // the disposition collect and the commit both read only PINNED frames
         // (batch + unioned are checkpointed) — run them concurrently so the
         // driver-side decode overlaps the commit's executor work
@@ -1100,11 +1150,7 @@ final class CrawlEngine(
           trace("commit-results")(store.commitBatch(
             candidates,
             terminal,
-            canRetry.select(FrontierStore.eventCols: _*)
-              .withColumn("retry_count", col("retry_count") + 1)
-              .unionByName(
-                canRotate.select(FrontierStore.eventCols: _*)
-                  .withColumn("rotation_count", col("rotation_count") + 1))
+            reclaimEvents(identity)
           ))
           val dispositionRows = trace("disposition")(Await.result(dispositionF, Duration.Inf))
           var images429 = Map.empty[String, Long]
@@ -1202,11 +1248,7 @@ final class CrawlEngine(
           trace("commit-results")(store.commitBatch(
             candidates,
             terminal,
-            withAssignedTier(canRetry).select(FrontierStore.eventCols: _*)
-              .withColumn("retry_count", col("retry_count") + 1)
-              .unionByName(
-                withAssignedTier(canRotate).select(FrontierStore.eventCols: _*)
-                  .withColumn("rotation_count", col("rotation_count") + 1))
+            reclaimEvents(withAssignedTier)
           ))
           val aggRows = trace("disposition")(Await.result(aggF, Duration.Inf))
           aggRows.foreach { r =>
