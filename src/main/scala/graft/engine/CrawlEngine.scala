@@ -223,6 +223,17 @@ final class CrawlEngine(
         (if (pages.columns.contains("rendered_images")) col("rendered_images")
          else lit(null).cast("array<string>")).as("p_rimages")
       )
+      // hash-partitioned on the join key BEFORE the persist: every batch's
+      // synthetic-fetch join (and the redirect-target re-join) is keyed on
+      // p_url with shuffle.partitions partitions, so the cached layout
+      // satisfies the join's required distribution and the page table —
+      // the heavy side, bodies included — never re-exchanges (guide §2.4);
+      // only the batch side shuffles, once per pin action
+      .repartition(spark.sparkContext.defaultParallelism, col("p_url"))
+      // ... and sorted within partitions on the same key, so a sort-merge
+      // join's ordering requirement is ALSO satisfied straight from the
+      // cache (no per-action re-sort of the page bodies)
+      .sortWithinPartitions(col("p_url"))
       .persist()
     traceTop("pages-pin")(pagesDf.count())
 
